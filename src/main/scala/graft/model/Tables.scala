@@ -1,0 +1,49 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Canonical schemas + loaders for the driver's testdata star schema
+  * (TESTDATA.md) and for the reference's two logical tables (SURVEY §1).
+  *
+  * In the reference, `images(id, deleted, filepath, modified_at, size,
+  * vector, ...)` and `words(word, vector)` live in SQLite
+  * (`index_wikimedia.py:56-68`, `rclip_server.py:292-308`); here the
+  * equivalents are Parquet snapshots. `embeddings.parquet` plays `images`
+  * (vec_id ↔ id, embedding ↔ vector) and a per-label centroid table plays
+  * `words` (SURVEY §7.5).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
+
+/** Reference `images` row (SURVEY §1.3). */
+case class ImageRow(
+    id: Long,
+    deleted: Option[Boolean],
+    filepath: String,
+    size: Option[Long],
+    vector: Array[Float],
+    wikimedia_descr_url: Option[String],
+    wikimedia_thumb_url: Option[String])
+
+/** Reference `words` row. */
+case class WordRow(word: String, vector: Array[Float])
+
+/** Search result (reference `ImageInfo` + score, `rclip_server.py:40-46`). */
+case class ScoredId(id: Long, score: Double)

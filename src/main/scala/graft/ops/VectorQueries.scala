@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.embed.DeterministicEmbedder
+import graft.model.Tables
+import graft.vec.VectorOps
+
+/** Vector similarity operators (SURVEY §2.4 K1/K2 — the reference's
+  * flagship): brute-force cosine top-k over the embeddings table, scored by
+  * a query vector resolved on the driver and shipped inside the scoring
+  * expression.
+  *
+  * Plan shape at scale: scored scan is embarrassingly parallel (no
+  * shuffle); `orderBy(score).limit(k)` plans TakeOrderedAndProject — a
+  * per-partition k-heap plus a k-bounded driver merge. On a 1000-executor
+  * cluster only k rows per partition ever leave the scan.
+  *
+  * Tie-break is explicit `(score DESC, id ASC)` — the reference relies on
+  * Python's stable sort (`rclip_server.py:197`); we make determinism
+  * structural.
+  */
+object VectorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val embedder = new DeterministicEmbedder(64)
+
+  /** Resolved flagship query vector — the `zebra -stripes +spots` shape
+    * from README.md:15 mapped onto the testdata labels (SURVEY §7.5):
+    * +⟨label5⟩ −⟨label6⟩, combined and renormalized per
+    * `rclip_server.py:136-141`. A pure function of the query text, so the
+    * identical literal can be embedded in the DuckDB oracle. */
+  val flagshipVec: Array[Float] = VectorOps.combine(Seq(
+    1.0f -> embedder.embedText("label5"),
+    -1.0f -> embedder.embedText("label6"))).get
+
+  private def topK(s: SparkSession, d: String, q: Array[Float], k: Int): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"vec_id",
+        round(VectorOps.dotQuery($"embedding", q), 4).as("score"))
+      .orderBy($"score".desc, $"vec_id".asc)
+      .limit(k)
+  }
+
+  /** K1: flagship brute-force cosine top-k (UI always asks num=1000;
+    * server default 12 — `rclip_server.py:391`, html:226). */
+  val v01_search_topk: Q = (s, d) => topK(s, d, flagshipVec, 12)
+
+  /** K1 at UI fan-out (num=1000) with a single positive term. */
+  val v02_search_top1000: Q = (s, d) =>
+    topK(s, d, embedder.embedText("label3"), 1000)
+
+  /** A1/A2: element-wise min/max over all embeddings — the reference's
+    * startup statistics (`rclip_server.py:63-65`). Emitted as (dim, lo,
+    * hi) rows so the oracle compares scalars, not arrays. posexplode →
+    * groupBy(pos) is one narrow shuffle of N×d rows; at 100 TB the
+    * per-partition partial min/max (map-side combine) keeps the shuffle at
+    * 32×d rows. */
+  val v04_vector_stats: Q = (s, d) => {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select(posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"pos".cast("long").as("dim"))
+      .agg(round(min($"x").cast("double"), 4).as("lo"),
+           round(max($"x").cast("double"), 4).as("hi"))
+      .orderBy($"dim")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "v01_search_topk" -> v01_search_topk,
+    "v02_search_top1000" -> v02_search_top1000,
+    "v04_vector_stats" -> v04_vector_stats)
+
+  def oracleSql: Map[String, String] = Map(
+    "v01_search_topk" ->
+      s"""SELECT vec_id,
+         | round(list_dot_product(embedding::DOUBLE[], ${VectorOps.sqlDoubleArray(flagshipVec)}),4) AS score
+         |FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 12""".stripMargin,
+    "v02_search_top1000" ->
+      s"""SELECT vec_id,
+         | round(list_dot_product(embedding::DOUBLE[], ${VectorOps.sqlDoubleArray(embedder.embedText("label3"))}),4) AS score
+         |FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 1000""".stripMargin,
+    "v04_vector_stats" ->
+      """SELECT i - 1 AS dim,
+        | round(min(x)::DOUBLE, 4) AS lo,
+        | round(max(x)::DOUBLE, 4) AS hi
+        |FROM (SELECT unnest(embedding) AS x,
+        |             unnest(range(1, len(embedding)+1)) AS i
+        |      FROM embeddings)
+        |GROUP BY dim ORDER BY dim""".stripMargin)
+}
