@@ -1,0 +1,279 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.agg.VectorAggregators
+import graft.embed.Embedder
+import graft.vec.VectorOps
+
+/** Per-dimension visualization cell (reference heat-map,
+  * `rclip_server.py:253-273`). */
+final case class DimCell(dim: Int, value: Float, norm01: Double, color: String)
+
+/** The engine façade — one method per reference endpoint (SURVEY §2.11):
+  * search (K1), similarWords (K2), similarPhrases (W1–W3),
+  * resolveEmbedding / textEmbedding, visualize, censor (M1), dedup (M2/A6),
+  * upsert (S7), reload (M3), stats (A1–A4).
+  *
+  * State model: the images table lives in a [[SnapshotStore]]; the active
+  * view (deleted rows filtered out) is cached in memory after first
+  * action — the Spark analog of the reference's startup scan + dense
+  * matrix (`rclip_server.py:59-66`). Mutations write a new snapshot and
+  * refresh the cache (the reference's unreachable re-init at `:235` done
+  * right).
+  *
+  * Scale: the scored scan is embarrassingly parallel over cached
+  * partitions; top-k is TakeOrderedAndProject (per-partition heap,
+  * k-bounded driver merge); the only driver-side vectors are the query
+  * vector and the word table's centroids.
+  */
+final class RClipEngine(
+    spark: SparkSession,
+    store: SnapshotStore,
+    val embedder: Embedder,
+    wordsSource: Option[DataFrame] = None,
+    idCol: String = "vec_id",
+    vecCol: String = "embedding",
+    censorKey: Option[String] = None,
+    seed: Long = 42L) extends StoredVectors {
+
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- state
+
+  @volatile private var activeDf: DataFrame = loadActive()
+  @volatile private var statsCache: Option[(Array[Double], Array[Double])] = None
+
+  private def hasDeleted = store.read(spark).columns.contains("deleted")
+
+  /** Scan + soft-delete filter (S1/P2): `deleted IS NULL OR NOT deleted`,
+    * exact three-valued logic (`rclip_server.py:210`). */
+  private def loadActive(): DataFrame = {
+    val df = store.read(spark)
+    val live =
+      if (df.columns.contains("deleted"))
+        df.filter(col("deleted").isNull || col("deleted") === false)
+      else df
+    live.cache()
+  }
+
+  /** Live (non-deleted) rows, cached. */
+  def images: DataFrame = activeDf
+
+  def count(): Long = activeDf.count()
+
+  /** M3: drop caches, re-read the newest snapshot, invalidate stats. */
+  def reload(): Unit = synchronized {
+    activeDf.unpersist()
+    activeDf = loadActive()
+    statsCache = None
+  }
+
+  // ---------------------------------------------------------------- words
+
+  /** Words table (S3): supplied, or derived per-label centroids. */
+  lazy val words: DataFrame = WordTable.lowercaseOnly(
+    wordsSource.getOrElse(
+      WordTable.labelCentroids(activeDf, vecCol = vecCol))).cache()
+
+  private lazy val wordVectors: Map[String, Array[Float]] =
+    words.select(col("word"), col("vector"))
+      .as[(String, Array[Float])].collect().toMap
+
+  /** Embedder that resolves via the word table first (the reference's own
+    * precomputed-words mode), falling back to the base embedder. */
+  private lazy val tableEmbedder: Embedder = new Embedder {
+    val dim: Int = embedder.dim
+    def embedText(text: String): Array[Float] = {
+      val toks = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+      val known = toks.flatMap(wordVectors.get)
+      if (known.isEmpty) embedder.embedText(text)
+      else VectorOps.normalize(known.reduce(VectorOps.add))
+    }
+    def embedImage(bytes: Array[Byte]): Array[Float] = embedder.embedImage(bytes)
+  }
+
+  lazy val resolver = new TermResolver(tableEmbedder, this)
+
+  // ------------------------------------------------- StoredVectors (J2/Q7)
+
+  override def byId(id: Long): Option[Array[Float]] =
+    activeDf.filter(col(idCol) === id).select(col(vecCol))
+      .as[Array[Float]].collect().headOption
+
+  override def random(): Option[Array[Float]] =
+    activeDf.select(col(vecCol)).orderBy(rand(seed)).limit(1)
+      .as[Array[Float]].collect().headOption
+
+  // ---------------------------------------------------------------- reads
+
+  /** K1 — the flagship: resolve the query, score every live row by dot
+    * product (== cosine, both sides unit), return top-`num` by
+    * (score DESC, id ASC). Empty parse → empty result (Q11). */
+  def search(q: String, num: Int = 12): DataFrame =
+    resolver.resolve(q) match {
+      case None => spark.emptyDataFrame
+          .withColumn("id", lit(null).cast("long"))
+          .withColumn("score", lit(null).cast("double"))
+          .limit(0)
+      case Some(v) => scoreTopK(activeDf, v, num)
+    }
+
+  private def scoreTopK(df: DataFrame, v: Array[Float], k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        round(VectorOps.dotQuery(col(vecCol), v), 4).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+
+  /** `/clip_embedding` — the resolved query vector. */
+  def resolveEmbedding(q: String): Option[Array[Float]] = resolver.resolve(q)
+
+  /** `/clip_text_embedding` — raw text-encoder output, no query algebra. */
+  def textEmbedding(q: String): Array[Float] = tableEmbedder.embedText(q)
+
+  /** K2 — top-`num` most similar words (`rclip_server.py:310-312,399`). */
+  def similarWords(q: String, num: Int = 50): DataFrame =
+    resolver.resolve(q) match {
+      case None => spark.emptyDataFrame.limit(0)
+      case Some(v) =>
+        words.select(col("word"),
+            round(VectorOps.dotQuery(col("vector"), v), 4).as("score"))
+          .orderBy(col("score").desc, col("word").asc)
+          .limit(num)
+    }
+
+  /** W1–W3 — random multi-word phrase candidates scored by the normalized
+    * word-vector-sum estimate (`rclip_server.py:314-342`). Distributed
+    * shape: candidates → explode → broadcast-join words → vector-sum
+    * aggregate → normalize → dot → top-k. Deterministic via seed. */
+  def similarPhrases(q: String, num: Int = 50,
+      combosPerLen: Int = 1000, topWords: Int = 200): DataFrame =
+    resolver.resolve(q) match {
+      case None => spark.emptyDataFrame.limit(0)
+      case Some(v) =>
+        // top-`topWords` words for this query (reference :331)
+        val pool = words
+          .select(col("word"), col("vector"),
+            VectorOps.dotQuery(col("vector"), v).as("wscore"))
+          .orderBy(col("wscore").desc, col("word").asc)
+          .limit(topWords)
+          .select("word").as[String].collect()
+        val rnd = new java.util.Random(seed)
+        def pick(n: Int): Seq[String] = {
+          // sample n distinct indices (reference uses random.sample :333)
+          val idx = scala.collection.mutable.LinkedHashSet.empty[Int]
+          while (idx.size < n && idx.size < pool.length) idx += rnd.nextInt(pool.length)
+          idx.toSeq.map(pool)
+        }
+        val candidates = (2 to 4).flatMap { len =>
+          (1 to combosPerLen).map(_ => pick(len).mkString(" "))
+        }.distinct
+        val candDf = candidates.toDF("phrase")
+          .withColumn("word", explode(split(col("phrase"), " ")))
+        val toUnitFloat = udf { (a: Array[Double]) =>
+          if (a == null) null
+          else VectorOps.normalize(a.map(_.toFloat))
+        }
+        candDf
+          .join(broadcast(words), "word") // J3; words is tiny → broadcast
+          .groupBy("phrase")
+          .agg(VectorAggregators.vecSum(col("vector")).as("vsum")) // W1
+          .select(col("phrase"),
+            round(VectorOps.dotQuery(toUnitFloat(col("vsum")), v), 4).as("score"))
+          .orderBy(col("score").desc, col("phrase").asc)
+          .limit(num)
+    }
+
+  // ---------------------------------------------------------------- stats
+
+  /** A1/A2: element-wise (min, max) over all live embeddings — one
+    * map-side-combining aggregation (`rclip_server.py:63-65`). */
+  def stats(): (Array[Double], Array[Double]) = statsCache.getOrElse {
+    val row = activeDf.agg(
+      VectorAggregators.vecMin(col(vecCol)).as("lo"),
+      VectorAggregators.vecMax(col(vecCol)).as("hi")).head()
+    val s = (row.getSeq[Double](0).toArray, row.getSeq[Double](1).toArray)
+    statsCache = Some(s)
+    s
+  }
+
+  /** `/visualize_clip_embedding` — per-dimension cells normalized by the
+    * corpus min/max (`rclip_server.py:253-273`). */
+  def visualize(q: String): Seq[DimCell] =
+    resolver.resolve(q) match {
+      case None => Nil
+      case Some(v) =>
+        val (lo, hi) = stats()
+        v.toSeq.zipWithIndex.map { case (x, i) =>
+          val range = hi(i) - lo(i)
+          val t = if (range == 0) 0.5 else ((x - lo(i)) / range).max(0.0).min(1.0)
+          DimCell(i, x, t, Colormap.hex(t))
+        }
+    }
+
+  // ------------------------------------------------------------ mutations
+
+  /** M1 — censor: soft-delete by id, gated by key (`rclip_server.py:
+    * 423-428`). Snapshot rewrite + cache refresh. */
+  def censor(id: Long, key: String): Boolean =
+    if (!censorKey.contains(key)) false
+    else {
+      val base = store.read(spark)
+      val withDel =
+        if (base.columns.contains("deleted")) base
+        else base.withColumn("deleted", lit(null).cast("boolean"))
+      store.write(withDel.withColumn("deleted",
+        when(col(idCol) === id, lit(true)).otherwise(col("deleted"))))
+      reload()
+      true
+    }
+
+  /** M2/A6 — dedup-by-embedding: among rows sharing an identical vector,
+    * keep the smallest id, soft-delete the rest. The reference's intended
+    * (dead-code) semantics (`rclip_server.py:237-245`) as a window:
+    * one shuffle on the vector, no driver data. */
+  def dedupByEmbedding(): Long = {
+    val base = store.read(spark)
+    val withDel =
+      if (base.columns.contains("deleted")) base
+      else base.withColumn("deleted", lit(null).cast("boolean"))
+    val w = Window.partitionBy(col(vecCol)).orderBy(col(idCol).asc)
+    val marked = withDel
+      .withColumn("rn", row_number().over(w))
+      .withColumn("deleted",
+        when(col("rn") > 1, lit(true)).otherwise(col("deleted")))
+      .drop("rn")
+    val removed = marked.filter(col("deleted") === true).count()
+    store.write(marked)
+    reload()
+    removed
+  }
+
+  /** S7 — upsert: incoming rows replace same-key rows, others survive.
+    * The reference's `ON CONFLICT(filepath) DO UPDATE`
+    * (`index_wikimedia.py:86-103`) as a left-anti + union snapshot. */
+  def upsert(incoming: DataFrame, key: String): Unit = {
+    val base = store.read(spark)
+    val merged = incoming.unionByName(
+      base.join(incoming, Seq(key), "left_anti"), allowMissingColumns = true)
+    store.write(merged)
+    reload()
+  }
+}
+
+/** Monotone colormap: normalized [0,1] → hex color. The reference uses
+  * seaborn `icefire` (`rclip_server.py:257-262`); the contract is "monotone
+  * palette over normalized value", here a blue→white→red diverging ramp. */
+object Colormap {
+  private val stops = Seq(
+    0.0 -> (33, 102, 172), 0.5 -> (247, 247, 247), 1.0 -> (178, 24, 43))
+  def hex(t: Double): String = {
+    val x = t.max(0.0).min(1.0)
+    val ((t0, c0), (t1, c1)) =
+      if (x <= 0.5) (stops(0), stops(1)) else (stops(1), stops(2))
+    val f = if (t1 == t0) 0.0 else (x - t0) / (t1 - t0)
+    def lerp(a: Int, b: Int) = math.round(a + (b - a) * f).toInt
+    f"#${lerp(c0._1, c1._1)}%02x${lerp(c0._2, c1._2)}%02x${lerp(c0._3, c1._3)}%02x"
+  }
+}

@@ -1,0 +1,54 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Versioned Parquet snapshots — the engine's mutation substrate.
+  *
+  * The reference mutates SQLite in place under a cross-process file lock
+  * (`index_wikimedia.py:47-48,94`; `rclip_server.py:233`). On immutable
+  * Parquet the equivalent is snapshot-commit (SURVEY §7.4): every write
+  * lands in a fresh `v%05d` directory and only becomes visible once
+  * Spark's `_SUCCESS` marker exists, so readers never observe a partial
+  * write and a crashed writer leaves no corruption — the same
+  * all-or-nothing contract the file lock provided, minus the lock.
+  * Scales: commit cost is O(1) metadata; data files are written once.
+  */
+final class SnapshotStore(val root: String) {
+
+  private def versionDirs: Seq[(Int, String)] = {
+    val p = Paths.get(root)
+    if (!Files.isDirectory(p)) Nil
+    else
+      Files.list(p).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.matches("v\\d{5}"))
+        .map(n => n.substring(1).toInt -> s"$root/$n")
+        .toSeq
+        .filter { case (_, dir) => Files.exists(Paths.get(dir, "_SUCCESS")) }
+        .sortBy(_._1)
+  }
+
+  def latestVersion: Option[Int] = versionDirs.lastOption.map(_._1)
+  def latestDir: Option[String] = versionDirs.lastOption.map(_._2)
+
+  /** Read the newest committed snapshot. */
+  def read(spark: SparkSession): DataFrame =
+    latestDir match {
+      case Some(d) => spark.read.parquet(d)
+      case None    => throw new IllegalStateException(s"no committed snapshot under $root")
+    }
+
+  /** Commit `df` as the next version and return its directory. */
+  def write(df: DataFrame): String = {
+    val next = latestVersion.getOrElse(0) + 1
+    val dir = f"$root/v$next%05d"
+    df.write.parquet(dir) // parquet commit protocol writes _SUCCESS last
+    dir
+  }
+
+  /** Seed the store from an external Parquet table (no-op if versioned). */
+  def initFrom(spark: SparkSession, sourcePath: String): Unit =
+    if (latestDir.isEmpty) write(spark.read.parquet(sourcePath))
+}

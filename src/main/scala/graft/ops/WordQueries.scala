@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.agg.VectorAggregators
+import graft.model.Tables
+import graft.vec.VectorOps
+
+/** Word-table and vector-aggregate operators (SURVEY §2.4 K2, §2.5
+  * A1/A2/A5/A6): per-label centroid words, element-wise vector aggregates,
+  * and the dedup-by-embedding window — each with a DuckDB oracle that
+  * replays the identical Double arithmetic via list lambdas.
+  *
+  * Numeric discipline: these queries keep the whole chain in Double
+  * (vector sum → normalize → dot) with no Float truncation, so Spark and
+  * DuckDB agree to ~1e-13 and the 4-decimal round is safely away from the
+  * noise floor.
+  */
+object WordQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** dot(vsum/‖vsum‖, q) entirely in Double. */
+  private def dotNormalized(q: Array[Float]) = udf { (v: Array[Double]) =>
+    if (v == null) null
+    else {
+      var n2 = 0.0; var i = 0
+      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+      val n = math.sqrt(n2)
+      if (n == 0.0) java.lang.Double.valueOf(0.0)
+      else {
+        var s = 0.0; i = 0
+        val m = math.min(v.length, q.length)
+        while (i < m) { s += (v(i) / n) * q(i).toDouble; i += 1 }
+        java.lang.Double.valueOf(s)
+      }
+    }
+  }
+
+  /** K2/W1: words = per-label centroids (normalize ∘ element-wise sum, one
+    * map-side-combining Aggregator pass), scored against the flagship
+    * query vector, top-50 by (score DESC, word ASC) — the reference's
+    * `best_words` (`rclip_server.py:310-312`) over its derived word table. */
+  val w01_words_topk: Q = (s, d) => {
+    Tables.embeddings(s, d)
+      .groupBy(col("label"))
+      .agg(VectorAggregators.vecSum(col("embedding")).as("vsum"))
+      .select(
+        concat(lit("label"), col("label").cast("string")).as("word"),
+        round(dotNormalized(VectorQueries.flagshipVec)(col("vsum")), 4).as("score"))
+      .orderBy(col("score").desc, col("word").asc)
+      .limit(50)
+  }
+
+  /** A5: element-wise vector SUM per group via the typed Aggregator,
+    * exploded to scalars for the oracle compare. The shuffle carries one
+    * 64-dim Double buffer per (partition × label), not N×64 rows. */
+  val a05_label_vecsum: Q = (s, d) => {
+    Tables.embeddings(s, d)
+      .groupBy(col("label"))
+      .agg(VectorAggregators.vecSum(col("embedding")).as("vsum"))
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("vsum")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos").cast("long").as("dim"),
+        round(col("x"), 4).as("component"))
+      .orderBy(col("label"), col("dim"))
+  }
+
+  /** A6/M2: dedup-by-embedding — the reference's intended (dead-code)
+    * semantics (`rclip_server.py:237-245`): among rows with an identical
+    * vector keep MIN(id), mark the rest. Input is doubled with shifted ids
+    * so duplicates exist at any sf. One shuffle on the vector; ArrayType
+    * is grouping-comparable in Spark (SURVEY §7.4). */
+  val a06_dedup_window: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val doubled = emb.unionByName(
+      emb.withColumn("vec_id", col("vec_id") + 100000L))
+    val w = Window.partitionBy(col("embedding")).orderBy(col("vec_id").asc)
+    doubled
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** A1/A2 via the typed Aggregators (the one-pass, no-explode alternative
+    * to v04 — preferred at scale, SURVEY §2.5). Same oracle shape. */
+  val v05_vector_stats_agg: Q = (s, d) => {
+    Tables.embeddings(s, d)
+      .agg(VectorAggregators.vecMin(col("embedding")).as("lo"),
+           VectorAggregators.vecMax(col("embedding")).as("hi"))
+      .select(posexplode(arrays_zip(col("lo"), col("hi"))).as(Seq("pos", "z")))
+      .select(col("pos").cast("long").as("dim"),
+        round(col("z.lo"), 4).as("lo"),
+        round(col("z.hi"), 4).as("hi"))
+      .orderBy(col("dim"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "w01_words_topk" -> w01_words_topk,
+    "a05_label_vecsum" -> a05_label_vecsum,
+    "a06_dedup_window" -> a06_dedup_window,
+    "v05_vector_stats_agg" -> v05_vector_stats_agg)
+
+  def oracleSql: Map[String, String] = Map(
+    "w01_words_topk" ->
+      s"""WITH sums AS (
+         |  SELECT label, i, sum(x) AS sx
+         |  FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+         |               unnest(range(1, len(embedding)+1)) AS i
+         |        FROM embeddings)
+         |  GROUP BY label, i),
+         |vecs AS (SELECT label, list(sx ORDER BY i) AS v FROM sums GROUP BY label)
+         |SELECT 'label' || label::VARCHAR AS word,
+         |       round(list_dot_product(
+         |         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))),
+         |         ${VectorOps.sqlDoubleArray(VectorQueries.flagshipVec)}), 4) AS score
+         |FROM vecs ORDER BY score DESC, word ASC LIMIT 50""".stripMargin,
+    "a05_label_vecsum" ->
+      """SELECT label::BIGINT AS label, i - 1 AS dim, round(sum(x), 4) AS component
+        |FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+        |             unnest(range(1, len(embedding)+1)) AS i
+        |      FROM embeddings)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "a06_dedup_window" ->
+      """WITH doubled AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings),
+        |marked AS (
+        |  SELECT vec_id,
+        |         row_number() OVER (PARTITION BY embedding ORDER BY vec_id) AS rn
+        |  FROM doubled)
+        |SELECT vec_id FROM marked WHERE rn > 1 ORDER BY vec_id""".stripMargin,
+    "v05_vector_stats_agg" ->
+      """SELECT i - 1 AS dim,
+        | round(min(x)::DOUBLE, 4) AS lo,
+        | round(max(x)::DOUBLE, 4) AS hi
+        |FROM (SELECT unnest(embedding) AS x,
+        |             unnest(range(1, len(embedding)+1)) AS i
+        |      FROM embeddings)
+        |GROUP BY dim ORDER BY dim""".stripMargin)
+}

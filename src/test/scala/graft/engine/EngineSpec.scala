@@ -1,0 +1,167 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.embed.DeterministicEmbedder
+import graft.vec.VectorOps
+import org.apache.spark.sql.functions._
+
+class EngineSpec extends SparkSpec {
+
+  private def freshEngine(censorKey: Option[String] = Some("k")): RClipEngine = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-engine").toString
+    val store = new SnapshotStore(dir)
+    store.initFrom(spark, s"$sf/embeddings.parquet")
+    new RClipEngine(spark, store, new DeterministicEmbedder(64),
+      censorKey = censorKey)
+  }
+
+  lazy val engine: RClipEngine = freshEngine()
+
+  test("flagship search: parse → resolve → combine → top-k (K1)") {
+    val rows = engine.search("label5 -label6", 12).collect()
+    assert(rows.length == 12)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+  }
+
+  test("Q11: empty query → empty result") {
+    assert(engine.search("", 12).count() == 0)
+    assert(engine.search("!!!", 12).count() == 0)
+  }
+
+  test("Q5/J2: {\"image_id\":N} resolves to the stored embedding") {
+    val direct = engine.byId(1L).get
+    val resolved = engine.resolveEmbedding("""{"image_id":1}""").get
+    assert(VectorOps.dot(direct, resolved) > 0.9999)
+  }
+
+  test("image-difference query: {id} -{id} (README.md:23 shape)") {
+    val df = engine.search("""{"image_id":1} -{"image_id":2}""", 5)
+    assert(df.count() == 5)
+  }
+
+  test("Q6: clip_embedding literal vector") {
+    val lit64 = Array.fill(64)(0.125f)
+    val json = lit64.mkString("""{"clip_embedding":[""", ",", "]}")
+    val v = engine.resolveEmbedding(json).get
+    // combine() renormalizes, so direction matches the literal
+    assert(VectorOps.dot(VectorOps.normalize(lit64), v) > 0.9999)
+  }
+
+  test("Q7/Q8: random_img and random_seed are deterministic per engine seed") {
+    val a = engine.resolveEmbedding("""{"random_seed":7}""").get
+    val b = engine.resolveEmbedding("""{"random_seed":7}""").get
+    val c = engine.resolveEmbedding("""{"random_seed":8}""").get
+    assert(a.sameElements(b))
+    assert(!a.sameElements(c))
+    assert(math.abs(VectorOps.l2norm(a) - 1.0) < 1e-5)
+    assert(engine.resolveEmbedding("""{"random_img":1}""").isDefined)
+  }
+
+  test("Q4: URL terms resolve via fetcher + image embedder") {
+    val v = engine.resolveEmbedding("https://example.com/cat.jpg").get
+    assert(math.abs(VectorOps.l2norm(v) - 1.0) < 1e-5)
+  }
+
+  test("Q10: combined query vector is unit; weights change direction") {
+    val v1 = engine.resolveEmbedding("label1 -label2").get
+    val v2 = engine.resolveEmbedding("label1 -2(label2)").get
+    assert(math.abs(VectorOps.l2norm(v1) - 1.0) < 1e-5)
+    assert(VectorOps.dot(v1, v2) < 0.9999) // different mix
+  }
+
+  test("Q12: term LRU memoizes") {
+    engine.resolveEmbedding("memo test term")
+    val (n1, _) = engine.resolver.cacheStats
+    engine.resolveEmbedding("memo test term")
+    val (n2, _) = engine.resolver.cacheStats
+    assert(n2 == n1) // second resolve hit the cache
+  }
+
+  test("K2: similarWords returns scored words desc") {
+    val rows = engine.similarWords("label3", 5).collect()
+    assert(rows.nonEmpty && rows.head.getString(0) == "label3")
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+  }
+
+  test("W1-W3: similarPhrases generates deterministic scored candidates") {
+    val a = engine.similarPhrases("label3", num = 10, combosPerLen = 50).collect()
+    val b = engine.similarPhrases("label3", num = 10, combosPerLen = 50).collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    assert(a.forall(_.getString(0).split(" ").length >= 2))
+  }
+
+  test("A1/A2: stats are element-wise corpus min/max") {
+    val (lo, hi) = engine.stats()
+    assert(lo.length == 64 && hi.length == 64)
+    assert(lo.zip(hi).forall { case (l, h) => l <= h })
+  }
+
+  test("visualize: per-dim cells normalized to [0,1] with monotone colors") {
+    val cells = engine.visualize("label1")
+    assert(cells.length == 64)
+    assert(cells.forall(c => c.norm01 >= 0.0 && c.norm01 <= 1.0))
+    assert(cells.forall(_.color.matches("#[0-9a-f]{6}")))
+    assert(Colormap.hex(0.0) != Colormap.hex(1.0))
+  }
+
+  test("M1: censor soft-deletes behind the key and refreshes (S8)") {
+    val e = freshEngine()
+    val n0 = e.count()
+    assert(!e.censor(3L, "wrong-key"))
+    assert(e.count() == n0)
+    assert(e.censor(3L, "k"))
+    assert(e.count() == n0 - 1)
+    assert(e.byId(3L).isEmpty) // censored row invisible to lookups
+  }
+
+  test("M2/A6: dedupByEmbedding keeps min-id copy of duplicate vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    val store = new SnapshotStore(dir)
+    val base = spark.read.parquet(s"$sf/embeddings.parquet").limit(10)
+    // duplicate every vector under shifted ids
+    store.write(base.unionByName(base.withColumn("vec_id", col("vec_id") + 1000)))
+    val e = new RClipEngine(spark, store, new DeterministicEmbedder(64))
+    assert(e.count() == 20)
+    val removed = e.dedupByEmbedding()
+    assert(removed == 10)
+    assert(e.count() == 10)
+    // survivors are the original (smaller) ids
+    assert(e.images.agg(max(col("vec_id"))).head().getLong(0) < 1000)
+  }
+
+  test("S7: upsert replaces same-key rows and keeps others (I6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val store = new SnapshotStore(dir)
+    val base = spark.read.parquet(s"$sf/embeddings.parquet").limit(10)
+    store.write(base)
+    val e = new RClipEngine(spark, store, new DeterministicEmbedder(64))
+    val incoming = base.limit(3).withColumn("label", lit(999))
+    e.upsert(incoming, "vec_id")
+    assert(e.count() == 10) // 3 replaced, 7 kept
+    assert(e.images.filter(col("label") === 999).count() == 3)
+  }
+
+  test("M3: reload sees snapshots written behind the engine's back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-reload").toString
+    val store = new SnapshotStore(dir)
+    store.write(spark.read.parquet(s"$sf/embeddings.parquet").limit(5))
+    val e = new RClipEngine(spark, store, new DeterministicEmbedder(64))
+    assert(e.count() == 5)
+    store.write(spark.read.parquet(s"$sf/embeddings.parquet").limit(8))
+    e.reload()
+    assert(e.count() == 8)
+  }
+
+  test("SnapshotStore: uncommitted versions are invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val store = new SnapshotStore(dir)
+    store.write(spark.range(3).toDF())
+    // fake a torn write: directory without _SUCCESS
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(dir, "v00099"))
+    assert(store.latestVersion.contains(1))
+    assert(store.read(spark).count() == 3)
+  }
+}
