@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Event-stream batch operators — the time-series / window-function /
+  * set-operation coverage a training-data pipeline needs on top of the
+  * reference's surface (builder prompt; SURVEY §2.10 notes these are
+  * absent in the reference, so they are engine extensions).
+  *
+  * Window ordering always carries an id tiebreak so results are
+  * deterministic under equal timestamps on both engines.
+  */
+object EventQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sessionization: a session break is a >30-min gap per user (classic
+    * lag-then-prefix-sum). Shuffle: one, on user_id; the window runs
+    * inside each partition. Skewed users would salt the key at scale. */
+  val e01_sessionize: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      // cast("double") keeps fractional seconds — matches DuckDB epoch()
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800, 1)
+          .otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("sessions"), count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+  }
+
+  /** JSON property extraction (reference parses NDJSON metadata,
+    * `index_wikimedia.py:180-184`): pull `$.k` out of the props JSON
+    * string and aggregate. */
+  val e02_json_props: Q = (s, d) => {
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Event-time bucketing: hourly tumbling windows via date_trunc —
+    * partial aggregation map-side, one shuffle on (hour, type). */
+  val e03_hourly_agg: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Ranking window: top-2 orders per customer by price — row_number over
+    * (custkey / price DESC, orderkey). */
+  val e04_window_rank: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Set op INTERSECT: sources present in both halves of the corpus. */
+  val e05_set_intersect: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    docs.filter(col("doc_id") < 250).select(col("source"))
+      .intersect(docs.filter(col("doc_id") >= 250).select(col("source")))
+      .orderBy(col("source"))
+  }
+
+  /** Set op EXCEPT: (lang, source) pairs seen only in the first half of
+    * the corpus. */
+  val e06_set_except: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    docs.filter(col("doc_id") < 250).select(col("lang"), col("source"))
+      .except(docs.filter(col("doc_id") >= 250).select(col("lang"), col("source")))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "e01_sessionize" -> e01_sessionize,
+    "e02_json_props" -> e02_json_props,
+    "e03_hourly_agg" -> e03_hourly_agg,
+    "e04_window_rank" -> e04_window_rank,
+    "e05_set_intersect" -> e05_set_intersect,
+    "e06_set_except" -> e06_set_except)
+
+  def oracleSql: Map[String, String] = Map(
+    "e01_sessionize" ->
+      """WITH ordered AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+        |      AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, sum(new_session)::BIGINT AS sessions, count(*) AS n
+        |FROM ordered GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "e02_json_props" ->
+      """SELECT event_type, sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e03_hourly_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |       count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+    "e04_window_rank" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, rn, o_orderkey, round(o_totalprice, 2) AS price
+        |FROM ranked WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "e05_set_intersect" ->
+      """SELECT source FROM documents WHERE doc_id < 250
+        |INTERSECT
+        |SELECT source FROM documents WHERE doc_id >= 250
+        |ORDER BY source""".stripMargin,
+    "e06_set_except" ->
+      """SELECT lang, source FROM documents WHERE doc_id < 250
+        |EXCEPT
+        |SELECT lang, source FROM documents WHERE doc_id >= 250
+        |ORDER BY lang, source""".stripMargin)
+}
