@@ -1,0 +1,353 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Deduplication suite for a training-data pipeline (builder prompt):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+  * near-dup — the five standard text/embedding dedup levels.
+  *
+  * Scale shapes:
+  *  - exact: one hash shuffle on the dedup key (groupBy/window).
+  *  - MinHash+LSH: narrow per-row signature (codegen'd HOFs, no UDF) →
+  *    explode to (band, hash) → equi-join inside buckets. Candidate count
+  *    is O(near-dups), never O(N²).
+  *  - SimHash: narrow fingerprint → bucket by prefix → intra-bucket
+  *    hamming filter (bit_count(xor)).
+  *  - n-gram Jaccard: bucketed (by source) pairwise exact Jaccard — the
+  *    verification stage LSH candidates feed at scale.
+  *  - cosine: brute-force O(N²) baseline vs hyperplane-LSH candidates
+  *    (6 tables × 3 planes, OR-amplified ≈ 0.8 recall at cos 0.4) +
+  *    exact re-check — the standard recall/cost trade, both shapes kept
+  *    (the reference keeps approx+exact variants the same way,
+  *    `rclip_server.py:320-328`).
+  *
+  * Every constant (hash seeds, permutation coefficients, hyperplanes) is
+  * generated once here and embedded as literals into BOTH the Spark plan
+  * and the DuckDB oracle, so the two engines evaluate identical integer
+  * arithmetic.
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val P = 1000000007L
+  private val NUM_PERM = 16 // MinHash signature length
+  private val BAND_ROWS = 4 // → 4 bands × 4 rows
+
+  /** Seeded (a,b) pairs for the K MinHash permutations h(x)=(a·x+b) mod P. */
+  private val perms: Seq[(Long, Long)] = {
+    val rnd = new java.util.Random(7)
+    Seq.fill(NUM_PERM)((1L + rnd.nextInt((P - 1).toInt).toLong,
+      rnd.nextInt(P.toInt).toLong))
+  }
+
+  /** Seeded hyperplanes: 6 LSH tables × 3 planes × 64 dims. */
+  private val planes: Seq[Seq[Array[Double]]] = {
+    val rnd = new java.util.Random(11)
+    Seq.fill(6)(Seq.fill(3)(Array.fill(64)(rnd.nextGaussian())))
+  }
+
+  // ------------------------------------------------------------------
+  // shared SQL fragments (spark dialect / duckdb dialect)
+  // ------------------------------------------------------------------
+
+  /** 5-char shingle hashes of `text` (polynomial mod P), spark dialect. */
+  private val shingleHashesSpark: String = {
+    val pows = (0 to 4).map(k => math.pow(31, k).toLong).reverse
+    val poly = (1 to 5).zip(pows)
+      .map { case (j, pw) => s"ascii(substr(text, i + ${j - 1}, 1)) * ${pw}L" }
+      .mkString(" + ")
+    s"transform(sequence(1, length(text) - 4), i -> ($poly) % ${P}L)"
+  }
+
+  private val shingleHashesDuck: String = {
+    val pows = (0 to 4).map(k => math.pow(31, k).toLong).reverse
+    val poly = (1 to 5).zip(pows)
+      .map { case (j, pw) => s"unicode(substr(text, i + ${j - 1}, 1))::BIGINT * $pw" }
+      .mkString(" + ")
+    s"list_transform(range(1, length(text) - 3), i -> ($poly) % $P)"
+  }
+
+  /** MinHash signature as an array of NUM_PERM mins (dialect-generic). */
+  private def sigExpr(minFn: String, mapFn: String, hs: String): String =
+    perms.map { case (a, b) =>
+      s"$minFn($mapFn($hs, h -> ($a * h + $b) % $P))"
+    }.mkString("array(", ", ", ")")
+
+  private def sigExprDuck(hs: String): String =
+    perms.map { case (a, b) =>
+      s"list_min(list_transform($hs, h -> ($a * h + $b) % $P))"
+    }.mkString("[", ", ", "]")
+
+  /** Band hashes from a signature column `sig`. `at` renders a 1-based
+    * array access per dialect (Spark `element_at`, DuckDB `[i]`). 4 rows
+    * folded polynomially — no mod needed (< 2^63). */
+  private def bandExprs(sig: String, at: (String, Int) => String): Seq[String] =
+    (0 until NUM_PERM / BAND_ROWS).map { b =>
+      (1 to BAND_ROWS).map(r => at(sig, b * BAND_ROWS + r))
+        .reduce((acc, x) => s"($acc * 31 + $x)")
+    }
+  private val atSpark: (String, Int) => String = (s, i) => s"element_at($s, $i)"
+  private val atDuck: (String, Int) => String = (s, i) => s"$s[$i]"
+
+  /** Estimated Jaccard: fraction of equal signature components. */
+  // the 16.0D suffix matters: a bare 16.0 literal is DECIMAL in Spark SQL
+  private val estJacSpark =
+    s"round(size(filter(zip_with(sa, sb, (x, y) -> x = y), z -> z)) / ${NUM_PERM}.0D, 4)"
+  private val estJacDuck =
+    s"round(len(list_filter(range(1, $NUM_PERM + 1), i -> sa[i] = sb[i])) / ${NUM_PERM}.0, 4)"
+
+  // ------------------------------------------------------------------
+  // queries
+  // ------------------------------------------------------------------
+
+  /** d01: exact dedup — hash-groupBy on the content key, keep MIN(id).
+    * Duplicates are constructed (shifted-id copies) so the operator has
+    * real work at every sf. */
+  val d01_exact_dedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val doubled = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + 100000L))
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id").asc)
+    doubled.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d02: MinHash + banded LSH near-dup detection. Corpus = originals ∪
+    * mutated copies (a tail edit ⇒ shingle-Jaccard ≈ 0.9). Pipeline:
+    * signature (16 perms over 5-char shingle hashes) → 4-row band hashes
+    * → explode → bucket equi-join → est-Jaccard ≥ 0.5 filter. */
+  val d02_minhash_lsh: Q = (s, d) => {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      base.withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("text", concat(col("text"), lit(" mutated tail"))))
+    val sigs = corpus
+      .selectExpr("doc_id", s"$shingleHashesSpark AS hs")
+      .selectExpr("doc_id", s"${sigExpr("array_min", "transform", "hs")} AS sig")
+      .cache()
+    val bands = sigs.selectExpr("doc_id", "sig",
+      bandExprs("sig", atSpark).zipWithIndex
+        .map { case (e, i) => s"struct($i AS band, $e AS bh)" }
+        .mkString("array(", ", ", ") AS bandArr"))
+      .selectExpr("doc_id", "sig", "explode(bandArr) AS b")
+      .select(col("doc_id"), col("sig"), col("b.band"), col("b.bh"))
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .distinct()
+    pairs.selectExpr("doc_a", "doc_b", s"$estJacSpark AS est_jaccard")
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d03: SimHash — 16-bit fingerprint from token hashes (per-bit
+    * majority vote), bucket by 8-bit prefix, hamming ≤ 3 via
+    * bit_count(xor). Narrow until the bucket join. */
+  val d03_simhash: Q = (s, d) => {
+    val pows = (0 to 3).map(k => math.pow(31, k).toLong).reverse
+    // rpad to 4 chars: keeps the polynomial total and avoids the engines'
+    // divergent empty-string codepoints (Spark ascii('')=0, DuckDB −1)
+    val poly = (1 to 4).zip(pows)
+      .map { case (j, pw) => s"ascii(substr(rpad(w, 4, '_'), $j, 1)) * ${pw}L" }
+      .mkString(" + ")
+    val tokHash = s"transform(split(text, ' '), w -> ($poly) % ${P}L)"
+    val bits = (0 until 16).map { j =>
+      s"CASE WHEN aggregate(th, CAST(0 AS BIGINT), (acc, h) -> acc + (CASE WHEN shiftright(h, $j) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j}L ELSE 0L END"
+    }.mkString(" + ")
+    val sims = Tables.documents(s, d)
+      .selectExpr("doc_id", s"$tokHash AS th")
+      .selectExpr("doc_id", s"($bits) AS simhash")
+      .selectExpr("doc_id", "simhash", "shiftright(simhash, 8) AS bucket")
+      .cache()
+    sims.as("x").join(sims.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .selectExpr("x.doc_id AS doc_a", "y.doc_id AS doc_b",
+        "CAST(bit_count(x.simhash ^ y.simhash) AS INT) AS hamming")
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d04: exact n-gram Jaccard inside buckets (by source) — the
+    * verification stage for LSH candidates, bucketed so the pair count
+    * stays O(bucket²) not O(N²). Word-3-gram sets; inclusion-exclusion
+    * union size. */
+  val d04_ngram_jaccard: Q = (s, d) => {
+    val grams =
+      """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+        | i -> concat(element_at(split(text, ' '), i), '_',
+        |            element_at(split(text, ' '), i + 1), '_',
+        |            element_at(split(text, ' '), i + 2))))""".stripMargin
+    val docs = Tables.documents(s, d)
+      .selectExpr("doc_id", "source", s"$grams AS g")
+    docs.as("x").join(docs.as("y"),
+        col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .selectExpr("x.doc_id AS doc_a", "y.doc_id AS doc_b",
+        "size(filter(x.g, e -> array_contains(y.g, e))) AS inter",
+        "size(x.g) AS na", "size(y.g) AS nb")
+      .selectExpr("doc_a", "doc_b",
+        "round(inter / (na + nb - inter), 4) AS jaccard")
+      .filter(col("jaccard") >= 0.02)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d05: embedding-cosine near-dup, brute force — the exact O(N²)
+    * baseline (broadcast nested-loop at small sf; the thing d06 exists to
+    * avoid at scale). */
+  val d05_cosine_brute: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    emb.as("x").join(emb.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        round(graft.vec.VectorOps.cosineCols(col("x.embedding"), col("y.embedding")), 4)
+          .as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** d06: embedding-cosine near-dup via hyperplane LSH — 6 tables × 3
+    * sign bits; candidates = same (table, bucket); exact cosine re-check.
+    * ≈80% recall of d05 at a fraction of the pairs — the scale path. */
+  val d06_cosine_lsh: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val bucketStructs = planes.zipWithIndex.map { case (tbl, t) =>
+      val bits = tbl.zipWithIndex.map { case (pl, i) =>
+        val dot = graft.vec.VectorOps.dotQuery(col("embedding"), pl.map(_.toFloat))
+        when(dot > 0, 1 << i).otherwise(0)
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bits.as("bucket"))
+    }
+    val bucketed = emb
+      .withColumn("tb", explode(array(bucketStructs: _*)))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        round(graft.vec.VectorOps.cosineCols(col("x.embedding"), col("y.embedding")), 4)
+          .as("cos"))
+      .distinct()
+      .filter(col("cos") >= 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "d01_exact_dedup" -> d01_exact_dedup,
+    "d02_minhash_lsh" -> d02_minhash_lsh,
+    "d03_simhash" -> d03_simhash,
+    "d04_ngram_jaccard" -> d04_ngram_jaccard,
+    "d05_cosine_brute" -> d05_cosine_brute,
+    "d06_cosine_lsh" -> d06_cosine_lsh)
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles
+  // ------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = {
+    val simPows = (0 to 3).map(k => math.pow(31, k).toLong).reverse
+    val simPoly = (1 to 4).zip(simPows)
+      .map { case (j, pw) => s"unicode(substr(rpad(w, 4, '_'), $j, 1))::BIGINT * $pw" }
+      .mkString(" + ")
+    val simBits = (0 until 16).map { j =>
+      s"CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    val planeBuckets = planes.zipWithIndex.map { case (tbl, t) =>
+      val bits = tbl.zipWithIndex.map { case (pl, i) =>
+        val lit = pl.map(x => x.toFloat.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
+        s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $lit) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, embedding, $t AS tbl, ($bits) AS bucket FROM embeddings"
+    }.mkString("\n  UNION ALL\n  ")
+    Map(
+      "d01_exact_dedup" ->
+        """WITH doubled AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+          |marked AS (
+          |  SELECT doc_id,
+          |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          |  FROM doubled)
+          |SELECT doc_id FROM marked WHERE rn > 1 ORDER BY doc_id""".stripMargin,
+      "d02_minhash_lsh" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000, text || ' mutated tail' FROM documents),
+           |sigs AS (
+           |  SELECT doc_id, ${sigExprDuck(shingleHashesDuck)} AS sig
+           |  FROM corpus),
+           |bands AS (
+           |  SELECT doc_id, sig, b.band, b.bh
+           |  FROM sigs, unnest([${bandExprs("sig", atDuck).zipWithIndex
+                .map { case (e, i) => s"{'band': $i, 'bh': $e}" }.mkString(", ")}])
+           |    AS u(b)),
+           |pairs AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           |         x.sig AS sa, y.sig AS sb
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+           |SELECT doc_a, doc_b, $estJacDuck AS est_jaccard
+           |FROM pairs WHERE $estJacDuck >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      "d03_simhash" ->
+        s"""WITH sims AS (
+           |  SELECT doc_id, simhash, simhash >> 8 AS bucket FROM (
+           |    SELECT doc_id, ($simBits)::BIGINT AS simhash FROM (
+           |      SELECT doc_id,
+           |             list_transform(string_split(text, ' '),
+           |               w -> ($simPoly) % $P) AS th
+           |      FROM documents)))
+           |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           |       bit_count(xor(x.simhash, y.simhash))::INT AS hamming
+           |FROM sims x JOIN sims y
+           |  ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+           |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      "d04_ngram_jaccard" ->
+        """WITH docs AS (
+          |  SELECT doc_id, source,
+          |    list_distinct(list_transform(
+          |      range(1, len(string_split(text, ' ')) - 1),
+          |      i -> string_split(text, ' ')[i] || '_' ||
+          |           string_split(text, ' ')[i + 1] || '_' ||
+          |           string_split(text, ' ')[i + 2])) AS g
+          |  FROM documents),
+          |pairs AS (
+          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |         len(list_filter(x.g, e -> list_contains(y.g, e))) AS inter,
+          |         len(x.g) AS na, len(y.g) AS nb
+          |  FROM docs x JOIN docs y
+          |    ON x.source = y.source AND x.doc_id < y.doc_id)
+          |SELECT doc_a, doc_b, round(inter / (na + nb - inter), 4) AS jaccard
+          |FROM pairs WHERE round(inter / (na + nb - inter), 4) >= 0.02
+          |ORDER BY doc_a, doc_b""".stripMargin,
+      "d05_cosine_brute" ->
+        """SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+          |       round(list_cosine_similarity(x.embedding::DOUBLE[],
+          |                                    y.embedding::DOUBLE[]), 4) AS cos
+          |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+          |WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
+          |                                   y.embedding::DOUBLE[]), 4) >= 0.4
+          |ORDER BY id_a, id_b""".stripMargin,
+      "d06_cosine_lsh" ->
+        s"""WITH bucketed AS (
+           |  $planeBuckets)
+           |SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
+           |       round(list_cosine_similarity(x.embedding::DOUBLE[],
+           |                                    y.embedding::DOUBLE[]), 4) AS cos
+           |FROM bucketed x JOIN bucketed y
+           |  ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+           |WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
+           |                                   y.embedding::DOUBLE[]), 4) >= 0.4
+           |ORDER BY id_a, id_b""".stripMargin)
+  }
+}

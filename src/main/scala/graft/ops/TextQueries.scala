@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Text-analysis operators for a training-data pipeline (builder prompt):
+  * language-ID, quality scoring, token counting, document fingerprinting —
+  * all over the `documents` table, all pure narrow transformations
+  * (zero shuffle; at 100 TB they stream through the scan), all
+  * whole-stage-codegen-friendly (built-in string/HOF expressions only, no
+  * UDFs).
+  *
+  * Each computation is written as SQL expression text shared conceptually
+  * with its DuckDB oracle so both engines evaluate the identical
+  * arithmetic.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Marker stopwords per language (n-gram-heuristic language ID — the
+    * classic stopword-hit profile). */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de", "shi", "zai", "le", "wo"))
+
+  private def hitExpr(words: Seq[String]): String = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    s"size(filter(split(text, ' '), t -> t IN ($set)))"
+  }
+
+  private def duckHitExpr(words: Seq[String]): String = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), t -> t IN ($set)))"
+  }
+
+  /** t01: language identification by stopword-marker hits; argmax with a
+    * fixed language-priority tiebreak, expressed as a CASE chain so both
+    * engines break ties identically. */
+  val t01_lang_id: Q = (s, d) => {
+    val score = markers.map { case (l, ws) => s"${hitExpr(ws)} AS s_$l" }
+    val langs = markers.map(_._1)
+    val caseChain = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("CASE ", " ", " END")
+    Tables.documents(s, d)
+      .selectExpr(Seq("doc_id", "lang") ++ score: _*)
+      .selectExpr("doc_id", "lang", "s_en", "s_de", "s_es", "s_fr", "s_zh",
+        s"$caseChain AS predicted")
+      .orderBy(col("doc_id"))
+  }
+
+  /** t02: quality scoring — length, stopword ratio, vocabulary diversity
+    * (the punctuation-ratio axis is degenerate on this corpus but the
+    * formula keeps the slot). */
+  val t02_quality_score: Q = (s, d) => {
+    Tables.documents(s, d)
+      .selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS n_words",
+        s"${hitExpr(markers.head._2)} AS sw_hits",
+        "size(array_distinct(split(text, ' '))) AS n_distinct")
+      .selectExpr(
+        "doc_id", "n_words",
+        "round(n_distinct / n_words, 4) AS distinct_ratio",
+        "round(sw_hits / n_words, 4) AS stopword_ratio",
+        """round(0.4 * (n_distinct / n_words)
+          | + 0.3 * (1.0 - sw_hits / n_words)
+          | + 0.3 * least(n_words / 100.0, 1.0), 4) AS quality""".stripMargin)
+      .orderBy(col("doc_id"))
+  }
+
+  /** t03: token counting — whitespace tokens, regex word/number tokens,
+    * and a BPE-ish ⌈len/4⌉-pieces-per-word estimate. */
+  val t03_token_count: Q = (s, d) => {
+    Tables.documents(s, d)
+      .selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS ws_tokens",
+        "CAST(regexp_count(text, '[a-z]+|[0-9]+') AS BIGINT) AS re_tokens",
+        """aggregate(transform(split(text, ' '),
+          |  w -> CAST(ceil(length(w) / 4.0) AS BIGINT)),
+          |  CAST(0 AS BIGINT), (acc, x) -> acc + x) AS bpe_tokens""".stripMargin,
+        "length(text) AS n_chars_m")
+      .orderBy(col("doc_id"))
+  }
+
+  /** t04: document fingerprint — sum of 8-char-window polynomial rolling
+    * hashes mod 1e9+7 (content-defined, shift-tolerant up to window
+    * alignment). Pure codegen'd HOF chain over the scan. */
+  val t04_fingerprint: Q = (s, d) => {
+    val p = 1000000007L
+    // powers of 31: 31^7 … 31^0 as precomputed longs
+    val pows = (0 to 7).map(k => math.pow(31, k).toLong).reverse
+    val winHash = (1 to 8).zip(pows)
+      .map { case (j, pw) => s"ascii(substr(text, i + ${j - 1}, 1)) * ${pw}L" }
+      .mkString(" + ")
+    Tables.documents(s, d)
+      .selectExpr(
+        "doc_id",
+        s"""CASE WHEN length(text) >= 8 THEN
+           |  aggregate(
+           |    transform(sequence(1, length(text) - 7),
+           |      i -> ($winHash) % ${p}L),
+           |    CAST(0 AS BIGINT), (acc, x) -> (acc + x) % ${p}L)
+           |ELSE CAST(0 AS BIGINT) END AS fingerprint""".stripMargin)
+      .orderBy(col("doc_id"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "t01_lang_id" -> t01_lang_id,
+    "t02_quality_score" -> t02_quality_score,
+    "t03_token_count" -> t03_token_count,
+    "t04_fingerprint" -> t04_fingerprint)
+
+  def oracleSql: Map[String, String] = {
+    val langs = markers.map(_._1)
+    val duckScore = markers.map { case (l, ws) => s"${duckHitExpr(ws)} AS s_$l" }
+      .mkString(",\n        ")
+    val caseChain = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("CASE ", " ", " END")
+    val pows = (0 to 7).map(k => math.pow(31, k).toLong).reverse
+    val winHash = (1 to 8).zip(pows)
+      .map { case (j, pw) => s"unicode(substr(text, i + ${j - 1}, 1))::BIGINT * $pw" }
+      .mkString(" + ")
+    Map(
+      "t01_lang_id" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang,
+           |        $duckScore
+           |  FROM documents)
+           |SELECT doc_id, lang,
+           |       s_en::INT AS s_en, s_de::INT AS s_de, s_es::INT AS s_es,
+           |       s_fr::INT AS s_fr, s_zh::INT AS s_zh,
+           |       $caseChain AS predicted
+           |FROM scored ORDER BY doc_id""".stripMargin,
+      "t02_quality_score" ->
+        s"""WITH base AS (
+           |  SELECT doc_id,
+           |         len(string_split(text, ' ')) AS n_words,
+           |         ${duckHitExpr(markers.head._2)} AS sw_hits,
+           |         len(list_distinct(string_split(text, ' '))) AS n_distinct
+           |  FROM documents)
+           |SELECT doc_id, n_words::INT AS n_words,
+           |       round(n_distinct / n_words, 4) AS distinct_ratio,
+           |       round(sw_hits / n_words, 4) AS stopword_ratio,
+           |       round(0.4 * (n_distinct / n_words)
+           |         + 0.3 * (1.0 - sw_hits / n_words)
+           |         + 0.3 * least(n_words / 100.0, 1.0), 4) AS quality
+           |FROM base ORDER BY doc_id""".stripMargin,
+      "t03_token_count" ->
+        """SELECT doc_id,
+          |       len(string_split(text, ' '))::INT AS ws_tokens,
+          |       len(regexp_extract_all(text, '[a-z]+|[0-9]+'))::BIGINT AS re_tokens,
+          |       list_sum(list_transform(string_split(text, ' '),
+          |         w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))::BIGINT AS bpe_tokens,
+          |       length(text)::INT AS n_chars_m
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "t04_fingerprint" ->
+        s"""SELECT doc_id,
+           |  CASE WHEN length(text) >= 8 THEN
+           |    (list_sum(list_transform(range(1, length(text) - 6),
+           |       i -> ($winHash) % 1000000007)) % 1000000007)::BIGINT
+           |  ELSE 0 END AS fingerprint
+           |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+}
