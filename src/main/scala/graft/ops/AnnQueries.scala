@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.agg.VectorAggregators
+import graft.model.Tables
+import graft.vec.{Lsh, VectorOps}
+
+/** Approximate-nearest-neighbor search over the embedding column
+  * (builder prompt): the brute-force cosine top-k baseline lives in
+  * VectorQueries (v01/v02); here are the two standard scale paths plus the
+  * batched form:
+  *
+  *  - IVF (n01): coarse quantizer → probe the nprobe closest cells → exact
+  *    scan inside them. Scan cost drops from N to N·nprobe/cells; at
+  *    100 TB the cells are partition-pruned parquet (cluster by cell id).
+  *  - Bucketed LSH top-k (n02): candidates = rows sharing any of the
+  *    query's 6 table buckets — a pushed-down scan predicate, then the
+  *    same TakeOrderedAndProject as the exact path.
+  *  - Batched ANN (n03): k neighbors for EACH of a set of query vectors —
+  *    score join + per-query ranking window (the shape embedding joins
+  *    between tables take at scale).
+  */
+object AnnQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** dot(vsum/‖vsum‖, q) entirely in Double (shared shape with w01). */
+  private def dotNormalized(q: Array[Float]) = udf { (v: Array[Double]) =>
+    if (v == null) null
+    else {
+      var n2 = 0.0; var i = 0
+      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+      val n = math.sqrt(n2)
+      if (n == 0.0) java.lang.Double.valueOf(0.0)
+      else {
+        var s = 0.0; i = 0
+        val m = math.min(v.length, q.length)
+        while (i < m) { s += (v(i) / n) * q(i).toDouble; i += 1 }
+        java.lang.Double.valueOf(s)
+      }
+    }
+  }
+
+  /** n01: IVF probe search. Coarse quantizer = per-label centroids (the
+    * offline analog of a trained k-means codebook); nprobe=2; exact
+    * top-10 inside the probed cells. The 2-row probe list broadcasts.
+    * Measured on the sf0.01 corpus: recall@10 ≈ 0.3 at 20% scan cost —
+    * bounded by the weak cluster structure (intra-label cos ≈ 0.4), not
+    * by the mechanics; nprobe is the knob. (LSH path: 0.7, see n02.) */
+  val n01_ann_ivf: Q = (s, d) => {
+    val q = VectorQueries.flagshipVec
+    val emb = Tables.embeddings(s, d)
+    val probes = emb
+      .groupBy(col("label"))
+      .agg(VectorAggregators.vecSum(col("embedding")).as("vsum"))
+      .select(col("label"), dotNormalized(q)(col("vsum")).as("cscore"))
+      .orderBy(col("cscore").desc, col("label").asc)
+      .limit(2)
+      .select(col("label"))
+    emb.join(broadcast(probes), "label")
+      .select(col("vec_id"),
+        round(VectorOps.dotQuery(col("embedding"), q), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** n02: LSH-bucketed top-k. The query's bucket per table is computed on
+    * the driver and lands in the plan as literals; the candidate filter is
+    * a pure scan predicate (no shuffle, no explode). */
+  val n02_ann_lsh_topk: Q = (s, d) => {
+    val q = VectorQueries.flagshipVec
+    val cond = (0 until Lsh.NUM_TABLES)
+      .map(t => Lsh.bucketCol(col("embedding"), t) === Lsh.bucketOf(q, t))
+      .reduce(_ || _)
+    Tables.embeddings(s, d)
+      .filter(cond)
+      .select(col("vec_id"),
+        round(VectorOps.dotQuery(col("embedding"), q), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** n03: batched ANN — top-3 corpus neighbors for each label centroid.
+    * Centroids (10 rows) broadcast against the corpus scan; ranking
+    * window partitioned per query. At 100 TB: block the query side and
+    * reuse one corpus pass per block. */
+  val n03_ann_batch: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val centroids = emb
+      .groupBy(col("label").as("qlabel"))
+      .agg(VectorAggregators.vecSum(col("embedding")).as("vsum"))
+    val toUnitF = udf { (v: Array[Double]) =>
+      if (v == null) null
+      else VectorOps.normalize(v.map(_.toFloat))
+    }
+    val scored = emb.crossJoin(
+        broadcast(centroids.select(col("qlabel"), toUnitF(col("vsum")).as("qvec"))))
+      .select(col("qlabel"), col("vec_id"),
+        round(VectorOps.dotCols(col("embedding"), col("qvec")), 4).as("score"))
+    val w = Window.partitionBy(col("qlabel"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qlabel").cast("long").as("qlabel"), col("rn"), col("vec_id"), col("score"))
+      .orderBy(col("qlabel"), col("rn"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "n01_ann_ivf" -> n01_ann_ivf,
+    "n02_ann_lsh_topk" -> n02_ann_lsh_topk,
+    "n03_ann_batch" -> n03_ann_batch)
+
+  def oracleSql: Map[String, String] = {
+    val qLit = VectorOps.sqlDoubleArray(VectorQueries.flagshipVec)
+    val centroidCte =
+      """sums AS (
+        |  SELECT label, i, sum(x) AS sx
+        |  FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+        |               unnest(range(1, len(embedding)+1)) AS i
+        |        FROM embeddings)
+        |  GROUP BY label, i),
+        |vecs AS (SELECT label, list(sx ORDER BY i) AS v FROM sums GROUP BY label)""".stripMargin
+    val lshCond = (0 until Lsh.NUM_TABLES)
+      .map(t => s"(${Lsh.duckBucketExpr(t)}) = ${Lsh.bucketOf(VectorQueries.flagshipVec, t)}")
+      .mkString("(", "\n   OR ", ")")
+    Map(
+      "n01_ann_ivf" ->
+        s"""WITH $centroidCte,
+           |probes AS (
+           |  SELECT label FROM vecs
+           |  ORDER BY list_dot_product(
+           |    list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))),
+           |    $qLit) DESC, label ASC
+           |  LIMIT 2)
+           |SELECT vec_id,
+           |       round(list_dot_product(embedding::DOUBLE[], $qLit), 4) AS score
+           |FROM embeddings JOIN probes USING (label)
+           |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+      "n02_ann_lsh_topk" ->
+        s"""SELECT vec_id,
+           |       round(list_dot_product(embedding::DOUBLE[], $qLit), 4) AS score
+           |FROM embeddings
+           |WHERE $lshCond
+           |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+      "n03_ann_batch" ->
+        s"""WITH $centroidCte,
+           |qs AS (
+           |  SELECT label AS qlabel,
+           |         list_transform(
+           |           list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))),
+           |           x -> x::FLOAT::DOUBLE) AS qvec
+           |  FROM vecs),
+           |scored AS (
+           |  SELECT qlabel, vec_id,
+           |         round(list_dot_product(embedding::DOUBLE[], qvec), 4) AS score
+           |  FROM embeddings CROSS JOIN qs),
+           |ranked AS (
+           |  SELECT qlabel, vec_id, score,
+           |         row_number() OVER (PARTITION BY qlabel
+           |                            ORDER BY score DESC, vec_id ASC) AS rn
+           |  FROM scored)
+           |SELECT qlabel::BIGINT AS qlabel, rn::INT AS rn, vec_id, score
+           |FROM ranked WHERE rn <= 3 ORDER BY qlabel, rn""".stripMargin)
+  }
+}

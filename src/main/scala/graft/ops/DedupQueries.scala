@@ -44,11 +44,9 @@ object DedupQueries {
       rnd.nextInt(P.toInt).toLong))
   }
 
-  /** Seeded hyperplanes: 6 LSH tables × 3 planes × 64 dims. */
-  private val planes: Seq[Seq[Array[Double]]] = {
-    val rnd = new java.util.Random(11)
-    Seq.fill(6)(Seq.fill(3)(Array.fill(64)(rnd.nextGaussian())))
-  }
+  /** Seeded hyperplanes: 6 LSH tables × 3 planes × 64 dims (shared with
+    * the ANN queries via [[graft.vec.Lsh]]). */
+  private val planes: Seq[Seq[Array[Double]]] = graft.vec.Lsh.planes
 
   // ------------------------------------------------------------------
   // shared SQL fragments (spark dialect / duckdb dialect)
