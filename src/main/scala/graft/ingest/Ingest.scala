@@ -1,0 +1,125 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.embed.Embedder
+import graft.engine.{ImageFetcher, SnapshotStore}
+
+final case class IngestStats(listed: Long, newKeys: Long, kept: Long, stored: Long)
+
+/** The incremental, resumable, at-least-once ingest pipeline — the Spark
+  * re-expression of the reference indexer (SURVEY §2.9, I1–I6;
+  * `index_wikimedia.py`):
+  *
+  *   I1 NDJSON listing          → spark.read.json (schema pinned)
+  *   I2 dedup vs indexed        → left-anti join on the descr-url key
+  *   I3 extension whitelist     → regexp filter
+  *   I4 thumb-URL derivation    → regexp_replace (600px variant)
+  *   I5 fetch + embed           → mapPartitions over the Embedder
+  *                                (batched per partition — the one true
+  *                                distributed compute stage; the
+  *                                reference does batch-of-1 per row)
+  *   I6 upsert                  → key-merge snapshot commit (replaces the
+  *                                reference's file lock, SURVEY §7.4)
+  *
+  * Re-running the same listing is a no-op (I2 drops everything) — the
+  * at-least-once + dedup contract of the reference, kept structural.
+  * Scale: every stage is narrow except the anti-join (one shuffle on the
+  * key, or a broadcast when the new-key side is small) and the embed
+  * stage, which is embarrassingly parallel.
+  */
+final class Ingest(
+    spark: SparkSession,
+    store: SnapshotStore,
+    embedder: Embedder,
+    fetcher: ImageFetcher) extends Serializable {
+
+  import spark.implicits._
+
+  val listingSchema: StructType = StructType(Seq(
+    StructField("descr_url", StringType),
+    StructField("url", StringType),
+    StructField("size", LongType)))
+
+  val allowedExtensions: Seq[String] = Seq("jpg", "jpeg", "png", "gif")
+
+  /** Stored-table schema (the reference's `images`,
+    * `index_wikimedia.py:56-68`, vector as ARRAY<FLOAT>). */
+  val storeSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("filepath", StringType),
+    StructField("descr_url", StringType),
+    StructField("thumb_url", StringType),
+    StructField("size", LongType),
+    StructField("vector", ArrayType(FloatType), nullable = true),
+    StructField("deleted", BooleanType, nullable = true)))
+
+  def run(ndjsonPath: String): IngestStats = {
+    val listed = spark.read.schema(listingSchema).json(ndjsonPath)
+      .filter(col("descr_url").isNotNull && col("url").isNotNull)
+
+    // I2: drop keys already indexed (and in-listing duplicates)
+    val existing: DataFrame = store.latestDir match {
+      case Some(_) => store.read(spark).select(col("descr_url")).distinct()
+      case None    => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("descr_url", StringType))))
+    }
+    val fresh = listed
+      .dropDuplicates("descr_url")
+      .join(existing, Seq("descr_url"), "left_anti")
+
+    // I3: extension whitelist (`index_wikimedia.py:118-130`)
+    val kept = fresh.filter(
+      lower(regexp_extract(col("url"), "\\.([A-Za-z0-9]+)$", 1))
+        .isin(allowedExtensions: _*))
+
+    // I4: 600px thumbnail variant (`index_wikimedia.py:133-134`)
+    val derived = kept.withColumn("thumb_url",
+      regexp_replace(col("url"), "/([^/]+)$", "/600px-$1"))
+
+    // I5: fetch + embed, batched per partition
+    val emb = embedder
+    val fch = fetcher
+    val embedded = derived
+      .select(col("descr_url"), col("url"), col("thumb_url"), col("size"))
+      .as[(String, String, String, Option[Long])]
+      .mapPartitions { it =>
+        it.map { case (descr, url, thumb, size) =>
+          val vec = emb.embedImage(fch.fetch(url))
+          (descr, url, thumb, size, vec)
+        }
+      }
+      .toDF("descr_url", "filepath", "thumb_url", "size", "vector")
+
+    // deterministic id assignment above the current high-water mark
+    // (single-partition window is fine for a batch slice; a huge backfill
+    // would use sortBy + zipWithIndex to keep the numbering distributed)
+    val base = store.latestDir.map(_ => store.read(spark))
+    val offset = base.map(_.agg(max(col("id"))).head())
+      .collect { case r if !r.isNullAt(0) => r.getLong(0) }
+      .getOrElse(0L)
+    val newRows = embedded
+      .withColumn("id",
+        lit(offset) + row_number().over(Window.orderBy(col("descr_url"))))
+      .withColumn("deleted", lit(null).cast("boolean"))
+      .select(storeSchema.fieldNames.map(col): _*)
+
+    // I6: key-merge snapshot upsert (`index_wikimedia.py:86-103`)
+    val nStored = base match {
+      case Some(b) =>
+        val merged = newRows.unionByName(
+          b.join(newRows.select("filepath"), Seq("filepath"), "left_anti"),
+          allowMissingColumns = true)
+        store.write(merged.select(storeSchema.fieldNames.map(col): _*))
+        newRows.count()
+      case None =>
+        store.write(newRows)
+        newRows.count()
+    }
+
+    IngestStats(listed.count(), fresh.count(), kept.count(), nStored)
+  }
+}

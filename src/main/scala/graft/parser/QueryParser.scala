@@ -38,8 +38,14 @@ object QueryParser {
   /** `{...}` JSON term — braces kept (resolver parses the JSON). */
   final case class JsonTerm(text: String) extends TermBody
 
-  private def isWordChar(c: Char): Boolean =
+  /** Word start/body per the reference grammar (`rclip_server.py:95`):
+    * a word STARTS with an alphanumeric but its BODY may be any printable
+    * except `([{}])` — so hyphenated words and bare URLs
+    * (`https://…/x.jpg`) are single words. */
+  private def isWordStart(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_'
+  private def isWordBody(c: Char): Boolean =
+    !c.isWhitespace && "([{}])".indexOf(c.toInt) < 0
 
   /** Parse a query. Mirrors pyparsing `searchString`: unmatchable
     * characters are skipped, every parsable term is collected. Empty or
@@ -90,18 +96,18 @@ object QueryParser {
           else { val t = q.substring(i + 1, close); i = close + 1; Some(Quoted(t)) }
         case '(' => parseBracketed('(', ')').map(Group.apply)
         case '{' => parseBracketed('{', '}').map(t => JsonTerm("{" + t + "}"))
-        case c if isWordChar(c) =>
+        case c if isWordStart(c) =>
           // Consecutive whitespace-separated words accumulate into ONE
           // term (Q1): `zebra habitat -zebra` = +⟨zebra habitat⟩ −⟨zebra⟩.
           val words = Seq.newBuilder[String]
           var continue = true
           while (continue) {
             val start = i
-            while (i < n && isWordChar(q(i))) i += 1
+            while (i < n && isWordBody(q(i))) i += 1
             if (i > start) words += q.substring(start, i)
             val mark = i
             skipWs()
-            if (i >= n || !isWordChar(q(i))) { i = if (i > mark) i else mark; continue = false }
+            if (i >= n || !isWordStart(q(i))) { i = if (i > mark) i else mark; continue = false }
           }
           Some(Words(words.result().mkString(" ")))
         case _ => i += 1; None // skip unmatchable char (searchString semantics)

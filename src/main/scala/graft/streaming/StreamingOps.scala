@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.embed.Embedder
+import graft.engine.{ImageFetcher, SnapshotStore}
+import java.sql.Timestamp
+
+/** Structured Streaming forms of the engine's pipelines (SURVEY §2.9
+  * closing note): the reference's incremental indexer maps 1:1 onto
+  * readStream → dedup-with-watermark → foreachBatch-upsert, and the
+  * events table gets true event-time processing (watermarked windows,
+  * custom session state).
+  *
+  * Scale: state stores are keyed by the dedup/session key and bounded by
+  * the watermark; foreachBatch reuses the batch upsert (snapshot commit),
+  * so exactly-once-per-key falls out of at-least-once + key merge.
+  */
+object StreamingOps {
+
+  /** I1'+I2': streaming NDJSON listing source with watermarked
+    * dedup-by-key. `dropDuplicatesWithinWatermark` keeps the key state
+    * bounded — without the watermark the dedup map grows forever. */
+  def dedupedListing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("descr_url", StringType),
+      StructField("url", StringType),
+      StructField("size", LongType),
+      StructField("event_ts", TimestampType)))
+    spark.readStream.schema(schema).json(dir)
+      .filter(col("descr_url").isNotNull)
+      .withWatermark("event_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("descr_url")
+  }
+
+  /** I5'+I6': sink the deduped listing through embed + snapshot upsert.
+    * Each micro-batch reuses the batch key-merge (idempotent per key), so
+    * replays are safe. */
+  def startIngest(
+      spark: SparkSession,
+      listingDir: String,
+      store: SnapshotStore,
+      embedder: Embedder,
+      fetcher: ImageFetcher,
+      checkpoint: String): StreamingQuery = {
+    val stream = dedupedListing(spark, listingDir)
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ingest = new graft.ingest.Ingest(spark, store, embedder, fetcher)
+        val tmp = java.nio.file.Files.createTempFile("batch", ".ndjson")
+        // reuse the batch pipeline stages I2-I6 by replaying the batch as
+        // a listing (tiny per micro-batch; avoids duplicating the logic)
+        val rows = batch.select(to_json(struct(
+          col("descr_url"), col("url"), col("size")))).collect()
+        java.nio.file.Files.writeString(tmp,
+          rows.map(_.getString(0)).mkString("\n"))
+        if (rows.nonEmpty) ingest.run(tmp.toString)
+        ()
+      }
+      .start()
+  }
+
+  /** Watermarked event-time windowed aggregation: events per (1-hour
+    * tumbling window, type); late data beyond 2 h dropped, state pruned. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  // ---------------------------------------------------------------- state
+
+  final case class Ev(user_id: Long, ts: Timestamp, event_type: String)
+  final case class SessionState(count: Long, lastTs: Long)
+  final case class SessionOut(user_id: Long, events: Long, closed: Boolean)
+
+  /** Custom stateful sessionization via mapGroupsWithState: a session
+    * closes after 30 min of inactivity (processing-time timeout; pass
+    * `withTimeout = false` for deterministic tests — with a timeout the
+    * runner busy-triggers empty batches to evaluate expiry). The
+    * streaming analog of EventQueries.e01. */
+  def sessionize(events: Dataset[Ev], withTimeout: Boolean = true)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](timeoutConf) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (withTimeout && state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            SessionOut(userId, st.count, closed = true)
+          } else {
+            val batch = evs.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0L))
+            val maxTs = (prev.lastTs +: batch.map(_.ts.getTime)).max
+            val next = SessionState(prev.count + batch.size, maxTs)
+            state.update(next)
+            if (withTimeout) state.setTimeoutDuration("30 minutes")
+            SessionOut(userId, next.count, closed = false)
+          }
+      }
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.embed.DeterministicEmbedder
+import graft.engine.{FakeImageFetcher, SnapshotStore}
+import graft.vec.VectorOps
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class IngestSpec extends SparkSpec {
+
+  private def writeNdjson(lines: Seq[String]): String = {
+    val f = Files.createTempFile("listing", ".ndjson")
+    Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  private def mkIngest() = {
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    val store = new SnapshotStore(dir)
+    (new Ingest(spark, store, new DeterministicEmbedder(64), FakeImageFetcher), store)
+  }
+
+  private def rec(i: Int, ext: String = "jpg"): String =
+    s"""{"descr_url": "https://w/Desc_$i", "url": "https://up/f_$i.$ext", "size": ${100 + i}}"""
+
+  test("I1-I6 end-to-end: list, filter, derive, embed, store") {
+    val (ingest, store) = mkIngest()
+    val listing = writeNdjson(
+      (1 to 8).map(i => rec(i)) ++
+        Seq(rec(9, "txt"), rec(10, "exe")) ++   // I3: dropped extensions
+        Seq(rec(3), rec(5)))                    // in-listing duplicates
+    val stats = ingest.run(listing)
+    assert(stats.listed == 12)
+    assert(stats.newKeys == 10) // 12 minus 2 in-listing dups
+    assert(stats.kept == 8)     // minus .txt/.exe
+    assert(stats.stored == 8)
+    val stored = store.read(spark)
+    assert(stored.count() == 8)
+    // I4: thumb derivation
+    val thumbs = stored.select("thumb_url").collect().map(_.getString(0))
+    assert(thumbs.forall(_.matches("https://up/600px-f_\\d+\\.jpg")))
+    // I5: vectors are unit-norm embeddings
+    val vecs = stored.select("vector").collect()
+      .map(_.getSeq[Float](0).toArray)
+    assert(vecs.forall(v => math.abs(VectorOps.l2norm(v) - 1.0) < 1e-5))
+    // ids are dense and start above 0
+    val ids = stored.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(1L to 8L))
+  }
+
+  test("I2: re-running the same listing ingests nothing (resumable)") {
+    val (ingest, store) = mkIngest()
+    val listing = writeNdjson((1 to 5).map(i => rec(i)))
+    ingest.run(listing)
+    val v1 = store.latestVersion
+    val stats2 = ingest.run(listing)
+    assert(stats2.newKeys == 0 && stats2.stored == 0)
+    assert(store.read(spark).count() == 5)
+    assert(store.latestVersion != v1) // a commit happened, content identical
+  }
+
+  test("incremental batch: only new keys embed; ids continue the sequence") {
+    val (ingest, store) = mkIngest()
+    ingest.run(writeNdjson((1 to 5).map(i => rec(i))))
+    val stats = ingest.run(writeNdjson((3 to 9).map(i => rec(i))))
+    assert(stats.newKeys == 4) // 6,7,8,9
+    val ids = store.read(spark).select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(1L to 9L))
+  }
+
+  test("upsert semantics: same filepath with new key replaces the row") {
+    val (ingest, store) = mkIngest()
+    ingest.run(writeNdjson(Seq(rec(1))))
+    // same image file, different descr key → new row wins on filepath
+    ingest.run(writeNdjson(Seq(
+      s"""{"descr_url": "https://w/Desc_1b", "url": "https://up/f_1.jpg", "size": 999}""")))
+    val rows = store.read(spark).filter(col("filepath") === "https://up/f_1.jpg")
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("size") == 999)
+  }
+
+  test("malformed NDJSON lines are dropped, not fatal") {
+    val (ingest, store) = mkIngest()
+    val listing = writeNdjson(Seq(rec(1), "{not json at all", rec(2)))
+    val stats = ingest.run(listing)
+    assert(stats.stored == 2)
+  }
+}

@@ -40,6 +40,14 @@ class QueryParserSpec extends AnyFunSuite {
       SignedTerm(1.0f, JsonTerm("""{"a":{"b":1}}"""))))
   }
 
+  test("URLs and hyphenated words are single words (rclip_server.py:95)") {
+    assert(parse("https://up/animal_7.jpg") ==
+      Seq(SignedTerm(1.0f, Words("https://up/animal_7.jpg"))))
+    assert(parse("black-and-white cat -https://x.com/a.png") == Seq(
+      SignedTerm(1.0f, Words("black-and-white cat")),
+      SignedTerm(-1.0f, Words("https://x.com/a.png"))))
+  }
+
   test("Q11: empty / garbage input parses to no terms") {
     assert(parse("") == Nil)
     assert(parse("   ") == Nil)

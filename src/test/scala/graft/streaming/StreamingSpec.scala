@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.embed.DeterministicEmbedder
+import graft.engine.{FakeImageFetcher, SnapshotStore}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming ingest: NDJSON file source → dedup → embed → snapshot") {
+    val listingDir = Files.createTempDirectory("stream-listing").toString
+    val checkpoint = Files.createTempDirectory("stream-ckpt").toString
+    val storeDir = Files.createTempDirectory("stream-store").toString
+    val store = new SnapshotStore(storeDir)
+
+    def rec(i: Int): String =
+      s"""{"descr_url": "https://w/D$i", "url": "https://up/f$i.jpg", "size": $i, "event_ts": "2024-01-01T00:0$i:00.000Z"}"""
+    // two files; key D2 duplicated across them
+    Files.writeString(java.nio.file.Paths.get(listingDir, "a.ndjson"),
+      Seq(rec(1), rec(2)).mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(listingDir, "b.ndjson"),
+      Seq(rec(2), rec(3)).mkString("\n"))
+
+    val q = StreamingOps.startIngest(spark, listingDir, store,
+      new DeterministicEmbedder(64), FakeImageFetcher, checkpoint)
+    q.awaitTermination(120000)
+
+    val stored = store.read(spark)
+    assert(stored.count() == 3) // D1, D2 (once), D3
+    assert(stored.select("descr_url").distinct().count() == 3)
+  }
+
+  test("watermarked hourly windowed aggregation over an event stream") {
+    import spark.implicits._
+    implicit val s = spark
+    val mem = MemoryStream[(Timestamp, String, Double)](spark)
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val query = StreamingOps.hourlyCounts(df).writeStream
+      .format("memory").queryName("hourly").outputMode("complete").start()
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((t(0, 10), "click", 1.0), (t(0, 50), "click", 2.0),
+      (t(1, 5), "view", 3.0))
+    query.processAllAvailable()
+    val rows = spark.table("hourly").orderBy("hour", "event_type").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n") == 2) // two clicks in hour 0
+    assert(rows(0).getAs[Double]("sum_value") == 3.0)
+    query.stop()
+  }
+
+  test("mapGroupsWithState sessionization counts per-user events") {
+    import spark.implicits._
+    implicit val s = spark
+    val mem = MemoryStream[StreamingOps.Ev](spark)
+    val query = StreamingOps.sessionize(mem.toDS(), withTimeout = false).writeStream
+      .format("memory").queryName("sessions").outputMode("update").start()
+    def t(m: Int) = new Timestamp(1704067200000L + m * 60000L)
+    mem.addData(
+      StreamingOps.Ev(1, t(0), "click"), StreamingOps.Ev(1, t(5), "view"),
+      StreamingOps.Ev(2, t(1), "click"))
+    query.processAllAvailable()
+    mem.addData(StreamingOps.Ev(1, t(10), "click"))
+    query.processAllAvailable()
+    val byUser = spark.table("sessions").orderBy(col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // user 1 accumulated 3 events across micro-batches, user 2 has 1
+    assert(byUser.contains((1L, 3L)))
+    assert(byUser.contains((2L, 1L)))
+    query.stop()
+  }
+}
