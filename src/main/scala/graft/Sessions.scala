@@ -9,6 +9,8 @@ object Sessions {
   /** Apply graft's standard configs to a builder. */
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", cpus)
+      // codegen'd vector functions (vec_dot / vec_norm / vec_cosine)
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as long, the

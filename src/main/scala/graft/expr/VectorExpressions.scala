@@ -1,0 +1,148 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector hot path (SURVEY §4.3's
+  * "later optimization", done): `vec_dot`, `vec_norm`, `vec_cosine` over
+  * `ARRAY<FLOAT>`, each with `doGenCode` so the scored scan stays inside
+  * one WholeStageCodegen stage — no UDF boxing, no ArrayData→Array[Float]
+  * copy per row (the UDF path allocates and converts; this reads
+  * `ArrayData.getFloat(i)` in a tight Java loop).
+  *
+  * Arithmetic is identical to the UDF path (Double accumulation in index
+  * order), so results — and the DuckDB oracles — are unchanged.
+  *
+  * Registered via [[GraftExtensions]] (`spark.sql.extensions`), the
+  * public plugin point; callable as SQL `vec_dot(a, b)` or
+  * `functions.call_function("vec_dot", a, b)`.
+  */
+object VectorExpressions {
+
+  private def dotLoop(a: String, b: String, result: String): String =
+    s"""int n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double acc = 0.0;
+       |for (int i = 0; i < n; i++) {
+       |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+       |}
+       |$result = acc;""".stripMargin
+
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      s
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""|${dotLoop(a, b, ev.value.toString)}""".stripMargin)
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  case class VecNorm(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_norm"
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      var s = 0.0
+      var i = 0
+      while (i < x.numElements()) {
+        val v = x.getFloat(i).toDouble; s += v * v; i += 1
+      }
+      math.sqrt(s)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""double acc = 0.0;
+           |for (int i = 0; i < $a.numElements(); i++) {
+           |  double v = (double) $a.getFloat(i);
+           |  acc += v * v;
+           |}
+           |${ev.value} = java.lang.Math.sqrt(acc);""".stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class VecCosine(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_cosine"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var sab = 0.0; var sa = 0.0; var sb = 0.0
+      var i = 0
+      while (i < n) {
+        val u = x.getFloat(i).toDouble; val v = y.getFloat(i).toDouble
+        sab += u * v; sa += u * u; sb += v * v; i += 1
+      }
+      val d = math.sqrt(sa) * math.sqrt(sb)
+      if (d == 0.0) 0.0 else sab / d
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""int n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double sab = 0.0, sa = 0.0, sb = 0.0;
+           |for (int i = 0; i < n; i++) {
+           |  double u = (double) $a.getFloat(i);
+           |  double v = (double) $b.getFloat(i);
+           |  sab += u * v; sa += u * u; sb += v * v;
+           |}
+           |double d = java.lang.Math.sqrt(sa) * java.lang.Math.sqrt(sb);
+           |${ev.value} = (d == 0.0) ? 0.0 : sab / d;""".stripMargin)
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      require(args.length == n,
+        s"$name expects $n argument(s), got ${args.length}")
+      build(args)
+    }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      arity("vec_dot", 2)(args => VecDot(args(0), args(1)))),
+    (FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
+      arity("vec_norm", 1)(args => VecNorm(args(0)))),
+    (FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
+      arity("vec_cosine", 2)(args => VecCosine(args(0), args(1)))))
+}
+
+/** `spark.sql.extensions` entry point registering the vector functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    VectorExpressions.all.foreach { case (id, info, builder) =>
+      ext.injectFunction((id, info, builder))
+    }
+}

@@ -61,7 +61,7 @@ object AnnQueries {
       .select(col("label"))
     emb.join(broadcast(probes), "label")
       .select(col("vec_id"),
-        round(VectorOps.dotQuery(col("embedding"), q), 4).as("score"))
+        round(VectorOps.dotQueryNative(col("embedding"), q), 4).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -77,7 +77,7 @@ object AnnQueries {
     Tables.embeddings(s, d)
       .filter(cond)
       .select(col("vec_id"),
-        round(VectorOps.dotQuery(col("embedding"), q), 4).as("score"))
+        round(VectorOps.dotQueryNative(col("embedding"), q), 4).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -98,7 +98,7 @@ object AnnQueries {
     val scored = emb.crossJoin(
         broadcast(centroids.select(col("qlabel"), toUnitF(col("vsum")).as("qvec"))))
       .select(col("qlabel"), col("vec_id"),
-        round(VectorOps.dotCols(col("embedding"), col("qvec")), 4).as("score"))
+        round(VectorOps.dotColsNative(col("embedding"), col("qvec")), 4).as("score"))
     val w = Window.partitionBy(col("qlabel"))
       .orderBy(col("score").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))

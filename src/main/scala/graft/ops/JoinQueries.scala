@@ -25,7 +25,7 @@ object JoinQueries {
   val j01_score_metadata_join: Q = (s, d) => {
     val topk = Tables.embeddings(s, d)
       .select(col("vec_id"),
-        round(VectorOps.dotQuery(col("embedding"), VectorQueries.flagshipVec), 4)
+        round(VectorOps.dotQueryNative(col("embedding"), VectorQueries.flagshipVec), 4)
           .as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(50)

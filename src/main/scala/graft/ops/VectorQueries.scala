@@ -39,7 +39,7 @@ object VectorQueries {
     import s.implicits._
     Tables.embeddings(s, d)
       .select($"vec_id",
-        round(VectorOps.dotQuery($"embedding", q), 4).as("score"))
+        round(VectorOps.dotQueryNative($"embedding", q), 4).as("score"))
       .orderBy($"score".desc, $"vec_id".asc)
       .limit(k)
   }

@@ -26,7 +26,7 @@ object Lsh {
   /** Bucket id of a vector column for table `t` (sum of sign bits). */
   def bucketCol(vec: Column, t: Int): Column =
     planes(t).zipWithIndex.map { case (pl, i) =>
-      when(VectorOps.dotQuery(vec, pl.map(_.toFloat)) > 0, 1 << i).otherwise(0)
+      when(VectorOps.dotQueryNative(vec, pl.map(_.toFloat)) > 0, 1 << i).otherwise(0)
     }.reduce(_ + _)
 
   /** Driver-side bucket of a query vector — same float-widening arithmetic

@@ -151,4 +151,32 @@ object VectorOps {
     * (Double.toString round-trips exactly). */
   def sqlDoubleArray(v: Array[Float]): String =
     v.map(x => x.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
+
+  // ------------------------------------------------------------------
+  // Codegen'd variants (graft.expr.VectorExpressions) — same Double
+  // index-order arithmetic as the UDFs, but evaluated inside
+  // WholeStageCodegen straight off ArrayData (no per-row array copy).
+  // Require the functions to be registered (Sessions sets
+  // spark.sql.extensions; ensureRegistered covers foreign sessions).
+  // ------------------------------------------------------------------
+
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.functions.{call_function, typedlit}
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    graft.expr.VectorExpressions.all.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
+  }
+
+  /** Codegen dot against a fixed query vector (array literal in-plan). */
+  def dotQueryNative(v: Column, q: Array[Float]): Column =
+    call_function("vec_dot", v, typedlit(q))
+
+  /** Codegen dot / cosine between two vector columns. */
+  def dotColsNative(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b)
+  def cosineColsNative(a: Column, b: Column): Column =
+    call_function("vec_cosine", a, b)
 }

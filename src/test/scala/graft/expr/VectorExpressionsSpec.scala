@@ -1,0 +1,56 @@
+package graft.expr
+
+import graft.SparkSpec
+import graft.vec.VectorOps
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(5)
+  private def vec(n: Int): Array[Float] = Array.fill(n)(rnd.nextFloat() - 0.5f)
+
+  test("vec_dot matches the driver-side Double arithmetic exactly") {
+    import spark.implicits._
+    val pairs = Seq.fill(50)((vec(64), vec(64)))
+    val df = pairs.toDF("a", "b")
+      .select(VectorOps.dotColsNative(col("a"), col("b")).as("d"))
+    val got = df.collect().map(_.getDouble(0))
+    val want = pairs.map { case (a, b) => VectorOps.dot(a, b) }
+    got.zip(want).foreach { case (g, w) => assert(g == w) } // bit-identical
+  }
+
+  test("vec_cosine and vec_norm match the UDF reference implementations") {
+    import spark.implicits._
+    val pairs = Seq.fill(20)((vec(64), vec(64)))
+    val df = pairs.toDF("a", "b").select(
+      VectorOps.cosineColsNative(col("a"), col("b")).as("c"),
+      call_function("vec_norm", col("a")).as("n"))
+    df.collect().zip(pairs).foreach { case (row, (a, b)) =>
+      val d = VectorOps.l2norm(a) * VectorOps.l2norm(b)
+      assert(row.getDouble(0) == (if (d == 0.0) 0.0 else VectorOps.dot(a, b) / d))
+      assert(row.getDouble(1) == VectorOps.l2norm(a))
+    }
+  }
+
+  test("null and length-mismatch inputs behave") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(vec(64)), Some(vec(32))),          // mismatched dims → min-length
+      (None: Option[Array[Float]], Some(vec(64)))) // null → null
+      .toDF("a", "b")
+      .select(VectorOps.dotColsNative(col("a"), col("b")).as("d"))
+    val rows = df.collect()
+    assert(!rows(0).isNullAt(0))
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("interpreted eval (nullSafeEval) agrees with codegen") {
+    val a = vec(64); val b = vec(64)
+    val e = VectorExpressions.VecDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(a,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(b,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(e.eval(null).asInstanceOf[Double] == VectorOps.dot(a, b))
+  }
+}

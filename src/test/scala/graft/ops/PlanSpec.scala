@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Physical-plan audit (builder prompt: "iterate until it's the plan
+  * you'd want"): locks in the plan shapes the 100 TB design depends on —
+  * no shuffle in the top-k path, filters pushed to parquet, columns
+  * pruned, dims broadcast, no accidental cartesian products. A regression
+  * here is a performance bug even when results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(q: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): String = {
+    val df = q(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("v01 flagship: TakeOrderedAndProject, codegen vec_dot, zero shuffle") {
+    val p = planOf(VectorQueries.v01_search_topk)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("vec_dot"), p)
+    assert(!p.contains("Exchange"), s"flagship scored scan must not shuffle:\n$p")
+  }
+
+  test("q04: LIKE prefix pushed to parquet, text column pruned") {
+    val p = planOf(RelationalQueries.q04_scan_filter_like)
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("StringStartsWith"), p)
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("text"),
+      s"projection must prune the wide text column:\n$readSchema")
+  }
+
+  test("j02 star join: all three dims broadcast") {
+    val p = planOf(JoinQueries.j02_star_join_agg)
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("j03: anti join planned as LeftAnti") {
+    val p = planOf(JoinQueries.j03_anti_join)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q01: aggregation is partial (map-side) + final") {
+    val p = planOf(RelationalQueries.q01_pricing_summary)
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("d06 LSH join: bucket equi-join, no cartesian product") {
+    val p = planOf(DedupQueries.d06_cosine_lsh)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("n02 LSH top-k: candidate filter is a scan predicate, no shuffle") {
+    val p = planOf(AnnQueries.n02_ann_lsh_topk)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("whole-stage codegen covers the flagship scored scan") {
+    // toString abbreviates WholeStageCodegen stages as `*(N)` prefixes
+    val p = planOf(VectorQueries.v01_search_topk)
+    assert(p.contains("*(1) Project"), p)
+  }
+}
