@@ -13,10 +13,18 @@ import graft.ops.{AnnQueries, IngestQueries, MediaQueries, DedupQueries, EventQu
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The reference's `zebra -stripes +spots` shape (README.md:15): signed
-    * term combine → brute-force cosine top-k (SURVEY §3.1). */
-  def entry(spark: SparkSession): DataFrame =
-    VectorQueries.v01_search_topk(spark, "/root/testdata/sf0.001")
+    * The reference's `zebra -stripes +spots` shape (README.md:15) driven
+    * through the FULL stack: parser → term resolution (centroid word
+    * table) → combine → codegen-scored top-k via the engine façade
+    * (SURVEY §3.1). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val store = new graft.engine.SnapshotStore(dir)
+    store.initFrom(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    val engine = new graft.engine.RClipEngine(
+      spark, store, new graft.embed.DeterministicEmbedder(64))
+    engine.search("label5 -label6", 12)
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
