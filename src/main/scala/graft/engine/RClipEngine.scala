@@ -212,6 +212,33 @@ final class RClipEngine(
         }
     }
 
+  /** `/img/{id}` thumbnail-size rewrite: the stored 600px CDN variant
+    * rewritten to the requested size (`rclip_server.py:461-463`). Returns
+    * None for unknown ids or rows without a thumb URL. */
+  def thumbnailUrl(id: Long, size: Int = 600): Option[String] = {
+    val cols = activeDf.columns
+    if (!cols.contains("thumb_url")) None
+    else activeDf.filter(col(idCol) === id).select(col("thumb_url"))
+      .as[Option[String]].collect().headOption.flatten
+      .map(_.replaceFirst("/600px-", s"/${size}px-"))
+  }
+
+  /** `/info/{id}` — metadata + stored embedding for one row. The
+    * reference's handler calls a nonexistent method and would throw
+    * (`rclip_server.py:483`, SURVEY §7.4); implemented as intended. */
+  def info(id: Long): Option[(Long, Array[Float])] =
+    activeDf.filter(col(idCol) === id)
+      .select(col(idCol), col(vecCol))
+      .as[(Long, Array[Float])].collect().headOption
+
+  /** `/copyright_message` — derived from the store location, mirroring
+    * the reference's regex-on-db-name contract (`rclip_server.py:276,
+    * 489-492`). */
+  def copyrightMessage: String =
+    if (store.root.toLowerCase.contains("wikimedia"))
+      "Images are from Wikimedia Commons; see each image's description page for its license."
+    else s"Corpus at ${store.root}; licensing unknown."
+
   // ------------------------------------------------------------ mutations
 
   /** M1 — censor: soft-delete by id, gated by key (`rclip_server.py:

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Scale-pattern operators: the shapes that only matter when the data is
+  * big — hierarchical aggregation and skew-safe two-stage (salted)
+  * aggregation — each verified against an oracle computing the same
+  * result the direct way, plus an approximate-distinct sketch (rows-only
+  * check: approximation has no exact oracle).
+  */
+object ScaleQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** r01: ROLLUP hierarchy — revenue at (returnflag, linestatus), per
+    * returnflag subtotal, and grand total in one pass (Expand + single
+    * shuffle). */
+  val r01_rollup: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  /** s01: salted two-stage aggregation — the skew-join/agg pattern: a hot
+    * grouping key is sharded across `salt` sub-keys (stage 1 partial agg
+    * on (key, salt)), then the shards combine (stage 2 on key). Result is
+    * EXACTLY the plain groupBy (the oracle computes it directly) but no
+    * single reducer ever sees a whole hot key — the shape that survives a
+    * key owning 30% of 100 TB. */
+  val s01_salted_agg: Q = (s, d) => {
+    val salted = Tables.events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+    salted
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), round(sum(col("pv")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** h01: approximate distinct users per event type (HLL++). No exact
+    * oracle by construction → rows-only check; the exact twin e-query
+    * families cover correctness, this covers the sketch surface. */
+  val h01_approx_distinct: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "r01_rollup" -> r01_rollup,
+    "s01_salted_agg" -> s01_salted_agg,
+    "h01_approx_distinct" -> h01_approx_distinct)
+
+  def oracleSql: Map[String, String] = Map(
+    "r01_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "s01_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    // h01 intentionally has no oracle (approximate) → rows-only check
+  )
+}

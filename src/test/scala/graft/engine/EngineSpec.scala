@@ -107,6 +107,28 @@ class EngineSpec extends SparkSpec {
     assert(Colormap.hex(0.0) != Colormap.hex(1.0))
   }
 
+  test("thumbnailUrl rewrites the 600px CDN variant; info returns id+vector") {
+    // build a store with thumb URLs (ingested-style schema)
+    val dir = java.nio.file.Files.createTempDirectory("graft-thumb").toString
+    val store = new SnapshotStore(dir)
+    val ing = new graft.ingest.Ingest(spark, store,
+      new DeterministicEmbedder(64), FakeImageFetcher)
+    val f = java.nio.file.Files.createTempFile("l", ".ndjson")
+    java.nio.file.Files.writeString(f,
+      """{"descr_url": "https://w/D1", "url": "https://up/img_1.jpg", "size": 5}""")
+    ing.run(f.toString)
+    val e = new RClipEngine(spark, store, new DeterministicEmbedder(64),
+      idCol = "id", vecCol = "vector")
+    assert(e.thumbnailUrl(1L, 128).contains("https://up/128px-img_1.jpg"))
+    assert(e.thumbnailUrl(999L).isEmpty)
+    val (id, vec) = e.info(1L).get
+    assert(id == 1L && vec.length == 64)
+    assert(e.info(999L).isEmpty) // the reference's /info would throw here
+    // embeddings-table store has no thumb_url column → None, not an error
+    assert(engine.thumbnailUrl(1L).isEmpty)
+    assert(engine.copyrightMessage.nonEmpty)
+  }
+
   test("M1: censor soft-deletes behind the key and refreshes (S8)") {
     val e = freshEngine()
     val n0 = e.count()
