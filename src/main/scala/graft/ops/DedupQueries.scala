@@ -197,11 +197,16 @@ object DedupQueries {
     * stays O(bucket²) not O(N²). Word-3-gram sets; inclusion-exclusion
     * union size. */
   val d04_ngram_jaccard: Q = (s, d) => {
+    // guard: Spark sequence(1, n) DESCENDS for n<1 (unlike DuckDB range,
+    // which is empty) — a <3-word doc would hit element_at(arr, 0) and
+    // crash without the CASE
     val grams =
-      """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
-        | i -> concat(element_at(split(text, ' '), i), '_',
-        |            element_at(split(text, ' '), i + 1), '_',
-        |            element_at(split(text, ' '), i + 2))))""".stripMargin
+      """CASE WHEN size(split(text, ' ')) >= 3 THEN
+        | array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+        |  i -> concat(element_at(split(text, ' '), i), '_',
+        |             element_at(split(text, ' '), i + 1), '_',
+        |             element_at(split(text, ' '), i + 2))))
+        |ELSE array() END""".stripMargin
     // INVERTED INDEX shape: explode distinct grams → gram-level equi-join
     // → pair count = |intersection| → inclusion-exclusion union. Every
     // step is a codegen hash join/agg; cost is O(Σ posting-list²), not
