@@ -217,7 +217,12 @@ object DedupQueries {
     val docs = Tables.documents(s, d)
       .selectExpr("doc_id", "source", s"$grams AS g")
       .selectExpr("doc_id", "source", "size(g) AS n", "g")
+    // materialize the posting list before self-joining: without the
+    // cache BOTH join sides re-derive the gram arrays (interpreted
+    // transform/concat lambdas), measured 215s vs 5.5s at sf0.1 — the
+    // same rule as any inverted index: build once, probe many
     val inv = docs.selectExpr("doc_id", "source", "n", "explode(g) AS gram")
+      .cache()
     inv.as("x").join(inv.as("y"),
         col("x.gram") === col("y.gram") &&
           col("x.source") === col("y.source") &&
@@ -260,6 +265,7 @@ object DedupQueries {
       .withColumn("tb", explode(array(bucketStructs: _*)))
       .select(col("vec_id"), col("embedding"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .cache() // self-join below would otherwise compute 18 plane dots twice
     bucketed.as("x").join(bucketed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))

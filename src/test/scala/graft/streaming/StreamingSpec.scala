@@ -51,6 +51,32 @@ class StreamingSpec extends SparkSpec {
     query.stop()
   }
 
+  test("stream/batch unification: streaming hourly counts == batch result") {
+    // stream the REAL events table through the windowed aggregation and
+    // compare against the same aggregation run as a batch query — the
+    // unification guarantee Structured Streaming is built on
+    val batchEvents = graft.model.Tables.events(spark, sf)
+      .select("ts", "event_type", "value")
+    val dir = Files.createTempDirectory("stream-eq").toString
+    batchEvents.write.parquet(s"$dir/in")
+
+    val streamIn = spark.readStream
+      .schema(batchEvents.schema).parquet(s"$dir/in")
+    val q = StreamingOps.hourlyCounts(streamIn).writeStream
+      .format("memory").queryName("eq_stream").outputMode("complete").start()
+    q.processAllAvailable()
+
+    val streamed = spark.table("eq_stream")
+      .orderBy("hour", "event_type")
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+    val batch = StreamingOps.hourlyCounts(batchEvents) // same code path
+      .orderBy("hour", "event_type")
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+    q.stop()
+  }
+
   test("mapGroupsWithState sessionization counts per-user events") {
     import spark.implicits._
     implicit val s = spark
