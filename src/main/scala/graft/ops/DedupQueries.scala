@@ -230,8 +230,10 @@ object DedupQueries {
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.n").as("na"), col("y.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
+      // integer half-up division: round(p/q, 4) is engine-divergent at
+      // shortest-repr ties (SURVEY §7.4 float discipline)
       .selectExpr("doc_a", "doc_b",
-        "round(inter / (na + nb - inter), 4) AS jaccard")
+        "((20000 * inter + (na + nb - inter)) div (2 * (na + nb - inter))) / 10000.0D AS jaccard")
       .filter(col("jaccard") >= 0.02)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -364,8 +366,10 @@ object DedupQueries {
           |         len(x.g) AS na, len(y.g) AS nb
           |  FROM docs x JOIN docs y
           |    ON x.source = y.source AND x.doc_id < y.doc_id)
-          |SELECT doc_a, doc_b, round(inter / (na + nb - inter), 4) AS jaccard
-          |FROM pairs WHERE round(inter / (na + nb - inter), 4) >= 0.02
+          |SELECT doc_a, doc_b,
+          |       ((20000 * inter + (na + nb - inter)) // (2 * (na + nb - inter))) / 10000.0 AS jaccard
+          |FROM pairs
+          |WHERE ((20000 * inter + (na + nb - inter)) // (2 * (na + nb - inter))) / 10000.0 >= 0.02
           |ORDER BY doc_a, doc_b""".stripMargin,
       "d05_cosine_brute" ->
         """SELECT x.vec_id AS id_a, y.vec_id AS id_b,

@@ -46,11 +46,21 @@ object EventQueries {
   }
 
   /** Event-time bucketing: hourly tumbling windows via date_trunc —
-    * partial aggregation map-side, one shuffle on (hour, type). */
+    * partial aggregation map-side, one shuffle on (hour, type).
+    * The average is computed over per-row integer microunits
+    * (`CAST(round(value·1e6) AS BIGINT)`): the long sum is exact and
+    * order-free, so Spark's partition order and DuckDB produce identical
+    * doubles — a plain avg(double) differs at ~1e-13 between engines and
+    * flipped a 4-dp rounding tie at sf0.1. */
   val e03_hourly_agg: Q = (s, d) => {
     Tables.events(s, d)
+      .withColumn("micro", expr("CAST(round(value * 1000000.0D) AS BIGINT)"))
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n"),
+        // integer half-up division of the exact micro sum: no double
+        // round() anywhere → identical on both engines at any sf
+        expr("((2 * sum(micro) + 100 * count(1)) div (200 * count(1))) / 10000.0D")
+          .as("avg_value"))
       .orderBy(col("hour"), col("event_type"))
   }
 
@@ -108,7 +118,9 @@ object EventQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e03_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
-        |       count(*) AS n, round(avg(value), 4) AS avg_value
+        |       count(*) AS n,
+        |       ((2 * sum(CAST(round(value * 1000000.0) AS BIGINT)) + 100 * count(*))
+        |          // (200 * count(*))) / 10000.0 AS avg_value
         |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
     "e04_window_rank" ->
       """WITH ranked AS (

@@ -18,16 +18,23 @@ object RelationalQueries {
     * map-side partial aggregation (Catalyst plans partial_sum/partial_avg
     * before the single shuffle on the 4-value grouping key — the plan that
     * survives 100 TB because the shuffle carries only group rows). */
+  /** Averages of exact quantities use integer half-up division
+    * (`(2·10⁴·p + q) div (2q)` then /10⁴): `round(p/q, 4)` on a rational
+    * is engine-divergent at shortest-repr ties — Spark rounds the decimal
+    * repr, DuckDB the binary value (found at sf0.1, SURVEY §7.4). */
   val q01_pricing_summary: Q = (s, d) => {
     import s.implicits._
     Tables.lineitem(s, d)
+      .withColumn("disc4", expr("CAST(round(l_discount * 10000.0D) AS BIGINT)"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         round(sum($"l_quantity"), 2).as("sum_qty"),
         round(sum($"l_extendedprice"), 2).as("sum_base_price"),
         round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
-        round(avg($"l_quantity"), 4).as("avg_qty"),
-        round(avg($"l_discount"), 4).as("avg_disc"),
+        expr("((20000 * CAST(sum(l_quantity) AS BIGINT) + count(1)) div (2 * count(1))) / 10000.0D")
+          .as("avg_qty"),
+        expr("((2 * sum(disc4) + count(1)) div (2 * count(1))) / 10000.0D")
+          .as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -91,8 +98,8 @@ object RelationalQueries {
         | round(sum(l_quantity),2) AS sum_qty,
         | round(sum(l_extendedprice),2) AS sum_base_price,
         | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
-        | round(avg(l_quantity),4) AS avg_qty,
-        | round(avg(l_discount),4) AS avg_disc,
+        | ((20000 * sum(l_quantity)::BIGINT + count(*)) // (2 * count(*))) / 10000.0 AS avg_qty,
+        | ((2 * sum(CAST(round(l_discount * 10000.0) AS BIGINT)) + count(*)) // (2 * count(*))) / 10000.0 AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

@@ -65,13 +65,18 @@ object TextQueries {
         "size(split(text, ' ')) AS n_words",
         s"${hitExpr(markers.head._2)} AS sw_hits",
         "size(array_distinct(split(text, ' '))) AS n_distinct")
+      // all three outputs are rationals p/q — rendered via integer
+      // half-up division, because round(p/q, 4) diverges between engines
+      // at shortest-repr ties (Spark rounds the decimal repr, DuckDB the
+      // binary value; bit 0.65875 = 527/800 at sf0.1). The quality
+      // formula ×10⁴ is (4000·nd + 3000·(nw−sw))/nw + 30·min(nw,100).
       .selectExpr(
         "doc_id", "n_words",
-        "round(n_distinct / n_words, 4) AS distinct_ratio",
-        "round(sw_hits / n_words, 4) AS stopword_ratio",
-        """round(0.4 * (n_distinct / n_words)
-          | + 0.3 * (1.0 - sw_hits / n_words)
-          | + 0.3 * least(n_words / 100.0, 1.0), 4) AS quality""".stripMargin)
+        "((20000 * n_distinct + n_words) div (2 * n_words)) / 10000.0D AS distinct_ratio",
+        "((20000 * sw_hits + n_words) div (2 * n_words)) / 10000.0D AS stopword_ratio",
+        """((2 * (4000 * n_distinct + 3000 * (n_words - sw_hits)) + n_words)
+          |   div (2 * n_words) + 30 * least(n_words, 100)) / 10000.0D
+          |AS quality""".stripMargin)
       .orderBy(col("doc_id"))
   }
 
@@ -149,11 +154,10 @@ object TextQueries {
            |         len(list_distinct(string_split(text, ' '))) AS n_distinct
            |  FROM documents)
            |SELECT doc_id, n_words::INT AS n_words,
-           |       round(n_distinct / n_words, 4) AS distinct_ratio,
-           |       round(sw_hits / n_words, 4) AS stopword_ratio,
-           |       round(0.4 * (n_distinct / n_words)
-           |         + 0.3 * (1.0 - sw_hits / n_words)
-           |         + 0.3 * least(n_words / 100.0, 1.0), 4) AS quality
+           |       ((20000 * n_distinct + n_words) // (2 * n_words)) / 10000.0 AS distinct_ratio,
+           |       ((20000 * sw_hits + n_words) // (2 * n_words)) / 10000.0 AS stopword_ratio,
+           |       ((2 * (4000 * n_distinct + 3000 * (n_words - sw_hits)) + n_words)
+           |          // (2 * n_words) + 30 * least(n_words, 100)) / 10000.0 AS quality
            |FROM base ORDER BY doc_id""".stripMargin,
       "t03_token_count" ->
         """SELECT doc_id,
