@@ -41,9 +41,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // single timed run per query — the warmup pass already absorbed JIT,
-    // codegen, and file-listing costs; 2 runs/query keeps total wall sane
-    val results = qs.map { case (name, fn) => name -> timeOnce(fn) }
+    // best of 2 timed runs per query (each from a cold cache — clearCache
+    // in timeOnce), so one anomalous run (GC pause, co-tenant load, a
+    // cache race) can't define the recorded number — VERDICT r01 #3
+    def timeBest(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val a = timeOnce(fn)
+      if (a < 0) return a
+      val b = timeOnce(fn)
+      if (b < 0) a else math.min(a, b)
+    }
+
+    val results = qs.map { case (name, fn) => name -> timeBest(fn) }
 
     val micro = microDot(spark)
 

@@ -36,9 +36,15 @@ final class RClipEngine(
     idCol: String = "vec_id",
     vecCol: String = "embedding",
     censorKey: Option[String] = None,
-    seed: Long = 42L) extends StoredVectors {
+    seed: Long = 42L,
+    pathLike: Option[String] = None) extends StoredVectors {
 
   import spark.implicits._
+
+  // all scoring below uses the codegen vec_dot expression (same plan shape
+  // the oracle queries are PlanSpec-locked to); register for foreign
+  // sessions that didn't come through graft.Sessions
+  VectorOps.ensureRegistered(spark)
 
   // ---------------------------------------------------------------- state
 
@@ -48,14 +54,18 @@ final class RClipEngine(
   private def hasDeleted = store.read(spark).columns.contains("deleted")
 
   /** Scan + soft-delete filter (S1/P2): `deleted IS NULL OR NOT deleted`,
-    * exact three-valued logic (`rclip_server.py:210`). */
+    * exact three-valued logic, plus the reference's optional parameterized
+    * `filepath LIKE` scan restriction (`rclip_server.py:206-212`) — a
+    * plain Catalyst predicate, so prefix patterns push down to the scan as
+    * StringStartsWith. Requires a `filepath` column when set. */
   private def loadActive(): DataFrame = {
     val df = store.read(spark)
     val live =
       if (df.columns.contains("deleted"))
         df.filter(col("deleted").isNull || col("deleted") === false)
       else df
-    live.cache()
+    val scoped = pathLike.fold(live)(p => live.filter(col("filepath").like(p)))
+    scoped.cache()
   }
 
   /** Live (non-deleted) rows, cached. */
@@ -122,7 +132,7 @@ final class RClipEngine(
 
   private def scoreTopK(df: DataFrame, v: Array[Float], k: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        round(VectorOps.dotQuery(col(vecCol), v), 4).as("score"))
+        round(VectorOps.dotQueryNative(col(vecCol), v), 4).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
 
@@ -138,24 +148,29 @@ final class RClipEngine(
       case None => spark.emptyDataFrame.limit(0)
       case Some(v) =>
         words.select(col("word"),
-            round(VectorOps.dotQuery(col("vector"), v), 4).as("score"))
+            round(VectorOps.dotQueryNative(col("vector"), v), 4).as("score"))
           .orderBy(col("score").desc, col("word").asc)
           .limit(num)
     }
 
   /** W1–W3 — random multi-word phrase candidates scored by the normalized
-    * word-vector-sum estimate (`rclip_server.py:314-342`). Distributed
-    * shape: candidates → explode → broadcast-join words → vector-sum
-    * aggregate → normalize → dot → top-k. Deterministic via seed. */
+    * word-vector-sum estimate, or (`exact = true`) by re-encoding each
+    * phrase with the base encoder — the reference keeps both variants as
+    * an explicit accuracy/speed trade (`rclip_server.py:314-342`; the
+    * exact CLIP-encode at `:320-328`). Distributed shape (estimate):
+    * candidates → explode → broadcast-join words → vector-sum aggregate →
+    * normalize → dot → top-k; (exact): candidates → encoder UDF → top-k.
+    * Deterministic via seed. */
   def similarPhrases(q: String, num: Int = 50,
-      combosPerLen: Int = 1000, topWords: Int = 200): DataFrame =
+      combosPerLen: Int = 1000, topWords: Int = 200,
+      exact: Boolean = false): DataFrame =
     resolver.resolve(q) match {
       case None => spark.emptyDataFrame.limit(0)
       case Some(v) =>
         // top-`topWords` words for this query (reference :331)
         val pool = words
           .select(col("word"), col("vector"),
-            VectorOps.dotQuery(col("vector"), v).as("wscore"))
+            VectorOps.dotQueryNative(col("vector"), v).as("wscore"))
           .orderBy(col("wscore").desc, col("word").asc)
           .limit(topWords)
           .select("word").as[String].collect()
@@ -169,20 +184,35 @@ final class RClipEngine(
         val candidates = (2 to 4).flatMap { len =>
           (1 to combosPerLen).map(_ => pick(len).mkString(" "))
         }.distinct
-        val candDf = candidates.toDF("phrase")
-          .withColumn("word", explode(split(col("phrase"), " ")))
-        val toUnitFloat = udf { (a: Array[Double]) =>
-          if (a == null) null
-          else VectorOps.normalize(a.map(_.toFloat))
+        if (exact) {
+          // W2 exact: per-candidate re-encode in a distributed UDF (the
+          // encoder port is Serializable — ship the base embedder, never
+          // the engine). No driver loop; the candidate set stays on
+          // executors until the k-bounded top-k merge.
+          val enc = embedder
+          val exactScore = udf { (phrase: String) =>
+            java.lang.Double.valueOf(VectorOps.dot(enc.embedText(phrase), v))
+          }
+          candidates.toDF("phrase")
+            .select(col("phrase"), round(exactScore(col("phrase")), 4).as("score"))
+            .orderBy(col("score").desc, col("phrase").asc)
+            .limit(num)
+        } else {
+          val candDf = candidates.toDF("phrase")
+            .withColumn("word", explode(split(col("phrase"), " ")))
+          val toUnitFloat = udf { (a: Array[Double]) =>
+            if (a == null) null
+            else VectorOps.normalize(a.map(_.toFloat))
+          }
+          candDf
+            .join(broadcast(words), "word") // J3; words is tiny → broadcast
+            .groupBy("phrase")
+            .agg(VectorAggregators.vecSum(col("vector")).as("vsum")) // W1
+            .select(col("phrase"),
+              round(VectorOps.dotQueryNative(toUnitFloat(col("vsum")), v), 4).as("score"))
+            .orderBy(col("score").desc, col("phrase").asc)
+            .limit(num)
         }
-        candDf
-          .join(broadcast(words), "word") // J3; words is tiny → broadcast
-          .groupBy("phrase")
-          .agg(VectorAggregators.vecSum(col("vector")).as("vsum")) // W1
-          .select(col("phrase"),
-            round(VectorOps.dotQuery(toUnitFloat(col("vsum")), v), 4).as("score"))
-          .orderBy(col("score").desc, col("phrase").asc)
-          .limit(num)
     }
 
   // ---------------------------------------------------------------- stats

@@ -119,6 +119,43 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** S1 BLOB variant (VERDICT r01 missing #1): the reference stores
+    * embeddings as a BLOB of dim little-endian float32 words, decoded at
+    * scan (`rclip_server.py:215`; schema `index_wikimedia.py:64`).
+    * `vec_decode` reads that format into `ARRAY<FLOAT>`; `vec_encode` is
+    * its inverse (writing reference-format snapshots). Codegen emits one
+    * static call per row into [[VecCodec]] — no boxing, stays inside the
+    * WholeStageCodegen stage. */
+  case class VecDecode(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def prettyName: String = "vec_decode"
+
+    override def nullSafeEval(a: Any): Any =
+      VecCodec.decodeLE(a.asInstanceOf[Array[Byte]])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.expr.VecCodec.decodeLE($a);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class VecEncode(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "vec_encode"
+
+    override def nullSafeEval(a: Any): Any =
+      VecCodec.encodeLE(a.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.expr.VecCodec.encodeLE($a);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private def arity(name: String, n: Int)(
       build: Seq[Expression] => Expression): Seq[Expression] => Expression =
     args => {
@@ -136,7 +173,41 @@ object VectorExpressions {
       arity("vec_norm", 1)(args => VecNorm(args(0)))),
     (FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
-      arity("vec_cosine", 2)(args => VecCosine(args(0), args(1)))))
+      arity("vec_cosine", 2)(args => VecCosine(args(0), args(1)))),
+    (FunctionIdentifier("vec_decode"),
+      new ExpressionInfo(classOf[VecDecode].getName, "vec_decode"),
+      arity("vec_decode", 1)(args => VecDecode(args(0)))),
+    (FunctionIdentifier("vec_encode"),
+      new ExpressionInfo(classOf[VecEncode].getName, "vec_encode"),
+      arity("vec_encode", 1)(args => VecEncode(args(0)))))
+}
+
+/** Static helpers for the blob codec — a top-level object so scalac emits
+  * true static forwarders that Janino-generated code can call directly. */
+object VecCodec {
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
+  /** BLOB of little-endian float32 → ArrayData (the reference's storage
+    * format). Trailing bytes beyond the last whole word are ignored. */
+  def decodeLE(bytes: Array[Byte]): ArrayData = {
+    val n = bytes.length / 4
+    val out = new Array[Float](n)
+    java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asFloatBuffer().get(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** ARRAY<FLOAT> → BLOB of little-endian float32 (inverse of decodeLE). */
+  def encodeLE(arr: ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val bytes = new Array[Byte](n * 4)
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) { buf.putFloat(arr.getFloat(i)); i += 1 }
+    bytes
+  }
 }
 
 /** `spark.sql.extensions` entry point registering the vector functions. */

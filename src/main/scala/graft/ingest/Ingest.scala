@@ -1,7 +1,6 @@
 package graft.ingest
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.embed.Embedder
@@ -56,8 +55,20 @@ final class Ingest(
     StructField("vector", ArrayType(FloatType), nullable = true),
     StructField("deleted", BooleanType, nullable = true)))
 
-  def run(ndjsonPath: String): IngestStats = {
-    val listed = spark.read.schema(listingSchema).json(ndjsonPath)
+  def run(ndjsonPath: String): IngestStats =
+    runOnListing(spark.read.schema(listingSchema).json(ndjsonPath))
+
+  /** S6: ingest a MediaWiki category — the reference's
+    * `get_images_in_category` walk (`index_wikimedia.py:105-109`) through
+    * the driver-iterator→DataFrame shim, then the distributed I2–I6. */
+  def runOnCategory(src: graft.sources.CategorySource, category: String): IngestStats =
+    runOnListing(graft.sources.CategorySources.listingDf(spark, src, category))
+
+  /** I2–I6 over an already-loaded listing DataFrame — the entry point the
+    * streaming sink feeds micro-batches into directly (no driver
+    * round-trip; VERDICT r01 #4). */
+  def runOnListing(listing: DataFrame): IngestStats = {
+    val listed = listing
       .filter(col("descr_url").isNotNull && col("url").isNotNull)
 
     // I2: drop keys already indexed (and in-listing duplicates)
@@ -94,16 +105,27 @@ final class Ingest(
       }
       .toDF("descr_url", "filepath", "thumb_url", "size", "vector")
 
-    // deterministic id assignment above the current high-water mark
-    // (single-partition window is fine for a batch slice; a huge backfill
-    // would use sortBy + zipWithIndex to keep the numbering distributed)
+    // deterministic id assignment above the current high-water mark,
+    // fully distributed (VERDICT r01 #5: a global row_number window pulls
+    // every new row through ONE task — a stall on a 100 TB backfill).
+    // Range-partition + in-partition sort gives a global order by key, and
+    // zipWithIndex turns partition-local positions into global ranks with
+    // only a per-partition-count job — no single-partition Exchange. The
+    // rank is independent of the sampled range boundaries, so ids are
+    // deterministic (descr_url is unique after the I2 dedup).
     val base = store.latestDir.map(_ => store.read(spark))
     val offset = base.map(_.agg(max(col("id"))).head())
       .collect { case r if !r.isNullAt(0) => r.getLong(0) }
       .getOrElse(0L)
-    val newRows = embedded
-      .withColumn("id",
-        lit(offset) + row_number().over(Window.orderBy(col("descr_url"))))
+    val sorted = embedded
+      .repartitionByRange(col("descr_url"))
+      .sortWithinPartitions("descr_url")
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (offset + i + 1L))
+    }
+    val newRows = spark
+      .createDataFrame(indexed,
+        sorted.schema.add(StructField("id", LongType, nullable = false)))
       .withColumn("deleted", lit(null).cast("boolean"))
       .select(storeSchema.fieldNames.map(col): _*)
 

@@ -14,8 +14,9 @@ import graft.model.Tables
   *  - MinHash+LSH: narrow per-row signature (codegen'd HOFs, no UDF) →
   *    explode to (band, hash) → equi-join inside buckets. Candidate count
   *    is O(near-dups), never O(N²).
-  *  - SimHash: narrow fingerprint → bucket by prefix → intra-bucket
-  *    hamming filter (bit_count(xor)).
+  *  - SimHash: compiled 60-bit fingerprint → 4 permuted 15-bit block
+  *    tables (2^15 buckets each; pigeonhole-exact for hamming ≤ 3) →
+  *    intra-bucket hamming filter (bit_count(xor)).
   *  - n-gram Jaccard: bucketed (by source) pairwise exact Jaccard — the
   *    verification stage LSH candidates feed at scale.
   *  - cosine: brute-force O(N²) baseline vs hyperplane-LSH candidates
@@ -164,30 +165,81 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** d03: SimHash — 16-bit fingerprint from token hashes (per-bit
-    * majority vote), bucket by 8-bit prefix, hamming ≤ 3 via
-    * bit_count(xor). Narrow until the bucket join. */
+  /** Seeded (A,B) rescrambling constants for the 4 simhash blocks:
+    * h_s(p) = (A_s·p + B_s) mod P. Literals shared with the oracle. */
+  private val SIM_A = Array(1103515245L, 1299709L, 15485863L, 32452843L)
+  private val SIM_B = Array(12345L, 67890L, 54321L, 98765L)
+
+  /** d03: SimHash near-dup — 60-bit fingerprint (4 blocks × 15 bits; bit
+    * b of block s votes with bit b of the seed-s rescrambled token hash),
+    * block-table LSH join, exact hamming ≤ 3 via bit_count(xor).
+    *
+    * Scale design (VERDICT r01 #2): the fingerprint is ONE compiled UDF
+    * pass (the interpreted 16-lambda `aggregate` HOF cost 39 s at sf0.1),
+    * materialized before the self-join; candidates come from 4 permuted
+    * block tables of 2^15 buckets each — not the old single 8-bit prefix
+    * (256 buckets, an O(bucket²) ceiling). Pigeonhole makes the candidate
+    * set EXACT, not approximate: hamming ≤ 3 across 4 blocks forces at
+    * least one block to match. 60 bits, not 64, so every shift/sum stays
+    * inside a signed BIGINT on both engines (DuckDB raises on int64
+    * overflow rather than wrapping). */
   val d03_simhash: Q = (s, d) => {
-    val pows = (0 to 3).map(k => math.pow(31, k).toLong).reverse
-    // rpad to 4 chars: keeps the polynomial total and avoids the engines'
-    // divergent empty-string codepoints (Spark ascii('')=0, DuckDB −1)
-    val poly = (1 to 4).zip(pows)
-      .map { case (j, pw) => s"ascii(substr(rpad(w, 4, '_'), $j, 1)) * ${pw}L" }
-      .mkString(" + ")
-    val tokHash = s"transform(split(text, ' '), w -> ($poly) % ${P}L)"
-    val bits = (0 until 16).map { j =>
-      s"CASE WHEN aggregate(th, CAST(0 AS BIGINT), (acc, h) -> acc + (CASE WHEN shiftright(h, $j) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j}L ELSE 0L END"
-    }.mkString(" + ")
+    val as = SIM_A; val bs = SIM_B
+    val simUdf = udf { (text: String) =>
+      val counts = new Array[Int](60)
+      if (text != null) {
+        val ws = text.split(" ", -1)
+        var wi = 0
+        while (wi < ws.length) {
+          val w = ws(wi)
+          // 4-char rpad('_') Horner base 31 == the oracle's unicode()
+          // polynomial (ASCII corpus; rpad dodges the engines' divergent
+          // empty-string codepoints: Spark ascii('')=0, DuckDB -1)
+          var p = 0L
+          var j = 0
+          while (j < 4) {
+            p = p * 31 + (if (j < w.length) w.charAt(j).toInt else '_'.toInt)
+            j += 1
+          }
+          p %= P
+          var si = 0
+          while (si < 4) {
+            val h = (as(si) * p + bs(si)) % P
+            var b = 0
+            while (b < 15) {
+              if (((h >> b) & 1L) == 1L) counts(15 * si + b) += 1
+              else counts(15 * si + b) -= 1
+              b += 1
+            }
+            si += 1
+          }
+          wi += 1
+        }
+      }
+      var f = 0L
+      var i = 0
+      while (i < 60) { if (counts(i) > 0) f |= (1L << i); i += 1 }
+      f
+    }
     val sims = Tables.documents(s, d)
-      .selectExpr("doc_id", s"$tokHash AS th")
-      .selectExpr("doc_id", s"($bits) AS simhash")
-      .selectExpr("doc_id", "simhash", "shiftright(simhash, 8) AS bucket")
+      .select(col("doc_id"), simUdf(col("text")).as("simhash"))
+    val blockStructs = (0 until 4).map { t =>
+      struct(lit(t).as("tbl"),
+        expr(s"shiftright(simhash, ${15 * t}) & 32767").as("bucket"))
+    }
+    val blocked = sims
+      .withColumn("tb", explode(array(blockStructs: _*)))
+      .select(col("doc_id"), col("simhash"), col("tb.tbl"), col("tb.bucket"))
       .cache()
-    sims.as("x").join(sims.as("y"),
-        col("x.bucket") === col("y.bucket") &&
+    blocked.count() // materialize BEFORE the self-join: without this both
+    // join sides race to build the cache and recompute the fingerprints
+    // (the BENCH_r01 "Block rdd already exists" failure mode)
+    blocked.as("x").join(blocked.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .selectExpr("x.doc_id AS doc_a", "y.doc_id AS doc_b",
         "CAST(bit_count(x.simhash ^ y.simhash) AS INT) AS hamming")
+      .distinct() // a pair can share several blocks
       .filter(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -197,32 +249,38 @@ object DedupQueries {
     * stays O(bucket²) not O(N²). Word-3-gram sets; inclusion-exclusion
     * union size. */
   val d04_ngram_jaccard: Q = (s, d) => {
-    // guard: Spark sequence(1, n) DESCENDS for n<1 (unlike DuckDB range,
-    // which is empty) — a <3-word doc would hit element_at(arr, 0) and
-    // crash without the CASE
-    val grams =
-      """CASE WHEN size(split(text, ' ')) >= 3 THEN
-        | array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
-        |  i -> concat(element_at(split(text, ' '), i), '_',
-        |             element_at(split(text, ' '), i + 1), '_',
-        |             element_at(split(text, ' '), i + 2))))
-        |ELSE array() END""".stripMargin
+    // Grams in ONE compiled pass (word 3-grams, first-occurrence
+    // distinct, matching array_distinct semantics). The interpreted
+    // transform/concat lambda chain — recomputed on BOTH sides of the
+    // self-join by the unmaterialized-cache race — was 403 s of the
+    // 474 s BENCH_r01 total (VERDICT r01 #1).
+    val gramUdf = udf { (text: String) =>
+      if (text == null) Array.empty[String]
+      else {
+        val ws = text.split(" ", -1) // -1: keep trailing empties, like Spark split / DuckDB string_split
+        if (ws.length < 3) Array.empty[String]
+        else {
+          val seen = new java.util.LinkedHashSet[String]
+          var i = 0
+          while (i + 2 < ws.length) {
+            seen.add(ws(i) + "_" + ws(i + 1) + "_" + ws(i + 2))
+            i += 1
+          }
+          seen.toArray(new Array[String](seen.size))
+        }
+      }
+    }
     // INVERTED INDEX shape: explode distinct grams → gram-level equi-join
     // → pair count = |intersection| → inclusion-exclusion union. Every
     // step is a codegen hash join/agg; cost is O(Σ posting-list²), not
-    // O(pairs × set-op). Measured at sf0.1: 21s vs 29s per-pair
-    // array_intersect vs 277s interpreted per-pair HOF. (This corpus's
-    // 31-word vocab makes posting lists unusually dense — on real text
-    // the gap to per-pair set ops widens sharply.)
+    // O(pairs × set-op). (This corpus's 31-word vocab makes posting lists
+    // unusually dense — on real text the gap widens sharply.)
     val docs = Tables.documents(s, d)
-      .selectExpr("doc_id", "source", s"$grams AS g")
+      .select(col("doc_id"), col("source"), gramUdf(col("text")).as("g"))
       .selectExpr("doc_id", "source", "size(g) AS n", "g")
-    // materialize the posting list before self-joining: without the
-    // cache BOTH join sides re-derive the gram arrays (interpreted
-    // transform/concat lambdas), measured 215s vs 5.5s at sf0.1 — the
-    // same rule as any inverted index: build once, probe many
     val inv = docs.selectExpr("doc_id", "source", "n", "explode(g) AS gram")
       .cache()
+    inv.count() // materialize: build the posting list once, probe it twice
     inv.as("x").join(inv.as("y"),
         col("x.gram") === col("y.gram") &&
           col("x.source") === col("y.source") &&
@@ -243,6 +301,14 @@ object DedupQueries {
     * avoid at scale). */
   val d05_cosine_brute: Q = (s, d) => {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // explicit scale guard (VERDICT r01 #10): this baseline is O(N²) BY
+    // DESIGN and must never run at corpus scale — refuse loudly instead of
+    // silently dominating a bench or a cluster. d06 (bucketed hyperplane
+    // LSH) is the scale path for the same question.
+    val n = emb.count()
+    require(n <= 20000,
+      s"d05_cosine_brute is the documented O(N^2) baseline ($n rows => " +
+        s"~${n * n / 2} pairs); use d06_cosine_lsh at this scale")
     emb.as("x").join(emb.as("y"), col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
         round(graft.vec.VectorOps.cosineColsNative(col("x.embedding"), col("y.embedding")), 4)
@@ -296,9 +362,12 @@ object DedupQueries {
     val simPoly = (1 to 4).zip(simPows)
       .map { case (j, pw) => s"unicode(substr(rpad(w, 4, '_'), $j, 1))::BIGINT * $pw" }
       .mkString(" + ")
-    val simBits = (0 until 16).map { j =>
-      s"CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END"
-    }.mkString(" + ")
+    val simHashed = (0 until 4)
+      .map(s => s"list_transform(th, p -> (${SIM_A(s)} * p + ${SIM_B(s)}) % $P) AS th$s")
+      .mkString(", ")
+    val simBits = (for (s <- 0 until 4; b <- 0 until 15) yield
+      s"(CASE WHEN list_sum(list_transform(th$s, h -> CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << (15 * s + b)} ELSE 0 END)"
+    ).mkString(" + ")
     val planeBuckets = planes.zipWithIndex.map { case (tbl, t) =>
       val bits = tbl.zipWithIndex.map { case (pl, i) =>
         val lit = pl.map(x => x.toFloat.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
@@ -338,17 +407,20 @@ object DedupQueries {
            |FROM pairs WHERE $estJacDuck >= 0.5
            |ORDER BY doc_a, doc_b""".stripMargin,
       "d03_simhash" ->
-        s"""WITH sims AS (
-           |  SELECT doc_id, simhash, simhash >> 8 AS bucket FROM (
-           |    SELECT doc_id, ($simBits)::BIGINT AS simhash FROM (
-           |      SELECT doc_id,
-           |             list_transform(string_split(text, ' '),
-           |               w -> ($simPoly) % $P) AS th
-           |      FROM documents)))
-           |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_transform(string_split(text, ' '),
+           |           w -> ($simPoly) % $P) AS th
+           |  FROM documents),
+           |hashed AS (SELECT doc_id, $simHashed FROM toks),
+           |sims AS (SELECT doc_id, ($simBits)::BIGINT AS simhash FROM hashed),
+           |blocked AS (
+           |  SELECT doc_id, simhash, t.s AS tbl,
+           |         (simhash >> (15 * t.s)) & 32767 AS bucket
+           |  FROM sims, (SELECT unnest([0, 1, 2, 3]) AS s) t)
+           |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
            |       bit_count(xor(x.simhash, y.simhash))::INT AS hamming
-           |FROM sims x JOIN sims y
-           |  ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+           |FROM blocked x JOIN blocked y
+           |  ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.doc_id < y.doc_id
            |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
            |ORDER BY doc_a, doc_b""".stripMargin,
       "d04_ngram_jaccard" ->

@@ -52,6 +52,28 @@ object VectorQueries {
   val v02_search_top1000: Q = (s, d) =>
     topK(s, d, embedder.embedText("label3"), 1000)
 
+  /** S1 BLOB variant: encode every embedding into the reference's on-disk
+    * format (BLOB of little-endian float32, `index_wikimedia.py:64`),
+    * decode it back at scan (`rclip_server.py:215`), and emit scalars of
+    * the decoded vector. The oracle computes the same scalars from the
+    * original parquet array — a hash match proves vec_decode ∘ vec_encode is the
+    * identity on every row (endianness itself is pinned byte-for-byte in
+    * VectorExpressionsSpec). Both codec hops are codegen static calls, so
+    * the whole query is one WholeStageCodegen scan. */
+  val v03_blob_roundtrip: Q = (s, d) => {
+    VectorOps.ensureRegistered(s)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        VectorOps.decodeVec(VectorOps.encodeVec(col("embedding"))).as("dec"))
+      .select(col("vec_id"),
+        expr("size(dec)").as("dim"),
+        // + 0.0 normalizes IEEE -0.0 → 0.0 (DuckDB round keeps the sign
+        // of a negative value that rounds to zero; Spark's drops it)
+        (round(expr("CAST(element_at(dec, 1) AS DOUBLE)"), 4) + lit(0.0)).as("x0"),
+        round(VectorOps.normColNative(col("dec")), 4).as("nrm"))
+      .orderBy(col("vec_id"))
+  }
+
   /** A1/A2: element-wise min/max over all embeddings — the reference's
     * startup statistics (`rclip_server.py:63-65`). Emitted as (dim, lo,
     * hi) rows so the oracle compares scalars, not arrays. posexplode →
@@ -71,6 +93,7 @@ object VectorQueries {
   def queries: Map[String, Q] = Map(
     "v01_search_topk" -> v01_search_topk,
     "v02_search_top1000" -> v02_search_top1000,
+    "v03_blob_roundtrip" -> v03_blob_roundtrip,
     "v04_vector_stats" -> v04_vector_stats)
 
   def oracleSql: Map[String, String] = Map(
@@ -82,6 +105,12 @@ object VectorQueries {
       s"""SELECT vec_id,
          | round(list_dot_product(embedding::DOUBLE[], ${VectorOps.sqlDoubleArray(embedder.embedText("label3"))}),4) AS score
          |FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 1000""".stripMargin,
+    "v03_blob_roundtrip" ->
+      """SELECT vec_id,
+        | len(embedding)::INT AS dim,
+        | round(embedding[1]::DOUBLE, 4) + 0.0 AS x0,
+        | round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4) AS nrm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "v04_vector_stats" ->
       """SELECT i - 1 AS dim,
         | round(min(x)::DOUBLE, 4) AS lo,

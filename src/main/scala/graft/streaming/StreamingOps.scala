@@ -51,15 +51,15 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ingest = new graft.ingest.Ingest(spark, store, embedder, fetcher)
-        val tmp = java.nio.file.Files.createTempFile("batch", ".ndjson")
-        // reuse the batch pipeline stages I2-I6 by replaying the batch as
-        // a listing (tiny per micro-batch; avoids duplicating the logic)
-        val rows = batch.select(to_json(struct(
-          col("descr_url"), col("url"), col("size")))).collect()
-        java.nio.file.Files.writeString(tmp,
-          rows.map(_.getString(0)).mkString("\n"))
-        if (rows.nonEmpty) ingest.run(tmp.toString)
+        // feed the micro-batch DataFrame straight into stages I2-I6 — the
+        // embed/upsert work stays distributed; nothing is collected to
+        // the driver (VERDICT r01 #4)
+        if (!batch.isEmpty) {
+          val ingest = new graft.ingest.Ingest(
+            batch.sparkSession, store, embedder, fetcher)
+          ingest.runOnListing(
+            batch.select(col("descr_url"), col("url"), col("size")))
+        }
         ()
       }
       .start()

@@ -179,4 +179,11 @@ object VectorOps {
     call_function("vec_dot", a, b)
   def cosineColsNative(a: Column, b: Column): Column =
     call_function("vec_cosine", a, b)
+  def normColNative(a: Column): Column =
+    call_function("vec_norm", a)
+
+  /** Reference BLOB storage codec (`index_wikimedia.py:64`,
+    * `rclip_server.py:215`): dim little-endian float32 words. */
+  def encodeVec(a: Column): Column = call_function("vec_encode", a)
+  def decodeVec(a: Column): Column = call_function("vec_decode", a)
 }

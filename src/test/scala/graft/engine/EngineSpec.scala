@@ -93,6 +93,52 @@ class EngineSpec extends SparkSpec {
     assert(a.forall(_.getString(0).split(" ").length >= 2))
   }
 
+  test("W2: exact phrase scoring agrees with the estimate when words are " +
+    "single tokens (both variants callable, same candidates)") {
+    import spark.implicits._
+    // word table where vector == embedText(word): for single-token words
+    // the sum-of-word-vectors estimate and the re-encoded phrase are the
+    // same unit vector, so the two scoring paths must agree (the
+    // reference's accuracy/speed trade, `rclip_server.py:320-328`)
+    val emb = new DeterministicEmbedder(64)
+    val wordsDf = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      .map(w => (w, emb.embedText(w))).toDF("word", "vector")
+    val dir = java.nio.file.Files.createTempDirectory("graft-w2").toString
+    val store = new SnapshotStore(dir)
+    store.initFrom(spark, s"$sf/embeddings.parquet")
+    val e = new RClipEngine(spark, store, emb, wordsSource = Some(wordsDf))
+    val est = e.similarPhrases("alpha", num = 20, combosPerLen = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exa = e.similarPhrases("alpha", num = 20, combosPerLen = 10, exact = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est.nonEmpty)
+    val shared = est.keySet.intersect(exa.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach { p =>
+      assert(math.abs(est(p) - exa(p)) <= 2e-4,
+        s"estimate ${est(p)} vs exact ${exa(p)} for '$p'")
+    }
+  }
+
+  test("S1 pathLike: parameterized filepath LIKE restricts the scan") {
+    // ingested-style store → filepath column exists (rclip_server.py:206-212)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pathlike").toString
+    val store = new SnapshotStore(dir)
+    val ing = new graft.ingest.Ingest(spark, store,
+      new DeterministicEmbedder(64), FakeImageFetcher)
+    val f = java.nio.file.Files.createTempFile("pl", ".ndjson")
+    java.nio.file.Files.writeString(f,
+      """{"descr_url": "https://w/A", "url": "https://cdn/commons/a.jpg", "size": 1}
+        |{"descr_url": "https://w/B", "url": "https://cdn/other/b.jpg", "size": 2}""".stripMargin)
+    ing.run(f.toString)
+    val scoped = new RClipEngine(spark, store, new DeterministicEmbedder(64),
+      idCol = "id", vecCol = "vector", pathLike = Some("%/commons/%"))
+    assert(scoped.count() == 1)
+    val all = new RClipEngine(spark, store, new DeterministicEmbedder(64),
+      idCol = "id", vecCol = "vector")
+    assert(all.count() == 2)
+  }
+
   test("A1/A2: stats are element-wise corpus min/max") {
     val (lo, hi) = engine.stats()
     assert(lo.length == 64 && hi.length == 64)

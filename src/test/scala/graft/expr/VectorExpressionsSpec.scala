@@ -44,6 +44,34 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("vec_decode reads little-endian float32 blobs (the reference format)") {
+    import spark.implicits._
+    // 1.0f = 3F800000, -2.0f = C0000000, little-endian byte order —
+    // pins the endianness byte-for-byte (`index_wikimedia.py:64`)
+    val bytes = Array[Byte](
+      0x00, 0x00, 0x80.toByte, 0x3F,
+      0x00, 0x00, 0x00, 0xC0.toByte)
+    val got = Seq(Tuple1(bytes)).toDF("b")
+      .select(VectorOps.decodeVec(col("b")).as("v"))
+      .head().getSeq[Float](0)
+    assert(got == Seq(1.0f, -2.0f))
+  }
+
+  test("vec_encode then vec_decode is the identity on every row") {
+    import spark.implicits._
+    val vs = Seq.fill(30)(vec(64))
+    val got = vs.map(Tuple1(_)).toDF("v")
+      .select(VectorOps.decodeVec(VectorOps.encodeVec(col("v"))).as("w"))
+      .collect().map(_.getSeq[Float](0))
+    got.zip(vs).foreach { case (g, w) => assert(g == w.toSeq) }
+    // trailing bytes beyond the last whole float32 word are ignored
+    val ragged = Array[Byte](0x00, 0x00, 0x80.toByte, 0x3F, 0x7F)
+    val r = Seq(Tuple1(ragged)).toDF("b")
+      .select(VectorOps.decodeVec(col("b")).as("v"))
+      .head().getSeq[Float](0)
+    assert(r == Seq(1.0f))
+  }
+
   test("interpreted eval (nullSafeEval) agrees with codegen") {
     val a = vec(64); val b = vec(64)
     val e = VectorExpressions.VecDot(

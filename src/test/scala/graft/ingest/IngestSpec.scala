@@ -81,6 +81,32 @@ class IngestSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("size") == 999)
   }
 
+  test("S6: category source feeds the same pipeline via the listing shim") {
+    val (ingest, store) = mkIngest()
+    val stats = ingest.runOnCategory(
+      new graft.sources.FakeCategorySource(6), "Zebras")
+    assert(stats.listed == 6 && stats.stored == 6)
+    val stored = store.read(spark)
+    assert(stored.count() == 6)
+    // reference-shaped URLs flow through I4's thumb derivation
+    val thumbs = stored.select("thumb_url").collect().map(_.getString(0))
+    assert(thumbs.forall(_.contains("/600px-Zebras_")))
+    // incremental: re-walking the category ingests nothing (I2)
+    assert(ingest.runOnCategory(
+      new graft.sources.FakeCategorySource(6), "Zebras").stored == 0)
+  }
+
+  test("ids are assigned distributed (no single-partition window) and dense") {
+    val (ingest, store) = mkIngest()
+    ingest.run(writeNdjson((1 to 40).map(i => rec(i))))
+    val ids = store.read(spark).select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(1L to 40L))
+    // ranks follow the global descr_url order regardless of partitioning
+    val byKey = store.read(spark).select("descr_url", "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    assert(byKey.map(_._2).sameElements(1L to 40L))
+  }
+
   test("malformed NDJSON lines are dropped, not fatal") {
     val (ingest, store) = mkIngest()
     val listing = writeNdjson(Seq(rec(1), "{not json at all", rec(2)))

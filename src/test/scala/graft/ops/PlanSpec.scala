@@ -59,6 +59,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("engine façade search() runs on the codegen vec_dot path, no shuffle") {
+    // VERDICT r01 #6: the façade hot path must produce the same plan the
+    // oracle queries are locked to — vec_dot inside TakeOrderedAndProject,
+    // zero Exchange
+    val dir = java.nio.file.Files.createTempDirectory("graft-planspec").toString
+    val store = new graft.engine.SnapshotStore(dir)
+    store.initFrom(spark, s"$sf/embeddings.parquet")
+    val engine = new graft.engine.RClipEngine(
+      spark, store, new graft.embed.DeterministicEmbedder(64))
+    val p = engine.search("label5 -label6", 12)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("vec_dot"), p)
+    assert(!p.contains("Exchange"), s"façade scored scan must not shuffle:\n$p")
+  }
+
+  test("v03 blob codec: decode∘encode stays one codegen scan, no UDF") {
+    // (the query's global ORDER BY is presentation for the oracle compare
+    // — the codec work itself all happens in the scan-side codegen stage)
+    val p = planOf(VectorQueries.v03_blob_roundtrip)
+    assert(p.contains("vec_decode"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
   test("whole-stage codegen covers the flagship scored scan") {
     // toString abbreviates WholeStageCodegen stages as `*(N)` prefixes
     val p = planOf(VectorQueries.v01_search_topk)
