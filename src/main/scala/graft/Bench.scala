@@ -63,14 +63,23 @@ object Bench {
     spark.stop()
   }
 
-  /** Codegen vs UDF vs HOF dot product over a generated 200k×64 corpus
-    * (cached): per-implementation seconds for a full scored scan + agg. */
-  def microDot(spark: SparkSession): Seq[(String, Double)] = {
+  /** Codegen vs UDF vs HOF dot product over generated cached corpora:
+    * 200k×64 (the testdata dim — mostly memory-bound, implementations
+    * within ~3×) and 25k×512 (the reference's CLIP dim — compute-bound,
+    * where the implementation gap is decisive). Re-measured under
+    * repetition for r02: ordering is stably codegen < udf < hof; the
+    * r01 inversion was co-tenant load. */
+  def microDot(spark: SparkSession): Seq[(String, Double)] =
+    microDotAt(spark, 200000, 64, "dot") ++
+      microDotAt(spark, 25000, 512, "dot512")
+
+  def microDotAt(spark: SparkSession, rows: Int, dim: Int,
+      prefix: String): Seq[(String, Double)] = {
     import graft.vec.VectorOps
-    val q = Array.tabulate(64)(i => ((i % 7) - 3) / 8.0f)
-    val corpus = spark.range(200000)
+    val q = Array.tabulate(dim)(i => ((i % 7) - 3) / 8.0f)
+    val corpus = spark.range(rows)
       .selectExpr("id",
-        "transform(sequence(0, 63), j -> CAST(sin(id * 1.7 + j) AS FLOAT)) AS embedding")
+        s"transform(sequence(0, ${dim - 1}), j -> CAST(sin(id * 1.7 + j) AS FLOAT)) AS embedding")
       .cache()
     corpus.count() // materialize
 
@@ -87,7 +96,8 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // warmup each, then best of 2
-    val out = Seq("dot_codegen" -> codegen, "dot_udf" -> udfCol, "dot_hof" -> hof).map {
+    val out = Seq(s"${prefix}_codegen" -> codegen, s"${prefix}_udf" -> udfCol,
+      s"${prefix}_hof" -> hof).map {
       case (name, c) =>
         time(c)
         name -> math.min(time(c), time(c))

@@ -11,6 +11,13 @@ import graft.vec.VectorOps
   * `rclip_server.py:253-273`). */
 final case class DimCell(dim: Int, value: Float, norm01: Double, color: String)
 
+/** `/thm/{id}` outcome, minus HTTP (`rclip_server.py:448-479`): the id −1
+  * placeholder, a size-rewritten CDN redirect, or locally resized bytes. */
+sealed trait Thumb
+final case class SvgPlaceholder(svg: String) extends Thumb
+final case class RedirectUrl(url: String) extends Thumb
+final case class ResizedBytes(bytes: Array[Byte]) extends Thumb
+
 /** The engine façade — one method per reference endpoint (SURVEY §2.11):
   * search (K1), similarWords (K2), similarPhrases (W1–W3),
   * resolveEmbedding / textEmbedding, visualize, censor (M1), dedup (M2/A6),
@@ -59,7 +66,15 @@ final class RClipEngine(
     * plain Catalyst predicate, so prefix patterns push down to the scan as
     * StringStartsWith. Requires a `filepath` column when set. */
   private def loadActive(): DataFrame = {
-    val df = store.read(spark)
+    val raw = store.read(spark)
+    // S1 BLOB variant: the reference stores vectors as BLOBs of
+    // little-endian float32 and decodes at scan (`rclip_server.py:215`);
+    // a BinaryType vector column gets the same treatment via the codegen
+    // vec_decode, so reference-format snapshots work unmodified.
+    val df =
+      if (raw.schema(vecCol).dataType == org.apache.spark.sql.types.BinaryType)
+        raw.withColumn(vecCol, VectorOps.decodeVec(col(vecCol)))
+      else raw
     val live =
       if (df.columns.contains("deleted"))
         df.filter(col("deleted").isNull || col("deleted") === false)
@@ -252,6 +267,31 @@ final class RClipEngine(
       .as[Option[String]].collect().headOption.flatten
       .map(_.replaceFirst("/600px-", s"/${size}px-"))
   }
+
+  /** The id −1 placeholder thumbnail (`rclip_server.py:451-458`): a 4:3
+    * SVG with a centered dark circle. */
+  def placeholderSvg(size: Int = 400): String =
+    s"""<svg version="1.1" width="$size" height="${size * 3 / 4}" xmlns="http://www.w3.org/2000/svg">
+       |<circle cx="50%" cy="50%" r="25%" fill="#222"/>
+       |</svg>""".stripMargin
+
+  /** Full `/thm/{id}` semantics minus HTTP (`rclip_server.py:448-479`):
+    * id −1 → placeholder SVG; stored CDN thumb → size-rewritten redirect
+    * URL; otherwise the stored `filepath` is fetched and resized through
+    * the media-decoder port (EXIF transpose / JPEG re-encode are codec
+    * concerns inside [[graft.multimodal.MultimodalOps.MediaDecoder]] —
+    * stubbed offline, like the rest of the codec surface). */
+  def thumbnail(id: Long, size: Int = 400,
+      fetcher: ImageFetcher = FakeImageFetcher,
+      decoder: graft.multimodal.MultimodalOps.MediaDecoder =
+        graft.multimodal.MultimodalOps.FakeMediaDecoder): Option[Thumb] =
+    if (id == -1L) Some(SvgPlaceholder(placeholderSvg(size)))
+    else thumbnailUrl(id, size).map(RedirectUrl(_)).orElse {
+      if (!activeDf.columns.contains("filepath")) None
+      else activeDf.filter(col(idCol) === id).select(col("filepath"))
+        .as[String].collect().headOption
+        .map(p => ResizedBytes(decoder.resize(fetcher.fetch(p), size, size * 3 / 4)))
+    }
 
   /** `/info/{id}` — metadata + stored embedding for one row. The
     * reference's handler calls a nonexistent method and would throw

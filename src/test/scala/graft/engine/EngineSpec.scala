@@ -175,6 +175,58 @@ class EngineSpec extends SparkSpec {
     assert(engine.copyrightMessage.nonEmpty)
   }
 
+  test("S1 BLOB variant: a binary vector column decodes at scan " +
+    "(reference storage format end-to-end)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-blob").toString
+    val store = new SnapshotStore(dir)
+    // write a reference-format snapshot: vectors as LE-float32 blobs
+    store.write(spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("embedding", VectorOps.encodeVec(col("embedding"))))
+    val e = new RClipEngine(spark, store, new DeterministicEmbedder(64))
+    assert(e.count() == engine.count())
+    // decoded vectors are identical to the original floats
+    val a = e.byId(1L).get
+    val b = engine.byId(1L).get
+    assert(a.sameElements(b))
+    // and the flagship search works unchanged on top of the blob store
+    assert(e.search("label5 -label6", 5).count() == 5)
+  }
+
+  test("/thm contract: placeholder SVG at id -1, CDN redirect, local resize") {
+    // id -1 → placeholder SVG (rclip_server.py:451-458)
+    engine.thumbnail(-1L, 200) match {
+      case Some(SvgPlaceholder(svg)) =>
+        assert(svg.contains("width=\"200\"") && svg.contains("height=\"150\""))
+        assert(svg.contains("<circle"))
+      case other => fail(s"expected placeholder, got $other")
+    }
+    // stored CDN thumb → size-rewritten redirect (via the ingested store)
+    val dir = java.nio.file.Files.createTempDirectory("graft-thm").toString
+    val store = new SnapshotStore(dir)
+    val ing = new graft.ingest.Ingest(spark, store,
+      new DeterministicEmbedder(64), FakeImageFetcher)
+    val f = java.nio.file.Files.createTempFile("t", ".ndjson")
+    java.nio.file.Files.writeString(f,
+      """{"descr_url": "https://w/D1", "url": "https://up/img_1.jpg", "size": 5}""")
+    ing.run(f.toString)
+    val e = new RClipEngine(spark, store, new DeterministicEmbedder(64),
+      idCol = "id", vecCol = "vector")
+    assert(e.thumbnail(1L, 128).contains(RedirectUrl("https://up/128px-img_1.jpg")))
+    // no thumb_url column but a filepath → local fetch + resize through
+    // the decoder port (rclip_server.py:464-479)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-thm2").toString
+    val store2 = new SnapshotStore(dir2)
+    store2.write(spark.read.parquet(s"$sf/embeddings.parquet").limit(3)
+      .withColumn("filepath", concat(lit("/imgs/img_"), col("vec_id"))))
+    val e2 = new RClipEngine(spark, store2, new DeterministicEmbedder(64))
+    e2.thumbnail(1L, 64) match {
+      case Some(ResizedBytes(bytes)) => assert(bytes.nonEmpty)
+      case other => fail(s"expected resized bytes, got $other")
+    }
+    // unknown id → None
+    assert(e2.thumbnail(999L).isEmpty)
+  }
+
   test("M1: censor soft-deletes behind the key and refreshes (S8)") {
     val e = freshEngine()
     val n0 = e.count()
