@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{AnnQueries, IngestQueries, MediaQueries, ScaleQueries, DedupQueries, EventQueries, JoinQueries, RelationalQueries, TextQueries, VectorQueries, WordQueries}
+import graft.ops.{AnnQueries, CurationQueries, IngestQueries, MediaQueries, ScaleQueries, DedupQueries, EventQueries, JoinQueries, RelationalQueries, TextQueries, VectorQueries, WordQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,12 +30,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ VectorQueries.queries ++ WordQueries.queries ++
       JoinQueries.queries ++ EventQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ AnnQueries.queries ++ IngestQueries.queries ++ MediaQueries.queries ++ ScaleQueries.queries
+      DedupQueries.queries ++ AnnQueries.queries ++ IngestQueries.queries ++ MediaQueries.queries ++ ScaleQueries.queries ++ CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ VectorQueries.oracleSql ++ WordQueries.oracleSql ++
       JoinQueries.oracleSql ++ EventQueries.oracleSql ++ TextQueries.oracleSql ++
-      DedupQueries.oracleSql ++ AnnQueries.oracleSql ++ IngestQueries.oracleSql ++ MediaQueries.oracleSql ++ ScaleQueries.oracleSql
+      DedupQueries.oracleSql ++ AnnQueries.oracleSql ++ IngestQueries.oracleSql ++ MediaQueries.oracleSql ++ ScaleQueries.oracleSql ++ CurationQueries.oracleSql
 }

@@ -148,6 +148,7 @@ object DedupQueries {
     val sigs = corpus
       .select(col("doc_id"), sigUdf(col("text")).as("sig"))
       .cache()
+    sigs.count() // materialize before the self-join (no build race)
     val bands = sigs.selectExpr("doc_id", "sig",
       bandExprs("sig", atSpark).zipWithIndex
         .map { case (e, i) => s"struct($i AS band, $e AS bh)" }
@@ -324,7 +325,7 @@ object DedupQueries {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val bucketStructs = planes.zipWithIndex.map { case (tbl, t) =>
       val bits = tbl.zipWithIndex.map { case (pl, i) =>
-        val dot = graft.vec.VectorOps.dotQuery(col("embedding"), pl.map(_.toFloat))
+        val dot = graft.vec.VectorOps.dotQueryNative(col("embedding"), pl.map(_.toFloat))
         when(dot > 0, 1 << i).otherwise(0)
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bits.as("bucket"))
@@ -334,6 +335,7 @@ object DedupQueries {
       .select(col("vec_id"), col("embedding"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
       .cache() // self-join below would otherwise compute 18 plane dots twice
+    bucketed.count() // materialize before the self-join (no build race)
     bucketed.as("x").join(bucketed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))

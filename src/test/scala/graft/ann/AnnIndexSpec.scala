@@ -1,0 +1,67 @@
+package graft.ann
+
+import graft.SparkSpec
+import graft.ops.VectorQueries
+import graft.vec.VectorOps
+import org.apache.spark.sql.functions._
+
+class AnnIndexSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private val q = VectorQueries.flagshipVec
+
+  test("build is deterministic and assigns every row to a cell") {
+    val a = IvfIndex.build(emb, cells = 8, iters = 3)
+    val b = IvfIndex.build(emb, cells = 8, iters = 3)
+    a.codebook.zip(b.codebook).foreach { case (x, y) =>
+      assert(x.sameElements(y))
+    }
+    assert(a.indexed.count() == emb.count())
+    assert(a.indexed.select("cell").distinct().count() <= 8)
+    // centroids are unit vectors (spherical update)
+    a.codebook.foreach(c => assert(math.abs(VectorOps.l2norm(c) - 1.0) < 1e-5))
+  }
+
+  test("full probe reproduces the exact brute-force top-k") {
+    val idx = IvfIndex.build(emb, cells = 8, iters = 3)
+    val got = idx.search(q, 10, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val want = emb
+      .select(col("vec_id"),
+        round(VectorOps.dotQueryNative(col("embedding"), q), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.sameElements(want))
+  }
+
+  test("partial probe searches only the probed cells") {
+    val idx = IvfIndex.build(emb, cells = 8, iters = 3)
+    val cells = idx.probeCells(q, 2).toSet
+    val got = idx.search(q, 10, nprobe = 2).collect().map(_.getLong(0))
+    assert(got.nonEmpty)
+    val cellOfId = idx.indexed.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach(id => assert(cells.contains(cellOfId(id))))
+  }
+
+  test("save/load: probe prunes cell partitions at the source") {
+    val idx = IvfIndex.build(emb, cells = 8, iters = 3)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    idx.save(path)
+    val loaded = IvfIndex.load(spark, path)
+    loaded.codebook.zip(idx.codebook).foreach { case (x, y) =>
+      assert(x.sameElements(y))
+    }
+    // identical results through the persisted artifact
+    val a = idx.search(q, 10, nprobe = 8).collect().map(_.getLong(0))
+    val b = loaded.search(q, 10, nprobe = 8).collect().map(_.getLong(0))
+    assert(a.sameElements(b))
+    // and the probe reaches the scan as a partition filter — at 100 TB
+    // this is the difference between reading 2 cells and reading 100 TB
+    val p = loaded.search(q, 10, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"expected cell partition pruning in:\n$p")
+  }
+}
