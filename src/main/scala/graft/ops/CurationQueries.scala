@@ -11,11 +11,12 @@ import graft.model.Tables
   * score → dedup → floor-filter → per-language budget.
   *
   * Scale shape: one narrow scoring pass over the scan, then exactly two
-  * shuffles — the dedup window (hash by text; at 100 TB hash the text to
-  * a 128-bit key first so the shuffle carries 16 bytes/row, not the
-  * document) and the per-language ranking window. The per-language budget
-  * is a top-N, so the final stage emits at most langs × N rows however
-  * large the input is.
+  * shuffles — the dedup window, keyed by a 256-bit content digest so the
+  * shuffle carries 32 bytes/row instead of the document body (collisions
+  * are cryptographically negligible; the oracle partitions by the raw
+  * text and must agree), and the per-language ranking window. The
+  * per-language budget is a top-N, so the final stage emits at most
+  * langs × N rows however large the input is.
   */
 object CurationQueries {
 
@@ -38,11 +39,13 @@ object CurationQueries {
         """((2 * (4000 * n_distinct + 3000 * (n_words - sw_hits)) + n_words)
           |   div (2 * n_words) + 30 * least(n_words, 100)) / 10000.0D
           |AS quality""".stripMargin)
-    val dedupW = Window.partitionBy(col("text")).orderBy(col("doc_id").asc)
+    val dedupW = Window.partitionBy(col("digest")).orderBy(col("doc_id").asc)
     val deduped = base
+      .withColumn("digest", sha2(col("text"), 256))
+      .drop("text") // the shuffle below carries the digest, not the body
       .withColumn("rn", row_number().over(dedupW))
       .filter(col("rn") === 1)
-      .drop("rn", "text")
+      .drop("rn", "digest")
     val kept = deduped.filter(col("quality") >= expr(QUALITY_FLOOR + "D"))
     val budgetW = Window.partitionBy(col("lang"))
       .orderBy(col("quality").desc, col("doc_id").asc)

@@ -28,12 +28,12 @@ object TextQueries {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "zh" -> Seq("de", "shi", "zai", "le", "wo"))
 
-  private[ops] def hitExpr(words: Seq[String]): String = {
+  private[graft] def hitExpr(words: Seq[String]): String = {
     val set = words.map(w => s"'$w'").mkString(", ")
     s"size(filter(split(text, ' '), t -> t IN ($set)))"
   }
 
-  private[ops] def duckHitExpr(words: Seq[String]): String = {
+  private[graft] def duckHitExpr(words: Seq[String]): String = {
     val set = words.map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split(text, ' '), t -> t IN ($set)))"
   }

@@ -65,6 +65,32 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming twin of the curation pipeline's front half
+    * (ops.CurationQueries.c01): quality-score each arriving document
+    * (same integer-division formula), drop sub-floor rows, dedup by
+    * 256-bit content digest within the watermark (the digest keeps the
+    * dedup state at 32 bytes/key; the watermark keeps it bounded). The
+    * per-language budget stays a batch concern — a global top-N has no
+    * streaming analog without retraction. Input needs (doc_id, lang,
+    * text, event_ts). */
+  def curatedDocuments(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr(
+        "doc_id", "lang", "text", "event_ts",
+        "size(split(text, ' ')) AS n_words",
+        s"${graft.ops.TextQueries.hitExpr(graft.ops.TextQueries.markers.head._2)} AS sw_hits",
+        "size(array_distinct(split(text, ' '))) AS n_distinct")
+      .selectExpr("doc_id", "lang", "text", "event_ts", "n_words",
+        """((2 * (4000 * n_distinct + 3000 * (n_words - sw_hits)) + n_words)
+          |   div (2 * n_words) + 30 * least(n_words, 100)) / 10000.0D
+          |AS quality""".stripMargin)
+      .filter(col("quality") >= expr("0.6D"))
+      .withColumn("digest", sha2(col("text"), 256))
+      .drop("text")
+      .withWatermark("event_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("digest")
+      .select(col("doc_id"), col("lang"), col("quality"), col("n_words"))
+
   /** Watermarked event-time windowed aggregation: events per (1-hour
     * tumbling window, type); late data beyond 2 h dropped, state pruned. */
   def hourlyCounts(events: DataFrame): DataFrame =

@@ -83,6 +83,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
 
+  test("c01 curation: map-side window pruning, dedup shuffle keyed by digest") {
+    val p = planOf(CurationQueries.c01_curation_pipeline)
+    // Spark's WindowGroupLimit prunes rn=1 / rk<=40 BEFORE each shuffle
+    assert(p.contains("WindowGroupLimit"), p)
+    // the dedup exchange carries the 32-byte digest, not the document
+    assert(p.contains("hashpartitioning(digest"), p)
+    assert("Exchange hashpartitioning\\(text".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("whole-stage codegen covers the flagship scored scan") {
     // toString abbreviates WholeStageCodegen stages as `*(N)` prefixes
     val p = planOf(VectorQueries.v01_search_topk)

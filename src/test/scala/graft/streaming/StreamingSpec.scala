@@ -77,6 +77,32 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming curation: quality floor + digest dedup within watermark") {
+    import spark.implicits._
+    implicit val s = spark
+    val mem = MemoryStream[(Long, String, String, Timestamp)](spark)
+    val df = mem.toDF().toDF("doc_id", "lang", "text", "event_ts")
+    val query = StreamingOps.curatedDocuments(df).writeStream
+      .format("memory").queryName("curated").outputMode("append").start()
+    def t(m: Int) = new Timestamp(1704067200000L + m * 60000L)
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val junk = "the the the the the the the the the the"
+    mem.addData(
+      (1L, "en", good, t(0)),
+      (2L, "en", good, t(1)),   // duplicate content → deduped
+      (3L, "en", junk, t(2)))   // all-stopword, zero diversity → dropped
+    query.processAllAvailable()
+    val rows = spark.table("curated").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.map(_._1).toSet == Set(1L))
+    assert(rows.head._2 >= 0.6)
+    // same content arriving within the watermark stays deduped
+    mem.addData((4L, "en", good, t(3)))
+    query.processAllAvailable()
+    assert(spark.table("curated").count() == 1)
+    query.stop()
+  }
+
   test("mapGroupsWithState sessionization counts per-user events") {
     import spark.implicits._
     implicit val s = spark
