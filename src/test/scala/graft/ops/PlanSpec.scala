@@ -92,6 +92,24 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(text".r.findFirstIn(p).isEmpty, p)
   }
 
+  test("global audit: no cartesian or sort-merge join sneaks into any query") {
+    // the r02 plan audit's invariants, locked for every declared query:
+    // cartesian shapes only where they are the documented design (d05's
+    // O(N²) baseline; n03's 10-row broadcast block), and never a
+    // SortMergeJoin (every join is broadcast- or hash-dispatched at the
+    // oracle scales; a SMJ here means a broadcast threshold regressed)
+    val allowedCartesian = Set("d05_cosine_brute", "n03_ann_batch")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      spark.catalog.clearCache()
+      if (!allowedCartesian(name))
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"unexpected cartesian shape in $name")
+      assert(!p.contains("SortMergeJoin"), s"unexpected SortMergeJoin in $name")
+    }
+  }
+
   test("whole-stage codegen covers the flagship scored scan") {
     // toString abbreviates WholeStageCodegen stages as `*(N)` prefixes
     val p = planOf(VectorQueries.v01_search_topk)
