@@ -85,6 +85,7 @@ object IvfIndex {
   def build(df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       cells: Int = 16, iters: Int = 5): IvfIndex = {
     val spark = df.sparkSession
+    VectorOps.ensureRegistered(spark) // search() scores via codegen vec_dot
     import spark.implicits._
     // deterministic init: first `cells` vectors in id order
     var centroids: Array[Array[Float]] = df
@@ -122,6 +123,7 @@ object IvfIndex {
   /** Reload a saved artifact; probe filters prune cell partitions. */
   def load(spark: SparkSession, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    VectorOps.ensureRegistered(spark) // foreign sessions (cluster restart)
     import spark.implicits._
     val cb = spark.read.parquet(s"$path/codebook")
       .select(col("cell"), col("centroid")).as[(Int, Array[Float])]

@@ -3,7 +3,7 @@ package graft.expr
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -32,7 +32,11 @@ object VectorExpressions {
        |$result = acc;""".stripMargin
 
   case class VecDot(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
+    // strict: an ARRAY<DOUBLE> input would silently mis-read 4 of each
+    // 8 bytes via getFloat — fail at analysis instead
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_dot"
 
@@ -56,7 +60,8 @@ object VectorExpressions {
   }
 
   case class VecNorm(child: Expression)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_norm"
 
@@ -84,7 +89,9 @@ object VectorExpressions {
   }
 
   case class VecCosine(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_cosine"
 
@@ -126,7 +133,9 @@ object VectorExpressions {
     * its inverse (writing reference-format snapshots). Codegen emits one
     * static call per row into [[VecCodec]] — no boxing, stays inside the
     * WholeStageCodegen stage. */
-  case class VecDecode(child: Expression) extends UnaryExpression {
+  case class VecDecode(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def dataType: DataType = ArrayType(FloatType, containsNull = false)
     override def prettyName: String = "vec_decode"
 
@@ -141,7 +150,9 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
-  case class VecEncode(child: Expression) extends UnaryExpression {
+  case class VecEncode(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = BinaryType
     override def prettyName: String = "vec_encode"
 

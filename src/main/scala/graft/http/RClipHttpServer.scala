@@ -24,7 +24,12 @@ import java.nio.charset.StandardCharsets.UTF_8
 final class RClipHttpServer(
     engine: RClipEngine,
     port: Int = 0,
-    assetsDir: Option[String] = None) {
+    assetsDir: Option[String] = None,
+    // the /thm local-resize ports — deployments plug HttpImageFetcher and
+    // a real codec here; the defaults are the offline stubs
+    fetcher: graft.engine.ImageFetcher = graft.engine.FakeImageFetcher,
+    decoder: graft.multimodal.MultimodalOps.MediaDecoder =
+      graft.multimodal.MultimodalOps.FakeMediaDecoder) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -220,7 +225,7 @@ final class RClipHttpServer(
   handle("/thm/") { ex =>
     val size = params(ex).get("size")
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(400)
-    pathId(ex).flatMap(id => engine.thumbnail(id, size)) match {
+    pathId(ex).flatMap(id => engine.thumbnail(id, size, fetcher, decoder)) match {
       case Some(SvgPlaceholder(svg)) =>
         send(ex, 200, svg.getBytes(UTF_8), "image/svg+xml",
           Map("Cache-Control" -> "public, max-age=172800"))

@@ -22,7 +22,6 @@ object CurationQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val QUALITY_FLOOR = "0.6"
   private val PER_LANG_BUDGET = 40
 
   /** c01: score → exact-dedup (keep min id) → quality floor → top-40 per
@@ -36,9 +35,7 @@ object CurationQueries {
         s"${TextQueries.hitExpr(TextQueries.markers.head._2)} AS sw_hits",
         "size(array_distinct(split(text, ' '))) AS n_distinct")
       .selectExpr("doc_id", "lang", "text", "n_words",
-        """((2 * (4000 * n_distinct + 3000 * (n_words - sw_hits)) + n_words)
-          |   div (2 * n_words) + 30 * least(n_words, 100)) / 10000.0D
-          |AS quality""".stripMargin)
+        s"${TextQueries.qualityExpr} AS quality")
     val dedupW = Window.partitionBy(col("digest")).orderBy(col("doc_id").asc)
     val deduped = base
       .withColumn("digest", sha2(col("text"), 256))
@@ -46,7 +43,7 @@ object CurationQueries {
       .withColumn("rn", row_number().over(dedupW))
       .filter(col("rn") === 1)
       .drop("rn", "digest")
-    val kept = deduped.filter(col("quality") >= expr(QUALITY_FLOOR + "D"))
+    val kept = deduped.filter(col("quality") >= expr(TextQueries.QUALITY_FLOOR + "D"))
     val budgetW = Window.partitionBy(col("lang"))
       .orderBy(col("quality").desc, col("doc_id").asc)
     kept
@@ -70,8 +67,7 @@ object CurationQueries {
          |  FROM documents),
          |quality AS (
          |  SELECT doc_id, lang, text, n_words,
-         |         ((2 * (4000 * n_distinct + 3000 * (n_words - sw_hits)) + n_words)
-         |            // (2 * n_words) + 30 * least(n_words, 100)) / 10000.0 AS quality
+         |         ${TextQueries.qualityExprDuck} AS quality
          |  FROM scored),
          |deduped AS (
          |  SELECT * FROM (
@@ -83,7 +79,7 @@ object CurationQueries {
          |  SELECT doc_id, lang, n_words, quality,
          |         row_number() OVER (PARTITION BY lang
          |                            ORDER BY quality DESC, doc_id ASC) AS rk
-         |  FROM deduped WHERE quality >= $QUALITY_FLOOR)
+         |  FROM deduped WHERE quality >= ${TextQueries.QUALITY_FLOOR})
          |SELECT doc_id, lang, rk::INT AS rk, quality, n_words::INT AS n_words
          |FROM ranked WHERE rk <= $PER_LANG_BUDGET
          |ORDER BY lang, rk""".stripMargin)

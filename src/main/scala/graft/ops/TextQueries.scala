@@ -38,6 +38,26 @@ object TextQueries {
     s"len(list_filter(string_split(text, ' '), t -> t IN ($set)))"
   }
 
+  /** The quality formula ×10⁴ over (n_words, sw_hits, n_distinct) —
+    * ONE definition shared by t02, c01 and the streaming curation twin
+    * (and mirrored by [[qualityExprDuck]]), so a tweak can't desynchronize
+    * the batch/streaming/oracle variants. All inputs are widened to
+    * BIGINT: Spark `size()` is 32-bit and non-ANSI wraps silently on
+    * book-length documents, while DuckDB `len()` is already BIGINT. */
+  private[graft] val qualityExpr: String =
+    """((2 * (4000 * CAST(n_distinct AS BIGINT) +
+      |        3000 * (CAST(n_words AS BIGINT) - CAST(sw_hits AS BIGINT)))
+      |    + CAST(n_words AS BIGINT))
+      |   div (2 * CAST(n_words AS BIGINT))
+      | + 30 * least(CAST(n_words AS BIGINT), 100)) / 10000.0D""".stripMargin
+
+  private[graft] val qualityExprDuck: String =
+    """((2 * (4000 * n_distinct + 3000 * (n_words - sw_hits)) + n_words)
+      |   // (2 * n_words) + 30 * least(n_words, 100)) / 10000.0""".stripMargin
+
+  /** Shared curation floor (c01 + streaming twin). */
+  private[graft] val QUALITY_FLOOR: String = "0.6"
+
   /** t01: language identification by stopword-marker hits; argmax with a
     * fixed language-priority tiebreak, expressed as a CASE chain so both
     * engines break ties identically. */
@@ -69,14 +89,14 @@ object TextQueries {
       // half-up division, because round(p/q, 4) diverges between engines
       // at shortest-repr ties (Spark rounds the decimal repr, DuckDB the
       // binary value; bit 0.65875 = 527/800 at sf0.1). The quality
-      // formula ×10⁴ is (4000·nd + 3000·(nw−sw))/nw + 30·min(nw,100).
+      // formula ×10⁴ is (4000·nd + 3000·(nw−sw))/nw + 30·min(nw,100);
+      // all arithmetic widened to BIGINT (size() is 32-bit, non-ANSI
+      // wraps silently on book-length docs; DuckDB is already BIGINT).
       .selectExpr(
         "doc_id", "n_words",
-        "((20000 * n_distinct + n_words) div (2 * n_words)) / 10000.0D AS distinct_ratio",
-        "((20000 * sw_hits + n_words) div (2 * n_words)) / 10000.0D AS stopword_ratio",
-        """((2 * (4000 * n_distinct + 3000 * (n_words - sw_hits)) + n_words)
-          |   div (2 * n_words) + 30 * least(n_words, 100)) / 10000.0D
-          |AS quality""".stripMargin)
+        "((20000 * CAST(n_distinct AS BIGINT) + n_words) div (2 * CAST(n_words AS BIGINT))) / 10000.0D AS distinct_ratio",
+        "((20000 * CAST(sw_hits AS BIGINT) + n_words) div (2 * CAST(n_words AS BIGINT))) / 10000.0D AS stopword_ratio",
+        s"$qualityExpr AS quality")
       .orderBy(col("doc_id"))
   }
 
@@ -156,8 +176,7 @@ object TextQueries {
            |SELECT doc_id, n_words::INT AS n_words,
            |       ((20000 * n_distinct + n_words) // (2 * n_words)) / 10000.0 AS distinct_ratio,
            |       ((20000 * sw_hits + n_words) // (2 * n_words)) / 10000.0 AS stopword_ratio,
-           |       ((2 * (4000 * n_distinct + 3000 * (n_words - sw_hits)) + n_words)
-           |          // (2 * n_words) + 30 * least(n_words, 100)) / 10000.0 AS quality
+           |       $qualityExprDuck AS quality
            |FROM base ORDER BY doc_id""".stripMargin,
       "t03_token_count" ->
         """SELECT doc_id,

@@ -61,30 +61,48 @@ final class HttpCategorySource(
 
   def members(category: String): Iterator[CategoryMember] = {
     val enc = java.net.URLEncoder.encode(s"Category:$category", "UTF-8")
-    def page(cont: Option[String]): Iterator[CategoryMember] = {
-      val url = s"$apiBase?action=query&format=json&generator=categorymembers" +
-        s"&gcmtitle=$enc&gcmtype=file&gcmlimit=$pageSize" +
-        s"&prop=imageinfo&iiprop=url%7Csize" +
-        cont.map(c => s"&gcmcontinue=${java.net.URLEncoder.encode(c, "UTF-8")}").getOrElse("")
-      val root = get(url)
-      val pages = Option(root.path("query").path("pages"))
-        .filter(_.isObject).map(_.elements()).getOrElse(java.util.Collections.emptyIterator())
-      val batch = new scala.collection.mutable.ArrayBuffer[CategoryMember]
-      pages.forEachRemaining { p =>
+    val baseParams = "action=query&format=json&generator=categorymembers" +
+      s"&gcmtitle=$enc&gcmtype=file&gcmlimit=$pageSize" +
+      "&prop=imageinfo&iiprop=url%7Csize"
+    val out = scala.collection.mutable.ArrayBuffer.empty[CategoryMember]
+    // MediaWiki continuation contract: with a generator + prop, a
+    // generator batch's imageinfo can arrive spread over SEVERAL
+    // continuation responses; entries are complete only at a
+    // `batchcomplete` boundary, and every key of the `continue` object
+    // must be echoed verbatim (not just gcmcontinue). Merge per pageid
+    // until the batch completes.
+    val pending = scala.collection.mutable.LinkedHashMap.empty[Long, CategoryMember]
+    var cont: Map[String, String] = Map.empty
+    var done = false
+    while (!done) {
+      val contQs = cont.map { case (k, v) =>
+        s"&${java.net.URLEncoder.encode(k, "UTF-8")}=${java.net.URLEncoder.encode(v, "UTF-8")}"
+      }.mkString
+      val root = get(s"$apiBase?$baseParams$contQs")
+      val pages = root.path("query").path("pages")
+      if (pages.isObject) pages.elements().forEachRemaining { p =>
         val ii = p.path("imageinfo")
         if (ii.isArray && ii.size() > 0) {
           val info = ii.get(0)
-          batch += CategoryMember(
+          pending(p.path("pageid").asLong()) = CategoryMember(
             info.path("descriptionurl").asText(),
             info.path("url").asText(),
             if (info.has("size")) Some(info.path("size").asLong()) else None)
         }
       }
-      val next = Option(root.path("continue").path("gcmcontinue"))
-        .filter(_.isTextual).map(_.asText())
-      batch.iterator ++ (if (next.isDefined) page(next) else Iterator.empty)
+      if (root.has("batchcomplete")) {
+        out ++= pending.values
+        pending.clear()
+      }
+      val c = root.path("continue")
+      if (c.isObject) {
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        c.fields().forEachRemaining(e => m(e.getKey) = e.getValue.asText())
+        cont = m.toMap
+      } else done = true
     }
-    page(None)
+    out ++= pending.values // defensive: final response without batchcomplete
+    out.iterator
   }
 }
 

@@ -81,10 +81,8 @@ object StreamingOps {
         s"${graft.ops.TextQueries.hitExpr(graft.ops.TextQueries.markers.head._2)} AS sw_hits",
         "size(array_distinct(split(text, ' '))) AS n_distinct")
       .selectExpr("doc_id", "lang", "text", "event_ts", "n_words",
-        """((2 * (4000 * n_distinct + 3000 * (n_words - sw_hits)) + n_words)
-          |   div (2 * n_words) + 30 * least(n_words, 100)) / 10000.0D
-          |AS quality""".stripMargin)
-      .filter(col("quality") >= expr("0.6D"))
+        s"${graft.ops.TextQueries.qualityExpr} AS quality")
+      .filter(col("quality") >= expr(graft.ops.TextQueries.QUALITY_FLOOR + "D"))
       .withColumn("digest", sha2(col("text"), 256))
       .drop("text")
       .withWatermark("event_ts", "10 minutes")
