@@ -51,4 +51,28 @@ final class SnapshotStore(val root: String) {
   /** Seed the store from an external Parquet table (no-op if versioned). */
   def initFrom(spark: SparkSession, sourcePath: String): Unit =
     if (latestDir.isEmpty) write(spark.read.parquet(sourcePath))
+
+  /** Retention: delete all but the newest `keep` committed versions (and
+    * any uncommitted torn-write directories older than the newest
+    * committed one). Mutation-heavy workloads (censor, dedup, upsert)
+    * write a full snapshot per call — without pruning the store grows by
+    * one corpus copy per mutation. Returns the number of directories
+    * removed. Readers of a pruned version would fail, so call this from
+    * the same single-writer context that calls write(). */
+  def prune(keep: Int = 2): Int = {
+    require(keep >= 1, "must keep at least the newest snapshot")
+    val committed = versionDirs
+    val cutoff = committed.takeRight(keep).headOption.map(_._1).getOrElse(0)
+    val p = Paths.get(root)
+    if (!Files.isDirectory(p)) return 0
+    val doomed = Files.list(p).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d{5}"))
+      .filter(_.getFileName.toString.substring(1).toInt < cutoff)
+      .toSeq
+    doomed.foreach { dir =>
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+    doomed.size
+  }
 }

@@ -275,6 +275,21 @@ class EngineSpec extends SparkSpec {
     assert(e.count() == 8)
   }
 
+  test("SnapshotStore: prune keeps the newest versions and drops torn writes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val store = new SnapshotStore(dir)
+    (1 to 4).foreach(i => store.write(spark.range(i).toDF()))
+    // torn write older than the cutoff
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(dir, "v00002b")) // ignored: bad name
+    val removed = store.prune(keep = 2)
+    assert(removed == 2) // v00001, v00002
+    assert(store.latestVersion.contains(4))
+    assert(store.read(spark).count() == 4)
+    // the two survivors still committed and readable
+    assert(new SnapshotStore(dir).latestVersion.contains(4))
+    intercept[IllegalArgumentException](store.prune(0))
+  }
+
   test("SnapshotStore: uncommitted versions are invisible") {
     val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
     val store = new SnapshotStore(dir)
