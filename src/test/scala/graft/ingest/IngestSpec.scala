@@ -7,6 +7,15 @@ import graft.vec.VectorOps
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
+/** Counts fetch calls across the (shared-JVM) local executors. */
+object CountingFetcher extends graft.engine.ImageFetcher {
+  val n = new java.util.concurrent.atomic.AtomicInteger(0)
+  def fetch(url: String): Array[Byte] = {
+    n.incrementAndGet()
+    url.getBytes("UTF-8")
+  }
+}
+
 class IngestSpec extends SparkSpec {
 
   private def writeNdjson(lines: Seq[String]): String = {
@@ -105,6 +114,19 @@ class IngestSpec extends SparkSpec {
     val byKey = store.read(spark).select("descr_url", "id").collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     assert(byKey.map(_._2).sameElements(1L to 40L))
+  }
+
+  test("I5 runs once per row: the fetch+embed lineage is not recomputed " +
+    "by the id/write/merge jobs (cache regression guard)") {
+    CountingFetcher.n.set(0)
+    val dir = Files.createTempDirectory("graft-count").toString
+    val store = new SnapshotStore(dir)
+    val ingest = new Ingest(spark, store, new DeterministicEmbedder(64), CountingFetcher)
+    ingest.run(writeNdjson((1 to 6).map(i => rec(i))))
+    // local mode shares the JVM, so the static counter sees executor-side
+    // calls; without the embedded.cache() this was ~4-5 fetches per row
+    assert(CountingFetcher.n.get() == 6,
+      s"expected 6 fetches, got ${CountingFetcher.n.get()}")
   }
 
   test("malformed NDJSON lines are dropped, not fatal") {
