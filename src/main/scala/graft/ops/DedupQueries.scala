@@ -149,18 +149,24 @@ object DedupQueries {
       .select(col("doc_id"), sigUdf(col("text")).as("sig"))
       .cache()
     sigs.count() // materialize before the self-join (no build race)
-    val bands = sigs.selectExpr("doc_id", "sig",
+    // the candidate join carries ONLY (band, bh, doc_id) — at 100 TB the
+    // 128-byte signature must not ride the shuffle 4× (once per band);
+    // signatures re-join by id AFTER the pair set is deduped, when the
+    // row count is O(near-dups), not O(candidate occurrences)
+    val bands = sigs.selectExpr("doc_id",
       bandExprs("sig", atSpark).zipWithIndex
         .map { case (e, i) => s"struct($i AS band, $e AS bh)" }
         .mkString("array(", ", ", ") AS bandArr"))
-      .selectExpr("doc_id", "sig", "explode(bandArr) AS b")
-      .select(col("doc_id"), col("sig"), col("b.band"), col("b.bh"))
-    val pairs = bands.as("x").join(bands.as("y"),
+      .selectExpr("doc_id", "explode(bandArr) AS b")
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+    val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    val pairs = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
     pairs.selectExpr("doc_a", "doc_b", s"$estJacSpark AS est_jaccard")
       .filter(col("est_jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -330,19 +336,26 @@ object DedupQueries {
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bits.as("bucket"))
     }
-    val bucketed = emb
+    // candidate join on (tbl, bucket, id) only: the 256-byte embedding
+    // must not ride the shuffle once per LSH table — re-join embeddings
+    // by id on the deduped pair set for the exact cosine re-check
+    val embC = emb.cache()
+    embC.count() // shared by the bucketing pass and the two re-joins
+    val bucketed = embC
       .withColumn("tb", explode(array(bucketStructs: _*)))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      .cache() // self-join below would otherwise compute 18 plane dots twice
-    bucketed.count() // materialize before the self-join (no build race)
-    bucketed.as("x").join(bucketed.as("y"),
+    val cand = bucketed.as("x").join(bucketed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        round(graft.vec.VectorOps.cosineColsNative(col("x.embedding"), col("y.embedding")), 4)
-          .as("cos"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
+    cand
+      .join(embC.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+      .join(embC.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(graft.vec.VectorOps.cosineColsNative(col("ea"), col("eb")), 4)
+          .as("cos"))
       .filter(col("cos") >= 0.4)
       .orderBy(col("id_a"), col("id_b"))
   }
