@@ -17,18 +17,26 @@ import scala.jdk.CollectionConverters._
   */
 final class SnapshotStore(val root: String) {
 
-  private def versionDirs: Seq[(Int, String)] = {
+  /** All `v%05d` directories, committed or not (close the OS dir stream —
+    * Files.list leaks a file descriptor otherwise). */
+  private def allVersionDirs: Seq[(Int, String)] = {
     val p = Paths.get(root)
     if (!Files.isDirectory(p)) Nil
-    else
-      Files.list(p).iterator().asScala
+    else {
+      val st = Files.list(p)
+      try st.iterator().asScala
         .map(_.getFileName.toString)
         .filter(_.matches("v\\d{5}"))
         .map(n => n.substring(1).toInt -> s"$root/$n")
-        .toSeq
-        .filter { case (_, dir) => Files.exists(Paths.get(dir, "_SUCCESS")) }
-        .sortBy(_._1)
+        .toSeq.sortBy(_._1)
+      finally st.close()
+    }
   }
+
+  private def versionDirs: Seq[(Int, String)] =
+    allVersionDirs.filter { case (_, dir) =>
+      Files.exists(Paths.get(dir, "_SUCCESS"))
+    }
 
   def latestVersion: Option[Int] = versionDirs.lastOption.map(_._1)
   def latestDir: Option[String] = versionDirs.lastOption.map(_._2)
@@ -40,9 +48,12 @@ final class SnapshotStore(val root: String) {
       case None    => throw new IllegalStateException(s"no committed snapshot under $root")
     }
 
-  /** Commit `df` as the next version and return its directory. */
+  /** Commit `df` as the next version and return its directory. Numbering
+    * skips past uncommitted (torn-write) directories too — a writer that
+    * crashed mid-write of v N must not wedge the next writer on an
+    * already-exists error at v N. */
   def write(df: DataFrame): String = {
-    val next = latestVersion.getOrElse(0) + 1
+    val next = allVersionDirs.lastOption.map(_._1).getOrElse(0) + 1
     val dir = f"$root/v$next%05d"
     df.write.parquet(dir) // parquet commit protocol writes _SUCCESS last
     dir
@@ -52,26 +63,26 @@ final class SnapshotStore(val root: String) {
   def initFrom(spark: SparkSession, sourcePath: String): Unit =
     if (latestDir.isEmpty) write(spark.read.parquet(sourcePath))
 
-  /** Retention: delete all but the newest `keep` committed versions (and
-    * any uncommitted torn-write directories older than the newest
-    * committed one). Mutation-heavy workloads (censor, dedup, upsert)
-    * write a full snapshot per call — without pruning the store grows by
-    * one corpus copy per mutation. Returns the number of directories
-    * removed. Readers of a pruned version would fail, so call this from
-    * the same single-writer context that calls write(). */
+  /** Retention: delete all but the newest `keep` committed versions,
+    * including torn-write directories below that cutoff. Torn dirs ABOVE
+    * the cutoff are left alone (a concurrent writer could be mid-write);
+    * they cannot wedge the store because write() numbers past every
+    * existing directory, committed or not. Mutation-heavy workloads
+    * (censor, dedup, upsert) write a full snapshot per call — without
+    * pruning the store grows by one corpus copy per mutation. Returns the
+    * number of directories removed. Readers of a pruned version would
+    * fail, so call this from the same single-writer context that calls
+    * write(). */
   def prune(keep: Int = 2): Int = {
     require(keep >= 1, "must keep at least the newest snapshot")
-    val committed = versionDirs
-    val cutoff = committed.takeRight(keep).headOption.map(_._1).getOrElse(0)
-    val p = Paths.get(root)
-    if (!Files.isDirectory(p)) return 0
-    val doomed = Files.list(p).iterator().asScala
-      .filter(_.getFileName.toString.matches("v\\d{5}"))
-      .filter(_.getFileName.toString.substring(1).toInt < cutoff)
-      .toSeq
+    val cutoff = versionDirs.takeRight(keep).headOption.map(_._1).getOrElse(0)
+    val doomed = allVersionDirs.collect {
+      case (v, dir) if v < cutoff => Paths.get(dir)
+    }
     doomed.foreach { dir =>
-      Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
+      val st = Files.walk(dir)
+      try st.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally st.close()
     }
     doomed.size
   }

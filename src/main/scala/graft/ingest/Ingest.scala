@@ -135,22 +135,26 @@ final class Ingest(
       .withColumn("deleted", lit(null).cast("boolean"))
       .select(storeSchema.fieldNames.map(col): _*)
       .cache() // reused by the write, the count, and the merge anti-join
-    val nStored = newRows.count()
+    try {
+      val nStored = newRows.count()
 
-    // I6: key-merge snapshot upsert (`index_wikimedia.py:86-103`)
-    base match {
-      case Some(b) =>
-        val merged = newRows.unionByName(
-          b.join(newRows.select("filepath"), Seq("filepath"), "left_anti"),
-          allowMissingColumns = true)
-        store.write(merged.select(storeSchema.fieldNames.map(col): _*))
-      case None =>
-        store.write(newRows)
+      // I6: key-merge snapshot upsert (`index_wikimedia.py:86-103`)
+      base match {
+        case Some(b) =>
+          val merged = newRows.unionByName(
+            b.join(newRows.select("filepath"), Seq("filepath"), "left_anti"),
+            allowMissingColumns = true)
+          store.write(merged.select(storeSchema.fieldNames.map(col): _*))
+        case None =>
+          store.write(newRows)
+      }
+
+      IngestStats(listed.count(), fresh.count(), kept.count(), nStored)
+    } finally {
+      // unpersist on failure too: a retried streaming micro-batch must
+      // not strand cached copies of the embed stage in executor memory
+      newRows.unpersist()
+      embedded.unpersist()
     }
-
-    val stats = IngestStats(listed.count(), fresh.count(), kept.count(), nStored)
-    newRows.unpersist()
-    embedded.unpersist()
-    stats
   }
 }

@@ -345,6 +345,8 @@ object DedupQueries {
       .withColumn("tb", explode(array(bucketStructs: _*)))
       .select(col("vec_id"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .cache() // thin (id, tbl, bucket) rows; without this both join
+    bucketed.count() // sides recompute the 18 plane dots per row
     val cand = bucketed.as("x").join(bucketed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))

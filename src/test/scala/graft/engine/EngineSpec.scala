@@ -278,16 +278,32 @@ class EngineSpec extends SparkSpec {
   test("SnapshotStore: prune keeps the newest versions and drops torn writes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
     val store = new SnapshotStore(dir)
-    (1 to 4).foreach(i => store.write(spark.range(i).toDF()))
-    // torn write older than the cutoff
-    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(dir, "v00002b")) // ignored: bad name
+    (1 to 4).foreach(i => store.write(spark.range(i).toDF()))  // v1..v4
+    // a REAL torn write below the cutoff: valid name, no _SUCCESS
+    val torn = java.nio.file.Paths.get(dir, "v00000")
+    java.nio.file.Files.createDirectory(torn)
+    java.nio.file.Files.writeString(torn.resolve("part-0.parquet"), "junk")
     val removed = store.prune(keep = 2)
-    assert(removed == 2) // v00001, v00002
+    assert(removed == 3) // torn v00000 + committed v00001, v00002
+    assert(!java.nio.file.Files.exists(torn))
     assert(store.latestVersion.contains(4))
     assert(store.read(spark).count() == 4)
     // the two survivors still committed and readable
     assert(new SnapshotStore(dir).latestVersion.contains(4))
     intercept[IllegalArgumentException](store.prune(0))
+  }
+
+  test("SnapshotStore: a crashed write above the latest commit cannot " +
+    "wedge the next writer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wedge").toString
+    val store = new SnapshotStore(dir)
+    store.write(spark.range(3).toDF()) // v00001 committed
+    // crashed writer left v00002 without _SUCCESS
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(dir, "v00002"))
+    val next = store.write(spark.range(5).toDF()) // must number PAST it
+    assert(next.endsWith("v00003"))
+    assert(store.latestVersion.contains(3))
+    assert(store.read(spark).count() == 5)
   }
 
   test("SnapshotStore: uncommitted versions are invisible") {
