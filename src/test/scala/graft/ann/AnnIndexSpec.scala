@@ -45,6 +45,24 @@ class AnnIndexSpec extends SparkSpec {
     got.foreach(id => assert(cells.contains(cellOfId(id))))
   }
 
+  test("recall@10 grows monotonically with nprobe and clears 0.8 at half " +
+    "the cells (measured 0.3/0.5/0.7/0.9 at nprobe 1-4 on this corpus)") {
+    val idx = IvfIndex.build(emb, cells = 8, iters = 3)
+    val exact = emb
+      .select(col("vec_id"),
+        VectorOps.dotQueryNative(col("embedding"), q).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recalls = (1 to 8).map { np =>
+      idx.search(q, 10, np).collect().map(_.getLong(0)).toSet
+        .intersect(exact).size / 10.0
+    }
+    assert(recalls.sliding(2).forall(w => w(0) <= w(1)),
+      s"recall must not drop as nprobe grows: $recalls")
+    assert(recalls(3) >= 0.8, s"recall@nprobe=4 regressed: $recalls")
+    assert(recalls.last == 1.0)
+  }
+
   test("save/load: probe prunes cell partitions at the source") {
     val idx = IvfIndex.build(emb, cells = 8, iters = 3)
     val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
