@@ -51,6 +51,23 @@ object RelationalQueries {
       .limit(25)
   }
 
+  /** Per-group top-N (every analytics engine's "best k per key"): ranking
+    * window + rank filter. Catalyst inserts WindowGroupLimit, so each
+    * map task keeps only N rows per group BEFORE the shuffle — the
+    * per-group analog of q02's TakeOrderedAndProject. */
+  val q03_group_topn: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"price".desc, $"o_orderkey".asc)
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice", 2).as("price"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .orderBy($"o_orderpriority", $"rk")
+  }
+
   /** LIKE-predicate scan + projection (reference S1/P1,
     * `rclip_server.py:206-211`): prefix-anchored pattern pushes to the
     * Parquet reader as StringStartsWith. */
@@ -78,6 +95,34 @@ object RelationalQueries {
       .orderBy($"doc_id")
   }
 
+  /** Aggregate + HAVING (post-aggregation predicate): the filter runs on
+    * the aggregated rows after the single group-key shuffle — never on
+    * the scan — and partial aggregation still applies map-side. */
+  val q06_having: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("total_spend"))
+      .filter($"n_orders" >= 8)
+      .orderBy($"o_custkey")
+  }
+
+  /** Conditional-aggregation pivot (CASE-in-SUM): one pass, one shuffle,
+    * wide output — the hand-rolled form of `pivot()` that keeps the plan
+    * a plain partial+final HashAggregate. */
+  val q07_case_pivot: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(sum(when($"l_linestatus" === "F", $"l_quantity").otherwise(0.0)), 2).as("qty_f"),
+        round(sum(when($"l_linestatus" === "O", $"l_quantity").otherwise(0.0)), 2).as("qty_o"),
+        count(when($"l_linestatus" === "F", lit(1))).as("n_f"),
+        count(when($"l_linestatus" === "O", lit(1))).as("n_o"))
+      .orderBy($"l_returnflag")
+  }
+
   /** DISTINCT on a projection (reference A7 `already_done` set,
     * `index_wikimedia.py:73-77`). */
   val q08_distinct_sources: Q = (s, d) => {
@@ -88,8 +133,11 @@ object RelationalQueries {
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01_pricing_summary,
     "q02_topk_orders" -> q02_topk_orders,
+    "q03_group_topn" -> q03_group_topn,
     "q04_scan_filter_like" -> q04_scan_filter_like,
     "q05_null_bool_filter" -> q05_null_bool_filter,
+    "q06_having" -> q06_having,
+    "q07_case_pivot" -> q07_case_pivot,
     "q08_distinct_sources" -> q08_distinct_sources)
 
   def oracleSql: Map[String, String] = Map(
@@ -106,6 +154,17 @@ object RelationalQueries {
     "q02_topk_orders" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS price
         |FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 25""".stripMargin,
+    "q03_group_topn" ->
+      """WITH priced AS (
+        | SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
+        | FROM orders),
+        |ranked AS (
+        | SELECT o_orderkey, o_orderpriority, price,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY price DESC, o_orderkey ASC) AS rk
+        | FROM priced)
+        |SELECT o_orderkey, o_orderpriority, price, rk::INT AS rk
+        |FROM ranked WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
     "q04_scan_filter_like" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
         |WHERE source LIKE 'src1%' AND lang = 'en' ORDER BY doc_id""".stripMargin,
@@ -117,6 +176,18 @@ object RelationalQueries {
         | FROM documents)
         |SELECT doc_id, lang, n_chars FROM flagged
         |WHERE deleted IS NULL OR deleted = false ORDER BY doc_id""".stripMargin,
+    "q06_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total_spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 8
+        |ORDER BY o_custkey""".stripMargin,
+    "q07_case_pivot" ->
+      """SELECT l_returnflag,
+        | round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 2) AS qty_f,
+        | round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 2) AS qty_o,
+        | count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+        | count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q08_distinct_sources" ->
       "SELECT DISTINCT source FROM documents ORDER BY source")
 }
