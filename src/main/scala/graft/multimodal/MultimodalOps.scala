@@ -17,10 +17,12 @@ import graft.embed.Embedder
   * batches — the JVM analog of a vectorized-batch UDF), and the media →
   * embedding → ANN hand-off.
   *
-  * Scale notes: blob tables set `spark.sql.files.maxPartitionBytes` low
-  * enough that a partition of blobs fits executor memory; decode stages
-  * are narrow (no shuffle); frame-sampling multiplies rows and is
-  * followed by a repartition to re-balance.
+  * Scale notes: blob tables are read through [[readBlobTable]], which
+  * repartitions by on-disk size so a partition of blobs fits executor
+  * memory (file-split planning can't see row widths — decoded media
+  * balloons far past the default 128 MB split); decode stages are narrow
+  * (no shuffle); frame-sampling multiplies rows and is followed by a
+  * repartition to re-balance.
   */
 object MultimodalOps {
 
@@ -115,6 +117,25 @@ object MultimodalOps {
         }
       }
     }
+  }
+
+  /** Read a blob-column parquet table with partitions sized by on-disk
+    * bytes: `ceil(total / targetPartitionBytes)` partitions right after
+    * the scan. A per-read knob beats the session-wide
+    * `spark.sql.files.maxPartitionBytes` (which is read at plan time and
+    * applies to every scan in the query): blob rows decode to many times
+    * their stored size, so media tables want much smaller partitions
+    * than relational ones in the same job. */
+  def readBlobTable(spark: SparkSession, path: String,
+      targetPartitionBytes: Long = 32L << 20): DataFrame = {
+    val df = spark.read.parquet(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val parts = math.max(1L, (bytes + targetPartitionBytes - 1) / targetPartitionBytes).toInt
+    df.repartition(parts)
   }
 
   /** Resize stage: binary→binary with meta update, batched the same way. */

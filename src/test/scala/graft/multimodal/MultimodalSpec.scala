@@ -11,6 +11,19 @@ class MultimodalSpec extends SparkSpec {
 
   lazy val media = mediaTable(Tables.documents(spark, sf))
 
+  test("readBlobTable sizes partitions by on-disk bytes, not row count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-blob-rd").toString
+    media.toDF().coalesce(1).write.parquet(s"$dir/t")
+    val onDisk = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = math.max(1L, onDisk / 4)
+    val df = MultimodalOps.readBlobTable(spark, s"$dir/t", target)
+    val expected = ((onDisk + target - 1) / target).toInt
+    assert(df.rdd.getNumPartitions == expected,
+      s"onDisk=$onDisk target=$target")
+    assert(df.count() == media.count())
+  }
+
   test("media table: binary content + typed metadata schema") {
     val row = media.filter(col("media_id") === 3).head()
     assert(row.kind == "image" || row.kind == "audio" || row.kind == "video")
