@@ -125,15 +125,21 @@ object MultimodalOps {
     * `spark.sql.files.maxPartitionBytes` (which is read at plan time and
     * applies to every scan in the query): blob rows decode to many times
     * their stored size, so media tables want much smaller partitions
-    * than relational ones in the same job. */
+    * than relational ones in the same job.
+    *
+    * Total size comes from ONE getContentSummary call on the table root
+    * (not a per-file getFileStatus loop — O(files) driver RPCs on an
+    * object store). The bound is on the AVERAGE partition: round-robin
+    * spreads rows by count, and a partition can never be smaller than
+    * its largest single row, so a corpus mixing MB images with GB videos
+    * should split by kind first (the one-row floor is a property of any
+    * row-based engine, not of this helper). */
   def readBlobTable(spark: SparkSession, path: String,
       targetPartitionBytes: Long = 32L << 20): DataFrame = {
     val df = spark.read.parquet(path)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val bytes = df.inputFiles.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(conf).getFileStatus(p).getLen
-    }.sum
+    val p = new org.apache.hadoop.fs.Path(path)
+    val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
     val parts = math.max(1L, (bytes + targetPartitionBytes - 1) / targetPartitionBytes).toInt
     df.repartition(parts)
   }

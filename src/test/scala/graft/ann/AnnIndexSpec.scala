@@ -48,9 +48,11 @@ class AnnIndexSpec extends SparkSpec {
   test("recall@10 grows monotonically with nprobe and clears 0.8 at half " +
     "the cells (measured 0.3/0.5/0.7/0.9 at nprobe 1-4 on this corpus)") {
     val idx = IvfIndex.build(emb, cells = 8, iters = 3)
+    // baseline ranks by the SAME round(dot, 4) + id tie-break as search()
+    // — an unrounded baseline could disagree at a rank-10 rounding tie
     val exact = emb
       .select(col("vec_id"),
-        VectorOps.dotQueryNative(col("embedding"), q).as("s"))
+        round(VectorOps.dotQueryNative(col("embedding"), q), 4).as("s"))
       .orderBy(col("s").desc, col("vec_id")).limit(10)
       .collect().map(_.getLong(0)).toSet
     val recalls = (1 to 8).map { np =>

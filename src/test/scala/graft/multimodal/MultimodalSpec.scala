@@ -14,8 +14,9 @@ class MultimodalSpec extends SparkSpec {
   test("readBlobTable sizes partitions by on-disk bytes, not row count") {
     val dir = java.nio.file.Files.createTempDirectory("graft-blob-rd").toString
     media.toDF().coalesce(1).write.parquet(s"$dir/t")
+    // total must match getContentSummary: every file, incl. _SUCCESS/.crc
     val onDisk = new java.io.File(s"$dir/t").listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      .filter(_.isFile).map(_.length).sum
     val target = math.max(1L, onDisk / 4)
     val df = MultimodalOps.readBlobTable(spark, s"$dir/t", target)
     val expected = ((onDisk + target - 1) / target).toInt
