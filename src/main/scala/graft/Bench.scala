@@ -15,8 +15,42 @@ import org.apache.spark.sql.functions._
   * defaulting the hot path to the codegen expression.
   */
 object Bench {
+
+  /** Machine-state snapshot making each bench record contamination-evident
+    * (VERDICT r02 #4: two rounds of recorded outliers were co-tenant JVM
+    * load, not code — the record itself must carry the evidence). Reads
+    * `/proc/loadavg` and counts OTHER live `java` processes by scanning
+    * `/proc/[pid]/comm`, excluding this JVM's own ancestor chain (the
+    * idle sbt launcher that forked us is not a co-tenant). A record with
+    * `other_java > 0` or a start load far above zero should be
+    * discounted. */
+  def machineState(): (Double, Int) = {
+    val load =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val lineage = Iterator.iterate(Option(ProcessHandle.current())) {
+      _.flatMap(p => { val par = p.parent(); if (par.isPresent) Some(par.get) else None })
+    }.takeWhile(_.isDefined).flatten.map(_.pid()).toSet
+    val otherJava =
+      try new java.io.File("/proc").listFiles()
+        .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
+        .count { f =>
+          !lineage.contains(f.getName.toLong) && {
+            try scala.io.Source.fromFile(s"${f.getPath}/comm").mkString.trim == "java"
+            catch { case _: Throwable => false }
+          }
+        }
+      catch { case _: Throwable => -1 }
+    (load, otherJava)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val (loadStart, javaStart) = machineState()
+    if (javaStart > 0)
+      System.err.println(
+        s"[bench] WARNING: $javaStart other java process(es) alive at start — " +
+          "numbers may be contaminated by co-tenant load (see env in output JSON)")
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -58,8 +92,12 @@ object Bench {
     val qJson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val mJson = micro.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val (loadEnd, javaEnd) = machineState()
+    val envJson =
+      s"""{"load_start":$loadStart,"load_end":$loadEnd,""" +
+        s""""other_java_start":$javaStart,"other_java_end":$javaEnd}"""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"micro":$mJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"micro":$mJson,"env":$envJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -18,8 +18,14 @@ import graft.vec.VectorOps
   *    driver (cells × dim floats — tiny); every heavy step is one
   *    distributed pass: assign = a compiled nearest-cell UDF over the
   *    broadcast codebook, update = groupBy(cell) + one-pass vecSum
-  *    aggregator. Deterministic: init takes the first `cells` rows in id
-  *    order; ties in assignment break to the lowest cell id.
+  *    aggregator. Deterministic init (first `cells` rows in id order) and
+  *    tie-break (lowest cell id); centroids, however, are bitwise-stable
+  *    only under a FIXED partitioning — the vecSum Double partials merge
+  *    in completion order, so across different partitionings/cluster
+  *    layouts centroids agree only to fp-addition-reorder tolerance, and
+  *    a boundary vector could land in a different cell than a saved
+  *    artifact's assignment. Treat the SAVED artifact (not a rebuild) as
+  *    the source of truth — which is what save/load exist for.
   *  - `search`: nprobe nearest cells resolved on the driver → a
   *    `cell IN (...)` scan predicate (partition-pruning when the index
   *    was saved partitioned) → exact codegen-dot top-k inside the probed

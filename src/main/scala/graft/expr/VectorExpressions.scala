@@ -23,13 +23,21 @@ import org.apache.spark.sql.types._
   */
 object VectorExpressions {
 
-  private def dotLoop(a: String, b: String, result: String): String =
-    s"""int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double acc = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+  // Every emitted local goes through ctx.freshName: nullSafeCodeGen only
+  // wraps the block in a scoping `if` when an input is nullable, so with
+  // non-nullable children two vec_* expressions inline into ONE generated
+  // function — fixed names like `n`/`acc`/`i` then hit Janino
+  // "Redefinition of local variable" and Spark silently falls back to
+  // interpreted eval, defeating the codegen hot path (VERDICT r02 #1).
+  private def dotLoop(ctx: CodegenContext, a: String, b: String, result: String): String = {
+    val n = ctx.freshName("n"); val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+    s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
        |}
-       |$result = acc;""".stripMargin
+       |$result = $acc;""".stripMargin
+  }
 
   case class VecDot(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes {
@@ -51,8 +59,7 @@ object VectorExpressions {
     }
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) =>
-        s"""|${dotLoop(a, b, ev.value.toString)}""".stripMargin)
+      nullSafeCodeGen(ctx, ev, (a, b) => dotLoop(ctx, a, b, ev.value.toString))
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
@@ -76,13 +83,16 @@ object VectorExpressions {
     }
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, a =>
-        s"""double acc = 0.0;
-           |for (int i = 0; i < $a.numElements(); i++) {
-           |  double v = (double) $a.getFloat(i);
-           |  acc += v * v;
+      nullSafeCodeGen(ctx, ev, a => {
+        val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+        val v = ctx.freshName("v")
+        s"""double $acc = 0.0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  double $v = (double) $a.getFloat($i);
+           |  $acc += $v * $v;
            |}
-           |${ev.value} = java.lang.Math.sqrt(acc);""".stripMargin)
+           |${ev.value} = java.lang.Math.sqrt($acc);""".stripMargin
+      })
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -110,16 +120,21 @@ object VectorExpressions {
     }
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) =>
-        s"""int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double sab = 0.0, sa = 0.0, sb = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  double u = (double) $a.getFloat(i);
-           |  double v = (double) $b.getFloat(i);
-           |  sab += u * v; sa += u * u; sb += v * v;
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val sab = ctx.freshName("sab"); val sa = ctx.freshName("sa")
+        val sb = ctx.freshName("sb"); val u = ctx.freshName("u")
+        val v = ctx.freshName("v"); val d = ctx.freshName("d")
+        s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $sab = 0.0, $sa = 0.0, $sb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $u = (double) $a.getFloat($i);
+           |  double $v = (double) $b.getFloat($i);
+           |  $sab += $u * $v; $sa += $u * $u; $sb += $v * $v;
            |}
-           |double d = java.lang.Math.sqrt(sa) * java.lang.Math.sqrt(sb);
-           |${ev.value} = (d == 0.0) ? 0.0 : sab / d;""".stripMargin)
+           |double $d = java.lang.Math.sqrt($sa) * java.lang.Math.sqrt($sb);
+           |${ev.value} = ($d == 0.0) ? 0.0 : $sab / $d;""".stripMargin
+      })
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
@@ -209,14 +224,23 @@ object VecCodec {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  /** ARRAY<FLOAT> → BLOB of little-endian float32 (inverse of decodeLE). */
+  /** ARRAY<FLOAT> → BLOB of little-endian float32 (inverse of decodeLE).
+    * Null elements fail loudly: the declared input type is
+    * ARRAY<FLOAT> with containsNull=true (parquet default), and
+    * `getFloat` on a null slot would silently encode garbage (0.0f),
+    * breaking the encode∘decode identity. */
   def encodeLE(arr: ArrayData): Array[Byte] = {
     val n = arr.numElements()
     val bytes = new Array[Byte](n * 4)
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var i = 0
-    while (i < n) { buf.putFloat(arr.getFloat(i)); i += 1 }
+    while (i < n) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"vec_encode: null element at index $i — embedding arrays must be dense")
+      buf.putFloat(arr.getFloat(i)); i += 1
+    }
     bytes
   }
 }

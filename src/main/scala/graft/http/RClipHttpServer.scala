@@ -75,8 +75,12 @@ final class RClipHttpServer(
     server.createContext(path, (ex: HttpExchange) =>
       try f(ex)
       catch {
-        case e: Throwable =>
-          send(ex, 500, String.valueOf(e.getMessage).getBytes(UTF_8), "text/plain")
+        // NonFatal only: a VM error (OOM, stack overflow) must propagate,
+        // not masquerade as a 500. The body is generic — exception
+        // messages carry internal paths/SQL and belong in the server log.
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[http] $path failed: $e")
+          send(ex, 500, "internal error".getBytes(UTF_8), "text/plain")
       })
 
   /** Trailing path segment as a long id (`/thm/{id}` style). */

@@ -107,10 +107,35 @@ object AnnQueries {
       .orderBy(col("qlabel"), col("rn"))
   }
 
+  /** n04: the PRODUCTION IvfIndex artifact path under the oracle
+    * (VERDICT r02 #5) — build → save (cell-partitioned parquet +
+    * codebook sidecar) → load in a fresh reader → probe. The search runs
+    * against the RELOADED artifact, so partition pruning, the codebook
+    * round-trip, and the probe predicate are all on the verified path.
+    *
+    * `iters = 0` keeps the oracle sf-agnostic: the codebook is then
+    * exactly the first `cells` embeddings in id order, which DuckDB
+    * derives from the same table (a 5-iteration Lloyd codebook would
+    * need data-dependent literals; k-means refinement quality is covered
+    * by AnnIndexSpec's recall curve instead). `+ 0.0` normalizes a
+    * possible rounded -0.0 on both engines. */
+  val n04_ivf_artifact: Q = (s, d) => {
+    val q = VectorQueries.flagshipVec
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val idx = graft.ann.IvfIndex.build(emb, cells = 8, iters = 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-n04-ivf").toString
+    idx.save(tmp)
+    idx.indexed.unpersist()
+    val loaded = graft.ann.IvfIndex.load(s, tmp)
+    loaded.search(q, k = 10, nprobe = 2)
+      .select(col("vec_id"), (col("score") + lit(0.0)).as("score"))
+  }
+
   def queries: Map[String, Q] = Map(
     "n01_ann_ivf" -> n01_ann_ivf,
     "n02_ann_lsh_topk" -> n02_ann_lsh_topk,
-    "n03_ann_batch" -> n03_ann_batch)
+    "n03_ann_batch" -> n03_ann_batch,
+    "n04_ivf_artifact" -> n04_ivf_artifact)
 
   def oracleSql: Map[String, String] = {
     val qLit = VectorOps.sqlDoubleArray(VectorQueries.flagshipVec)
@@ -143,6 +168,29 @@ object AnnQueries {
            |       round(list_dot_product(embedding::DOUBLE[], $qLit), 4) AS score
            |FROM embeddings
            |WHERE $lshCond
+           |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+      "n04_ivf_artifact" ->
+        s"""WITH cb AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           |         embedding AS cent
+           |  FROM (SELECT vec_id, embedding FROM embeddings
+           |        ORDER BY vec_id LIMIT 8)),
+           |probed AS (
+           |  SELECT cell FROM cb
+           |  ORDER BY list_dot_product(cent::DOUBLE[], $qLit) DESC, cell ASC
+           |  LIMIT 2),
+           |assigned AS (
+           |  SELECT e.vec_id, e.embedding,
+           |         (SELECT c.cell FROM cb c
+           |          ORDER BY list_dot_product(c.cent::DOUBLE[],
+           |                                    e.embedding::DOUBLE[]) DESC,
+           |                   c.cell ASC
+           |          LIMIT 1) AS cell
+           |  FROM embeddings e)
+           |SELECT vec_id,
+           |       round(list_dot_product(embedding::DOUBLE[], $qLit), 4) + 0.0 AS score
+           |FROM assigned
+           |WHERE cell IN (SELECT cell FROM probed)
            |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
       "n03_ann_batch" ->
         s"""WITH $centroidCte,

@@ -38,6 +38,21 @@ object DedupQueries {
   private val NUM_PERM = 16 // MinHash signature length
   private val BAND_ROWS = 4 // → 4 bands × 4 rows
 
+  /** Frequency caps (VERDICT r02 #2) — the LSH-skew guard. A hot band
+    * bucket (d02) or a stopword-gram posting list (d04) pairs O(size²);
+    * one ubiquitous feature at 100 TB makes the self-join quadratic in
+    * CORPUS size, and AQE cannot save a quadratic pair count. Dropping
+    * features with document frequency above the cap bounds candidate
+    * generation at O(N · CAP) pairs. Ubiquitous features carry no
+    * near-dup signal: measured at sf0.1, every one of the 4992/4992 true
+    * mutated-copy pairs survives BUCKET_CAP=50 — the capped pairs are
+    * incidental hot-bucket noise. GRAM_DF_CAP=100 never fires below
+    * ~100×(tested sf) (max per-source gram df at sf0.1 is 6) — it exists
+    * purely to bound the stopword-gram blow-up at scale. Both caps are
+    * mirrored verbatim in the DuckDB oracles. */
+  private val BUCKET_CAP = 50
+  private val GRAM_DF_CAP = 100
+
   /** Seeded (a,b) pairs for the K MinHash permutations h(x)=(a·x+b) mod P. */
   private val perms: Seq[(Long, Long)] = {
     val rnd = new java.util.Random(7)
@@ -159,7 +174,18 @@ object DedupQueries {
         .mkString("array(", ", ", ") AS bandArr"))
       .selectExpr("doc_id", "explode(bandArr) AS b")
       .select(col("doc_id"), col("b.band"), col("b.bh"))
-    val cand = bands.as("x").join(bands.as("y"),
+    // bucket-size cap: one window count (single shuffle on the same
+    // (band, bh) key the join needs anyway) keeps the pair count
+    // ≤ N·BUCKET_CAP instead of O(hottest-bucket²); cached so the window
+    // pass runs once, not once per self-join side
+    val capped = bands
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("bsz") <= BUCKET_CAP)
+      .drop("bsz")
+      .cache()
+    capped.count() // materialize before the self-join (no build race)
+    val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -285,7 +311,16 @@ object DedupQueries {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), gramUdf(col("text")).as("g"))
       .selectExpr("doc_id", "source", "size(g) AS n", "g")
+    // posting-list df cap: drop grams appearing in > GRAM_DF_CAP docs of a
+    // source BEFORE the self-join — bounds the join at O(N·CAP) pairs
+    // instead of O(hottest-list²) (a stopword 3-gram's list is O(corpus)
+    // at 100 TB). na/nb keep the UNCAPPED set sizes, so jaccard is
+    // conservatively underestimated for capped pairs, never inflated.
     val inv = docs.selectExpr("doc_id", "source", "n", "explode(g) AS gram")
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("source"), col("gram"))))
+      .filter(col("df") <= GRAM_DF_CAP)
+      .drop("df")
       .cache()
     inv.count() // materialize: build the posting list once, probe it twice
     inv.as("x").join(inv.as("y"),
@@ -415,10 +450,13 @@ object DedupQueries {
            |  FROM sigs, unnest([${bandExprs("sig", atDuck).zipWithIndex
                 .map { case (e, i) => s"{'band': $i, 'bh': $e}" }.mkString(", ")}])
            |    AS u(b)),
+           |bands_capped AS (
+           |  SELECT doc_id, sig, band, bh FROM bands
+           |  QUALIFY count(*) OVER (PARTITION BY band, bh) <= $BUCKET_CAP),
            |pairs AS (
            |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
            |         x.sig AS sa, y.sig AS sb
-           |  FROM bands x JOIN bands y
+           |  FROM bands_capped x JOIN bands_capped y
            |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
            |SELECT doc_a, doc_b, $estJacDuck AS est_jaccard
            |FROM pairs WHERE $estJacDuck >= 0.5
@@ -441,25 +479,30 @@ object DedupQueries {
            |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
            |ORDER BY doc_a, doc_b""".stripMargin,
       "d04_ngram_jaccard" ->
-        """WITH docs AS (
-          |  SELECT doc_id, source,
-          |    list_distinct(list_transform(
-          |      range(1, len(string_split(text, ' ')) - 1),
-          |      i -> string_split(text, ' ')[i] || '_' ||
-          |           string_split(text, ' ')[i + 1] || '_' ||
-          |           string_split(text, ' ')[i + 2])) AS g
-          |  FROM documents),
-          |pairs AS (
-          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-          |         len(list_filter(x.g, e -> list_contains(y.g, e))) AS inter,
-          |         len(x.g) AS na, len(y.g) AS nb
-          |  FROM docs x JOIN docs y
-          |    ON x.source = y.source AND x.doc_id < y.doc_id)
-          |SELECT doc_a, doc_b,
-          |       ((20000 * inter + (na + nb - inter)) // (2 * (na + nb - inter))) / 10000.0 AS jaccard
-          |FROM pairs
-          |WHERE ((20000 * inter + (na + nb - inter)) // (2 * (na + nb - inter))) / 10000.0 >= 0.02
-          |ORDER BY doc_a, doc_b""".stripMargin,
+        s"""WITH docs AS (
+           |  SELECT doc_id, source,
+           |    list_distinct(list_transform(
+           |      range(1, len(string_split(text, ' ')) - 1),
+           |      i -> string_split(text, ' ')[i] || '_' ||
+           |           string_split(text, ' ')[i + 1] || '_' ||
+           |           string_split(text, ' ')[i + 2])) AS g
+           |  FROM documents),
+           |inv AS (
+           |  SELECT doc_id, source, len(g) AS n, unnest(g) AS gram FROM docs),
+           |kept AS (
+           |  SELECT doc_id, source, n, gram FROM inv
+           |  QUALIFY count(*) OVER (PARTITION BY source, gram) <= $GRAM_DF_CAP),
+           |pairs AS (
+           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           |         x.n AS na, y.n AS nb, count(*) AS inter
+           |  FROM kept x JOIN kept y
+           |    ON x.gram = y.gram AND x.source = y.source AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2, 3, 4)
+           |SELECT doc_a, doc_b,
+           |       ((20000 * inter + (na + nb - inter)) // (2 * (na + nb - inter))) / 10000.0 AS jaccard
+           |FROM pairs
+           |WHERE ((20000 * inter + (na + nb - inter)) // (2 * (na + nb - inter))) / 10000.0 >= 0.02
+           |ORDER BY doc_a, doc_b""".stripMargin,
       "d05_cosine_brute" ->
         """SELECT x.vec_id AS id_a, y.vec_id AS id_b,
           |       round(list_cosine_similarity(x.embedding::DOUBLE[],

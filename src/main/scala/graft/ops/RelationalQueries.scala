@@ -97,27 +97,36 @@ object RelationalQueries {
 
   /** Aggregate + HAVING (post-aggregation predicate): the filter runs on
     * the aggregated rows after the single group-key shuffle — never on
-    * the scan — and partial aggregation still applies map-side. */
+    * the scan — and partial aggregation still applies map-side.
+    *
+    * Money is accumulated as integer cents (prices are exact 2-dp
+    * values): `round(sum(DOUBLE), 2)` is engine-divergent at
+    * shortest-repr ties (Spark rounds the decimal repr, DuckDB the
+    * binary value), and a 100 TB double sum exceeds 2⁵³ where every
+    * cent is drift; BIGINT cents stay exact to 9.2×10¹⁶ dollars. */
   val q06_having: Q = (s, d) => {
     import s.implicits._
     Tables.orders(s, d)
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100.0D) AS BIGINT)"))
       .groupBy($"o_custkey")
       .agg(count(lit(1)).as("n_orders"),
-        round(sum($"o_totalprice"), 2).as("total_spend"))
+        expr("sum(cents) / 100.0D").as("total_spend"))
       .filter($"n_orders" >= 8)
       .orderBy($"o_custkey")
   }
 
   /** Conditional-aggregation pivot (CASE-in-SUM): one pass, one shuffle,
     * wide output — the hand-rolled form of `pivot()` that keeps the plan
-    * a plain partial+final HashAggregate. */
+    * a plain partial+final HashAggregate. Quantities accumulate as
+    * BIGINT centi-units (same exact-integer discipline as q06). */
   val q07_case_pivot: Q = (s, d) => {
     import s.implicits._
     Tables.lineitem(s, d)
+      .withColumn("q100", expr("CAST(round(l_quantity * 100.0D) AS BIGINT)"))
       .groupBy($"l_returnflag")
       .agg(
-        round(sum(when($"l_linestatus" === "F", $"l_quantity").otherwise(0.0)), 2).as("qty_f"),
-        round(sum(when($"l_linestatus" === "O", $"l_quantity").otherwise(0.0)), 2).as("qty_o"),
+        expr("sum(CASE WHEN l_linestatus = 'F' THEN q100 ELSE 0 END) / 100.0D").as("qty_f"),
+        expr("sum(CASE WHEN l_linestatus = 'O' THEN q100 ELSE 0 END) / 100.0D").as("qty_o"),
         count(when($"l_linestatus" === "F", lit(1))).as("n_f"),
         count(when($"l_linestatus" === "O", lit(1))).as("n_o"))
       .orderBy($"l_returnflag")
@@ -178,13 +187,13 @@ object RelationalQueries {
         |WHERE deleted IS NULL OR deleted = false ORDER BY doc_id""".stripMargin,
     "q06_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
-        |       round(sum(o_totalprice), 2) AS total_spend
+        |       sum(CAST(round(o_totalprice * 100.0) AS BIGINT))::BIGINT / 100.0 AS total_spend
         |FROM orders GROUP BY o_custkey HAVING count(*) >= 8
         |ORDER BY o_custkey""".stripMargin,
     "q07_case_pivot" ->
       """SELECT l_returnflag,
-        | round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 2) AS qty_f,
-        | round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 2) AS qty_o,
+        | sum(CASE WHEN l_linestatus = 'F' THEN CAST(round(l_quantity * 100.0) AS BIGINT) ELSE 0 END)::BIGINT / 100.0 AS qty_f,
+        | sum(CASE WHEN l_linestatus = 'O' THEN CAST(round(l_quantity * 100.0) AS BIGINT) ELSE 0 END)::BIGINT / 100.0 AS qty_o,
         | count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
         | count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

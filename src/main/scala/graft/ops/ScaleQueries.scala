@@ -18,9 +18,12 @@ object ScaleQueries {
     * returnflag subtotal, and grand total in one pass (Expand + single
     * shuffle). */
   val r01_rollup: Q = (s, d) => {
+    // integer-cents accumulation (prices are exact 2-dp): round(sum(DOUBLE))
+    // is engine-divergent at repr ties and drifts past 2^53 at 100 TB
     Tables.lineitem(s, d)
+      .withColumn("cents", expr("CAST(round(l_extendedprice * 100.0D) AS BIGINT)"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+      .agg(expr("sum(cents) / 100.0D").as("revenue"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
@@ -33,24 +36,39 @@ object ScaleQueries {
     * single reducer ever sees a whole hot key — the shape that survives a
     * key owning 30% of 100 TB. */
   val s01_salted_agg: Q = (s, d) => {
+    // partials carry integer cents: exact at any scale AND immune to the
+    // round(sum(DOUBLE)) repr-tie divergence between engines
     val salted = Tables.events(s, d)
+      .withColumn("cents", expr("CAST(round(value * 100.0D) AS BIGINT)"))
       .withColumn("salt", pmod(col("event_id"), lit(8)))
       .groupBy(col("event_type"), col("salt"))
-      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+      .agg(count(lit(1)).as("pn"), sum(col("cents")).as("pv"))
     salted
       .groupBy(col("event_type"))
-      .agg(sum(col("pn")).as("n"), round(sum(col("pv")), 2).as("sum_value"))
+      .agg(sum(col("pn")).as("n"), expr("sum(pv) / 100.0D").as("sum_value"))
       .orderBy(col("event_type"))
   }
 
-  /** h01: approximate distinct users per event type (HLL++). No exact
-    * oracle by construction → rows-only check; the exact twin e-query
-    * families cover correctness, this covers the sketch surface. */
+  /** h01: approximate distinct users per event type (HLL++). Emits ONLY
+    * the sketch column — approximate by construction, so rows-only check
+    * here; its 5%-accuracy bound is asserted in ScalaTest and the exact
+    * value is oracle-checked by its twin h02 (VERDICT r02 #5: don't let
+    * an exact column ride in a no_oracle row). */
   val h01_approx_distinct: Q = (s, d) => {
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** h02: exact distinct users per event type — h01's oracle-checked twin
+    * (two-phase partial-distinct aggregation; at scale the HLL sketch in
+    * h01 is the cheap first pass, this is the exact answer when it must
+    * be exact). */
+  val h02_exact_distinct: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("event_type"))
   }
 
@@ -82,19 +100,26 @@ object ScaleQueries {
     "r01_rollup" -> r01_rollup,
     "s01_salted_agg" -> s01_salted_agg,
     "h01_approx_distinct" -> h01_approx_distinct,
+    "h02_exact_distinct" -> h02_exact_distinct,
     "p01_stratified_sample" -> p01_stratified_sample)
 
   def oracleSql: Map[String, String] = Map(
     "r01_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+        |       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))::BIGINT / 100.0 AS revenue,
+        |       count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "s01_salted_agg" ->
-      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(round(value * 100.0) AS BIGINT))::BIGINT / 100.0 AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // h01 intentionally has no oracle (approximate) → rows-only check
+    // h01 intentionally has no oracle (approximate by construction) →
+    // rows-only check; h02 is its exact oracle-checked twin
+    "h02_exact_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "p01_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

@@ -7,9 +7,12 @@ import graft.model.Tables
 /** Text-analysis operators for a training-data pipeline (builder prompt):
   * language-ID, quality scoring, token counting, document fingerprinting —
   * all over the `documents` table, all pure narrow transformations
-  * (zero shuffle; at 100 TB they stream through the scan), all
-  * whole-stage-codegen-friendly (built-in string/HOF expressions only, no
-  * UDFs).
+  * (zero shuffle; at 100 TB they stream through the scan). Word-level
+  * counts use built-in codegen'd string expressions; the two per-CHAR
+  * computations (t03's BPE estimate, t04's rolling hash) are tight
+  * compiled UDF loops — Spark higher-order-function lambdas are
+  * interpreted per element, the #1 per-row cost at scale (VERDICT r02
+  * #3: ~300 lambda evals/row here; same rewrite that took d04 403 s→1.6 s).
   *
   * Each computation is written as SQL expression text shared conceptually
   * with its DuckDB oracle so both engines evaluate the identical
@@ -100,40 +103,72 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** ⌈len/4⌉-pieces-per-word BPE estimate in ONE compiled pass over the
+    * chars — replaces an interpreted transform+aggregate lambda per word
+    * (split(' ') semantics: empty tokens contribute ⌈0/4⌉ = 0, so they
+    * need no special case). */
+  private val bpeUdf = udf { (text: String) =>
+    if (text == null) 0L
+    else {
+      var acc = 0L; var start = 0; var i = 0; val n = text.length
+      while (i <= n) {
+        if (i == n || text.charAt(i) == ' ') {
+          acc += (i - start + 3) / 4 // ⌈len/4⌉
+          start = i + 1
+        }
+        i += 1
+      }
+      acc
+    }
+  }
+
   /** t03: token counting — whitespace tokens, regex word/number tokens,
     * and a BPE-ish ⌈len/4⌉-pieces-per-word estimate. */
   val t03_token_count: Q = (s, d) => {
     Tables.documents(s, d)
-      .selectExpr(
-        "doc_id",
-        "size(split(text, ' ')) AS ws_tokens",
-        "CAST(regexp_count(text, '[a-z]+|[0-9]+') AS BIGINT) AS re_tokens",
-        """aggregate(transform(split(text, ' '),
-          |  w -> CAST(ceil(length(w) / 4.0) AS BIGINT)),
-          |  CAST(0 AS BIGINT), (acc, x) -> acc + x) AS bpe_tokens""".stripMargin,
-        "length(text) AS n_chars_m")
+      .select(
+        col("doc_id"),
+        expr("size(split(text, ' '))").as("ws_tokens"),
+        expr("CAST(regexp_count(text, '[a-z]+|[0-9]+') AS BIGINT)").as("re_tokens"),
+        bpeUdf(col("text")).as("bpe_tokens"),
+        length(col("text")).as("n_chars_m"))
       .orderBy(col("doc_id"))
   }
 
   /** t04: document fingerprint — sum of 8-char-window polynomial rolling
     * hashes mod 1e9+7 (content-defined, shift-tolerant up to window
-    * alignment). Pure codegen'd HOF chain over the scan. */
-  val t04_fingerprint: Q = (s, d) => {
+    * alignment). A true O(n) rolling hash in one compiled UDF pass:
+    * h_{i+1} = (h_i − c_i·31⁷)·31 + c_{i+8} (mod p) — the HOF version it
+    * replaces re-derived each window from scratch in interpreted lambdas
+    * (8 multiplies × interpreted eval per char). Arithmetic is identical
+    * to the oracle's per-window polynomial mod p: the rolling recurrence
+    * maintains exactly (Σ c_j·31^(7−j)) mod p, and every intermediate
+    * stays < 2⁶³ (h < p ≈ 2³⁰; ·31 + char < 2³⁵). */
+  private val fpUdf = udf { (text: String) =>
     val p = 1000000007L
-    // powers of 31: 31^7 … 31^0 as precomputed longs
-    val pows = (0 to 7).map(k => math.pow(31, k).toLong).reverse
-    val winHash = (1 to 8).zip(pows)
-      .map { case (j, pw) => s"ascii(substr(text, i + ${j - 1}, 1)) * ${pw}L" }
-      .mkString(" + ")
+    val pow7 = 27512614111L % p // 31^7 mod p
+    if (text == null || text.length < 8) 0L
+    else {
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = h * 31 + text.charAt(j).toInt; j += 1 }
+      h %= p
+      var acc = h
+      var i = 1
+      val end = text.length - 7
+      while (i < end) {
+        h = ((h - text.charAt(i - 1).toInt * pow7 % p + p) * 31 +
+          text.charAt(i + 7).toInt) % p
+        acc = (acc + h) % p
+        i += 1
+      }
+      acc
+    }
+  }
+
+  val t04_fingerprint: Q = (s, d) => {
     Tables.documents(s, d)
-      .selectExpr(
-        "doc_id",
-        s"""CASE WHEN length(text) >= 8 THEN
-           |  aggregate(
-           |    transform(sequence(1, length(text) - 7),
-           |      i -> ($winHash) % ${p}L),
-           |    CAST(0 AS BIGINT), (acc, x) -> (acc + x) % ${p}L)
-           |ELSE CAST(0 AS BIGINT) END AS fingerprint""".stripMargin)
+      .select(col("doc_id"), fpUdf(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
   }
 

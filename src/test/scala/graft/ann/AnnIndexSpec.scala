@@ -10,11 +10,16 @@ class AnnIndexSpec extends SparkSpec {
   private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
   private val q = VectorQueries.flagshipVec
 
-  test("build is deterministic and assigns every row to a cell") {
+  test("build is reproducible (centroids within merge-order tolerance) " +
+    "and assigns every row to a cell") {
     val a = IvfIndex.build(emb, cells = 8, iters = 3)
     val b = IvfIndex.build(emb, cells = 8, iters = 3)
+    // tolerance, not bitwise: the per-cell vecSum merges Double partials
+    // in whatever order Spark completes them, so centroids are only
+    // reproducible up to fp-addition reordering (~1e-12 at this scale);
+    // bitwise determinism holds only for a FIXED partitioning
     a.codebook.zip(b.codebook).foreach { case (x, y) =>
-      assert(x.sameElements(y))
+      x.zip(y).foreach { case (u, v) => assert(math.abs(u - v) < 1e-6f) }
     }
     assert(a.indexed.count() == emb.count())
     assert(a.indexed.select("cell").distinct().count() <= 8)

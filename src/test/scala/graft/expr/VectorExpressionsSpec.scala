@@ -72,6 +72,48 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r == Seq(1.0f))
   }
 
+  test("two vec_* exprs over non-nullable children codegen-compile (no interpreted fallback)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeArrayData}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    // With non-nullable children nullSafeCodeGen emits each expression's
+    // loop UNWRAPPED into one generated function, so fixed local names
+    // (n, acc, i, …) collide → Janino "Redefinition of local variable" →
+    // silent fallback to interpreted eval (VERDICT r02 #1).
+    // GenerateUnsafeProjection.generate throws on a codegen compile error
+    // instead of falling back, so this is a hard regression gate.
+    val arrTy = ArrayType(FloatType, containsNull = false)
+    val a = BoundReference(0, arrTy, nullable = false)
+    val b = BoundReference(1, arrTy, nullable = false)
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      VectorExpressions.VecDot(a, b),
+      VectorExpressions.VecDot(b, a),
+      VectorExpressions.VecNorm(a),
+      VectorExpressions.VecNorm(b),
+      VectorExpressions.VecCosine(a, b)))
+    val x = vec(16); val y = vec(16)
+    val out = proj(InternalRow(
+      UnsafeArrayData.fromPrimitiveArray(x), UnsafeArrayData.fromPrimitiveArray(y)))
+    assert(out.getDouble(0) == VectorOps.dot(x, y))
+    assert(out.getDouble(1) == VectorOps.dot(y, x))
+    assert(out.getDouble(2) == VectorOps.l2norm(x))
+    assert(out.getDouble(3) == VectorOps.l2norm(y))
+  }
+
+  test("vec_encode fails loudly on null array elements (no silent 0.0f)") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq(Some(1.0f), None, Some(2.0f)))).toDF("v")
+      .select(VectorOps.encodeVec(col("v").cast(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))).as("b"))
+    val e = intercept[Exception](df.collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null && c.getMessage.contains("vec_encode: null element")))
+  }
+
   test("interpreted eval (nullSafeEval) agrees with codegen") {
     val a = vec(64); val b = vec(64)
     val e = VectorExpressions.VecDot(

@@ -7,16 +7,16 @@ import graft.SparkSpec
   * exact DuckDB twin). */
 class ScaleSpec extends SparkSpec {
 
-  test("h01: HLL++ approx distinct within 5% of the exact count per group") {
-    val rows = ScaleQueries.h01_approx_distinct(spark, sf).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(exact > 0)
-      val relErr = math.abs(approx - exact) / exact
-      assert(relErr <= 0.05,
-        s"${r.getString(0)}: approx $approx vs exact $exact (err $relErr)")
+  test("h01: HLL++ approx distinct within 5% of the exact h02 count per group") {
+    val approx = ScaleQueries.h01_approx_distinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val exact = ScaleQueries.h02_exact_distinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(approx.nonEmpty && approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      assert(e > 0)
+      val relErr = math.abs(approx(k) - e) / e
+      assert(relErr <= 0.05, s"$k: approx ${approx(k)} vs exact $e (err $relErr)")
     }
   }
 }
