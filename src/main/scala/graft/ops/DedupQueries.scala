@@ -361,7 +361,11 @@ object DedupQueries {
 
   /** d06: embedding-cosine near-dup via hyperplane LSH — 6 tables × 3
     * sign bits; candidates = same (table, bucket); exact cosine re-check.
-    * ≈80% recall of d05 at a fraction of the pairs — the scale path. */
+    * ≈80% recall of d05 at a fraction of the pairs — the scale path.
+    * The 3-bit bucket width is sized for this corpus: at scale the bit
+    * count must grow as log₂(N/B) or the candidate join is quadratic in
+    * N — see [[graft.vec.Lsh.planesFor]] and DedupStressSpec, which pins
+    * the rule empirically at 20× corpus. */
   val d06_cosine_lsh: Q = (s, d) => {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val bucketStructs = planes.zipWithIndex.map { case (tbl, t) =>

@@ -18,16 +18,33 @@ object Lsh {
   val DIM = 64
 
   /** Seeded hyperplanes: table → plane → 64 dims. */
-  val planes: Seq[Seq[Array[Double]]] = {
-    val rnd = new java.util.Random(11)
-    Seq.fill(NUM_TABLES)(Seq.fill(BITS)(Array.fill(DIM)(rnd.nextGaussian())))
+  val planes: Seq[Seq[Array[Double]]] = planesFor(NUM_TABLES, BITS, DIM)
+
+  /** Seeded planes for an arbitrary (tables × bits) config.
+    *
+    * SIZING RULE (the d06 scale knob): bits must grow with the corpus —
+    * k ≈ log₂(N / B) for a target bucket size B, since sign-random
+    * projection spreads non-similar vectors uniformly over 2^k buckets
+    * and the candidate join costs O(Σ bucket²). k=3 is tuned for the
+    * 10³-row test corpora; at 10⁹ rows with B≈10³ use k≈20, adding
+    * tables (L) to buy back the per-bit recall loss. DedupStressSpec
+    * pins this empirically: fixed k is quadratic in N, scaled k is
+    * linear with near-dup recall intact. */
+  def planesFor(tables: Int, bits: Int, dim: Int = DIM,
+      seed: Long = 11L): Seq[Seq[Array[Double]]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
   }
 
-  /** Bucket id of a vector column for table `t` (sum of sign bits). */
-  def bucketCol(vec: Column, t: Int): Column =
-    planes(t).zipWithIndex.map { case (pl, i) =>
+  /** Bucket column for an arbitrary plane set (same arithmetic as
+    * [[bucketCol]], which is this over the default `planes`). */
+  def bucketColFor(planeSet: Seq[Seq[Array[Double]]])(vec: Column, t: Int): Column =
+    planeSet(t).zipWithIndex.map { case (pl, i) =>
       when(VectorOps.dotQueryNative(vec, pl.map(_.toFloat)) > 0, 1 << i).otherwise(0)
     }.reduce(_ + _)
+
+  /** Bucket id of a vector column for table `t` (sum of sign bits). */
+  def bucketCol(vec: Column, t: Int): Column = bucketColFor(planes)(vec, t)
 
   /** Driver-side bucket of a query vector — same float-widening arithmetic
     * as the executor/oracle path. */
