@@ -174,15 +174,18 @@ object DedupQueries {
         .mkString("array(", ", ", ") AS bandArr"))
       .selectExpr("doc_id", "explode(bandArr) AS b")
       .select(col("doc_id"), col("b.band"), col("b.bh"))
-    // bucket-size cap: one window count (single shuffle on the same
-    // (band, bh) key the join needs anyway) keeps the pair count
-    // ≤ N·BUCKET_CAP instead of O(hottest-bucket²); cached so the window
-    // pass runs once, not once per self-join side
+    // bucket-size cap, as hot-set anti-join: aggregate the buckets over
+    // the cap (a tiny table — only duplicate-cluster buckets exceed 50)
+    // and anti-join them away. Keeps the pair count ≤ N·BUCKET_CAP
+    // instead of O(hottest-bucket²), and costs one partial-agg pass +
+    // an (AQE-broadcast) anti-join — no window sort of the full band
+    // table. Cached so the pass runs once, not once per self-join side.
+    val hotBuckets = bands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > BUCKET_CAP)
+      .select(col("band"), col("bh"))
     val capped = bands
-      .withColumn("bsz",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
-      .filter(col("bsz") <= BUCKET_CAP)
-      .drop("bsz")
+      .join(hotBuckets, Seq("band", "bh"), "left_anti")
       .cache()
     capped.count() // materialize before the self-join (no build race)
     val cand = capped.as("x").join(capped.as("y"),
@@ -316,13 +319,18 @@ object DedupQueries {
     // instead of O(hottest-list²) (a stopword 3-gram's list is O(corpus)
     // at 100 TB). na/nb keep the UNCAPPED set sizes, so jaccard is
     // conservatively underestimated for capped pairs, never inflated.
-    val inv = docs.selectExpr("doc_id", "source", "n", "explode(g) AS gram")
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("source"), col("gram"))))
-      .filter(col("df") <= GRAM_DF_CAP)
-      .drop("df")
+    // Same hot-set anti-join shape as d02: the over-cap gram list is
+    // tiny (stopword grams), so no window sort of the full index.
+    val exploded = docs.selectExpr("doc_id", "source", "n", "explode(g) AS gram")
       .cache()
-    inv.count() // materialize: build the posting list once, probe it twice
+    exploded.count() // one gram-UDF pass; the df agg and both self-join
+    // sides probe this cache (materialized first — no build race)
+    val hotGrams = exploded.groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > GRAM_DF_CAP)
+      .select(col("source"), col("gram"))
+    val inv = exploded
+      .join(hotGrams, Seq("source", "gram"), "left_anti")
     inv.as("x").join(inv.as("y"),
         col("x.gram") === col("y.gram") &&
           col("x.source") === col("y.source") &&
