@@ -25,8 +25,12 @@ object Bench {
     * `other_java > 0` or a start load far above zero should be
     * discounted. */
   def machineState(): (Double, Int) = {
+    def readFile(path: String): String = {
+      val src = scala.io.Source.fromFile(path)
+      try src.mkString finally src.close() // no FD leak on /proc scans
+    }
     val load =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+      try readFile("/proc/loadavg").split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val lineage = Iterator.iterate(Option(ProcessHandle.current())) {
       _.flatMap(p => { val par = p.parent(); if (par.isPresent) Some(par.get) else None })
@@ -36,7 +40,7 @@ object Bench {
         .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
         .count { f =>
           !lineage.contains(f.getName.toLong) && {
-            try scala.io.Source.fromFile(s"${f.getPath}/comm").mkString.trim == "java"
+            try readFile(s"${f.getPath}/comm").trim == "java"
             catch { case _: Throwable => false }
           }
         }

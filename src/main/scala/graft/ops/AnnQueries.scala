@@ -123,7 +123,11 @@ object AnnQueries {
     val q = VectorQueries.flagshipVec
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val idx = graft.ann.IvfIndex.build(emb, cells = 8, iters = 0)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-n04-ivf").toString
+    // stable per-sf path + overwrite save: repeated bench/verify rounds
+    // reuse one artifact directory instead of accumulating a fresh
+    // embeddings copy in /tmp per invocation
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-n04-ivf-" +
+      java.lang.Integer.toHexString(d.hashCode)
     idx.save(tmp)
     idx.indexed.unpersist()
     val loaded = graft.ann.IvfIndex.load(s, tmp)

@@ -139,15 +139,18 @@ object DedupQueries {
     val as = perms.map(_._1).toArray
     val bs = perms.map(_._2).toArray
     val sigUdf = udf { (text: String) =>
-      if (text == null || text.length < 5) null
+      // code points, not UTF-16 units: the oracle's unicode(substr(...))
+      // counts/reads code points, so charAt would diverge on astral text
+      val cps = if (text == null) null else text.codePoints().toArray
+      if (cps == null || cps.length < 5) null
       else {
         val mins = Array.fill(NUM_PERM)(Long.MaxValue)
         var i = 0
-        val end = text.length - 4
+        val end = cps.length - 4
         while (i < end) {
           var h = 0L
           var j = 0
-          while (j < 5) { h = h * 31 + text.charAt(i + j).toInt; j += 1 }
+          while (j < 5) { h = h * 31 + cps(i + j); j += 1 }
           h %= P
           var k = 0
           while (k < NUM_PERM) {
@@ -229,12 +232,14 @@ object DedupQueries {
         while (wi < ws.length) {
           val w = ws(wi)
           // 4-char rpad('_') Horner base 31 == the oracle's unicode()
-          // polynomial (ASCII corpus; rpad dodges the engines' divergent
-          // empty-string codepoints: Spark ascii('')=0, DuckDB -1)
+          // polynomial over CODE POINTS (rpad dodges the engines'
+          // divergent empty-string codepoints: Spark ascii('')=0,
+          // DuckDB -1)
+          val wc = w.codePoints().toArray
           var p = 0L
           var j = 0
           while (j < 4) {
-            p = p * 31 + (if (j < w.length) w.charAt(j).toInt else '_'.toInt)
+            p = p * 31 + (if (j < wc.length) wc(j) else '_'.toInt)
             j += 1
           }
           p %= P
@@ -329,8 +334,12 @@ object DedupQueries {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > GRAM_DF_CAP)
       .select(col("source"), col("gram"))
+    // cached too (thin rows): otherwise the df-agg + anti-join subtree is
+    // planned into BOTH self-join branches and relies on ReuseExchange
     val inv = exploded
       .join(hotGrams, Seq("source", "gram"), "left_anti")
+      .cache()
+    inv.count()
     inv.as("x").join(inv.as("y"),
         col("x.gram") === col("y.gram") &&
           col("x.source") === col("y.source") &&

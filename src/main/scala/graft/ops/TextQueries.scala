@@ -104,21 +104,26 @@ object TextQueries {
   }
 
   /** ⌈len/4⌉-pieces-per-word BPE estimate in ONE compiled pass over the
-    * chars — replaces an interpreted transform+aggregate lambda per word
+    * CODE POINTS — replaces an interpreted transform+aggregate lambda per
+    * word. Code points, not UTF-16 units: Spark `length`/`substr` and
+    * DuckDB `length`/`unicode` both count code points, so charAt-based
+    * counting would diverge from the oracle on astral-plane text.
     * (split(' ') semantics: empty tokens contribute ⌈0/4⌉ = 0, so they
-    * need no special case). */
+    * need no special case.) NULL text stays NULL, matching both the HOF
+    * expression this replaces and the oracle. */
   private val bpeUdf = udf { (text: String) =>
-    if (text == null) 0L
+    if (text == null) null
     else {
-      var acc = 0L; var start = 0; var i = 0; val n = text.length
+      val cps = text.codePoints().toArray
+      var acc = 0L; var start = 0; var i = 0; val n = cps.length
       while (i <= n) {
-        if (i == n || text.charAt(i) == ' ') {
+        if (i == n || cps(i) == ' ') {
           acc += (i - start + 3) / 4 // ⌈len/4⌉
           start = i + 1
         }
         i += 1
       }
-      acc
+      java.lang.Long.valueOf(acc)
     }
   }
 
@@ -147,22 +152,28 @@ object TextQueries {
   private val fpUdf = udf { (text: String) =>
     val p = 1000000007L
     val pow7 = 27512614111L % p // 31^7 mod p
-    if (text == null || text.length < 8) 0L
+    if (text == null) 0L // oracle: CASE over length(NULL) falls to ELSE 0
     else {
-      var h = 0L
-      var j = 0
-      while (j < 8) { h = h * 31 + text.charAt(j).toInt; j += 1 }
-      h %= p
-      var acc = h
-      var i = 1
-      val end = text.length - 7
-      while (i < end) {
-        h = ((h - text.charAt(i - 1).toInt * pow7 % p + p) * 31 +
-          text.charAt(i + 7).toInt) % p
-        acc = (acc + h) % p
-        i += 1
+      // code points, not UTF-16 units — matches the oracle's
+      // length()/unicode() (every intermediate stays < 2⁶³:
+      // cp ≤ 0x10FFFF, cp·pow7 ≤ 5.7e14, (2p)·31 + cp ≤ 6.3e10)
+      val cps = text.codePoints().toArray
+      if (cps.length < 8) 0L
+      else {
+        var h = 0L
+        var j = 0
+        while (j < 8) { h = h * 31 + cps(j); j += 1 }
+        h %= p
+        var acc = h
+        var i = 1
+        val end = cps.length - 7
+        while (i < end) {
+          h = ((h - cps(i - 1) * pow7 % p + p) * 31 + cps(i + 7)) % p
+          acc = (acc + h) % p
+          i += 1
+        }
+        acc
       }
-      acc
     }
   }
 
