@@ -94,13 +94,77 @@ object EventQueries {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** e07: AS-OF join — each purchase matched to the user's most recent
+    * view at-or-before it (the canonical time-series operator Spark has
+    * no built-in for). Spark-first formulation: tag both sides, union,
+    * ONE shuffle on user_id, and a running `last(view_id) ignoreNulls`
+    * window — never a per-row range probe. Ordering (ts, tag, event_id)
+    * makes ties exact: a view AT the purchase timestamp counts (tag 0
+    * sorts first), and among equal-ts views the max event_id wins —
+    * the same total order the oracle's LATERAL `ORDER BY ts DESC,
+    * event_id DESC LIMIT 1` picks. (DuckDB's native ASOF JOIN leaves
+    * equal-key ties unspecified, so the oracle spells the order out.)
+    * At 100 TB this is the sessionize shape: one hash shuffle, a
+    * per-user in-partition sort, thin (user, ts, tag, id) rows. */
+  val e07_asof_join: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val tagged = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("prior_view_id",
+        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("prior_view_id"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** e08: funnel — how far each user progresses through the strictly
+    * ordered view → click → purchase sequence (greedy earliest match:
+    * tᵢ = min ts of stage i events after tᵢ₋₁). Three thin per-user
+    * aggregations chained by user_id equi-joins — every shuffle is on
+    * the same key, so at scale AQE coalesces them and no stage ever
+    * carries more than (user, ts) rows. Timestamps compare exactly
+    * (micros), so there is no float parity surface at all. */
+  val e08_funnel: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def stageMin(evType: String, prev: DataFrame, prevCol: String, out: String) =
+      ev.filter(col("event_type") === evType)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevCol))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(out))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = stageMin("click", t1, "t1", "t2")
+    val t3 = stageMin("purchase", t2, "t2", "t3")
+    ev.select(col("user_id")).distinct()
+      .join(t1.select(col("user_id"), col("t1")), Seq("user_id"), "left")
+      .join(t2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+      .join(t3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+      .selectExpr("user_id",
+        """CAST(CASE WHEN t3 IS NOT NULL THEN 3
+          |     WHEN t2 IS NOT NULL THEN 2
+          |     WHEN t1 IS NOT NULL THEN 1
+          |     ELSE 0 END AS INT) AS stage""".stripMargin)
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "e01_sessionize" -> e01_sessionize,
     "e02_json_props" -> e02_json_props,
     "e03_hourly_agg" -> e03_hourly_agg,
     "e04_window_rank" -> e04_window_rank,
     "e05_set_intersect" -> e05_set_intersect,
-    "e06_set_except" -> e06_set_except)
+    "e06_set_except" -> e06_set_except,
+    "e07_asof_join" -> e07_asof_join,
+    "e08_funnel" -> e08_funnel)
 
   def oracleSql: Map[String, String] = Map(
     "e01_sessionize" ->
@@ -139,5 +203,42 @@ object EventQueries {
       """SELECT lang, source FROM documents WHERE doc_id < 250
         |EXCEPT
         |SELECT lang, source FROM documents WHERE doc_id >= 250
-        |ORDER BY lang, source""".stripMargin)
+        |ORDER BY lang, source""".stripMargin,
+    // DuckDB's native ASOF JOIN leaves equal-key ties unspecified, so the
+    // oracle pins the same total order the Spark window uses
+    "e07_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, v.prior_view_id
+        |FROM events p
+        |LEFT JOIN LATERAL (
+        |  SELECT v.event_id AS prior_view_id FROM events v
+        |  WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |    AND v.ts <= p.ts
+        |  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) v ON true
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+    "e08_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (
+        |  SELECT u.user_id,
+        |    (SELECT min(ts) FROM events e
+        |     WHERE e.user_id = u.user_id AND e.event_type = 'view') AS t1
+        |  FROM u),
+        |s2 AS (
+        |  SELECT s1.user_id, t1,
+        |    (SELECT min(ts) FROM events e
+        |     WHERE e.user_id = s1.user_id AND e.event_type = 'click'
+        |       AND e.ts > s1.t1) AS t2
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT s2.user_id, t1, t2,
+        |    (SELECT min(ts) FROM events e
+        |     WHERE e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |       AND e.ts > s2.t2) AS t3
+        |  FROM s2)
+        |SELECT user_id,
+        |       (CASE WHEN t3 IS NOT NULL THEN 3
+        |             WHEN t2 IS NOT NULL THEN 2
+        |             WHEN t1 IS NOT NULL THEN 1
+        |             ELSE 0 END)::INT AS stage
+        |FROM s3 ORDER BY user_id""".stripMargin)
 }

@@ -72,6 +72,31 @@ object ScaleQueries {
       .orderBy(col("event_type"))
   }
 
+  /** h03: exact discrete quantiles (p25/p50/p75) of the value column per
+    * event type — the exact companion to the sketch surface (at 100 TB
+    * you run `approx_percentile`'s mergeable sketch first and this
+    * single-sort exact pass only where it must be exact; same pairing as
+    * h01/h02). Formulated as row_number-over-sorted-cents element picks
+    * (the q-th discrete quantile is the cents value at row ⌈q·n⌉), all in
+    * BIGINT — no engine-divergent percentile interpolation arithmetic. */
+  val h03_exact_quantiles: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents").asc, col("event_id").asc)
+    val wAll = Window.partitionBy(col("event_type"))
+    def pick(q: String, out: String) =
+      expr(s"max(CASE WHEN rn = greatest(1, CAST(ceil(n * $q) AS BIGINT)) " +
+        s"THEN cents END) / 100.0D").as(out)
+    Tables.events(s, d)
+      .withColumn("cents", expr("CAST(round(value * 100.0D) AS BIGINT)"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(pick("0.25D", "p25"), pick("0.5D", "p50"), pick("0.75D", "p75"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   /** p01: reproducible stratified sampling — per-language rates applied
     * via a deterministic id hash (`(id·φ) mod 1000 < rate‰`), NOT
     * Bernoulli RNG: the same rows are kept on every run, on every engine,
@@ -101,6 +126,7 @@ object ScaleQueries {
     "s01_salted_agg" -> s01_salted_agg,
     "h01_approx_distinct" -> h01_approx_distinct,
     "h02_exact_distinct" -> h02_exact_distinct,
+    "h03_exact_quantiles" -> h03_exact_quantiles,
     "p01_stratified_sample" -> p01_stratified_sample)
 
   def oracleSql: Map[String, String] = Map(
@@ -120,6 +146,20 @@ object ScaleQueries {
     "h02_exact_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "h03_exact_quantiles" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |         CAST(round(value * 100.0) AS BIGINT) AS cents,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY CAST(round(value * 100.0) AS BIGINT), event_id) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type,
+        |  max(CASE WHEN rn = greatest(1, ceil(n * 0.25)::BIGINT) THEN cents END)::BIGINT / 100.0 AS p25,
+        |  max(CASE WHEN rn = greatest(1, ceil(n * 0.5)::BIGINT) THEN cents END)::BIGINT / 100.0 AS p50,
+        |  max(CASE WHEN rn = greatest(1, ceil(n * 0.75)::BIGINT) THEN cents END)::BIGINT / 100.0 AS p75,
+        |  count(*) AS n_events
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "p01_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

@@ -183,11 +183,37 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t05: salient terms — top-3 terms per document ranked by
+    * (tf DESC, df ASC, term ASC): highest in-document frequency, rarest
+    * corpus-wide on ties. Rank-equivalent to tf-idf for the dominant
+    * case but ALL-INTEGER — cross-engine ln() arithmetic (libm vs libm)
+    * is exactly the repr-tie float trap the oracle discipline bans.
+    * Shapes: one (doc,term) shuffle for tf, one term shuffle for df
+    * (broadcast-able when the vocabulary is small), and the ranking
+    * window prunes to 3 rows per doc map-side (WindowGroupLimit) before
+    * its shuffle. */
+  val t05_salient_terms: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS term")
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   def queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
     "t02_quality_score" -> t02_quality_score,
     "t03_token_count" -> t03_token_count,
-    "t04_fingerprint" -> t04_fingerprint)
+    "t04_fingerprint" -> t04_fingerprint,
+    "t05_salient_terms" -> t05_salient_terms)
 
   def oracleSql: Map[String, String] = {
     val langs = markers.map(_._1)
@@ -238,6 +264,21 @@ object TextQueries {
            |    (list_sum(list_transform(range(1, length(text) - 6),
            |       i -> ($winHash) % 1000000007)) % 1000000007)::BIGINT
            |  ELSE 0 END AS fingerprint
-           |FROM documents ORDER BY doc_id""".stripMargin)
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "t05_salient_terms" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          |  FROM documents),
+          |tf AS (
+          |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          |df AS (
+          |  SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |ranked AS (
+          |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          |         row_number() OVER (PARTITION BY tf.doc_id
+          |           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rk
+          |  FROM tf JOIN df USING (term))
+          |SELECT doc_id, rk::INT AS rk, term, tf, df
+          |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)
   }
 }

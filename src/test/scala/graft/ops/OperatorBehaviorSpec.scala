@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.vec.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Behavior checks for the round-3 operator additions — properties the
+  * hash-oracle can't express (cross-query consistency, approximation
+  * fidelity), one per operator family. */
+class OperatorBehaviorSpec extends SparkSpec {
+
+  test("e07: every matched prior view is at-or-before its purchase, " +
+    "same user, and is the latest such view") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("double").as("tsd"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val byId = ev.map(e => e._1 -> e).toMap
+    val rows = EventQueries.e07_asof_join(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (_, pUser, _, pTs) = byId(r.getLong(0))
+      if (!r.isNullAt(2)) {
+        val (vId, vUser, vType, vTs) = byId(r.getLong(2))
+        assert(vUser == pUser && vType == "view" && vTs <= pTs)
+        // latest: no other view for this user in (vTs, pTs], nor an
+        // equal-ts view with a larger event_id
+        assert(!ev.exists(e => e._2 == pUser && e._3 == "view" &&
+          e._4 <= pTs && (e._4 > vTs || (e._4 == vTs && e._1 > vId))))
+      } else {
+        assert(!ev.exists(e => e._2 == pUser && e._3 == "view" && e._4 <= pTs))
+      }
+    }
+  }
+
+  test("e08: funnel stages are monotone counts and stage-k users have a " +
+    "strictly ordered view<click<purchase prefix") {
+    val rows = EventQueries.e08_funnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.nonEmpty)
+    val byStage = rows.values.groupBy(identity).view.mapValues(_.size)
+    // reached(k) must shrink as k grows
+    val reached = (1 to 3).map(k => rows.values.count(_ >= k))
+    assert(reached == reached.sorted.reverse)
+    assert(reached.head > 0, "corpus should have at least one view")
+    assert(byStage.keySet.subsetOf(Set(0, 1, 2, 3)))
+  }
+
+  test("h03: exact quantiles are ordered, bracket the data, and " +
+    "approx_percentile lands within 5% of them") {
+    val rows = ScaleQueries.h03_exact_quantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val approx = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.25D, 0.5D, 0.75D), 10000)")
+        .as("ap"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { r =>
+      val (p25, p50, p75) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p25 <= p50 && p50 <= p75)
+      approx(r.getString(0)).zip(Seq(p25, p50, p75)).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= math.max(0.05 * math.abs(e), 0.01),
+          s"${r.getString(0)}: approx $a vs exact $e")
+      }
+    }
+  }
+
+  test("t05: per-doc salient terms have non-increasing tf and the ranked " +
+    "terms really occur tf times in the doc") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextQueries.t05_salient_terms(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (docId, rs) =>
+      val byRk = rs.sortBy(_.getInt(1))
+      assert(byRk.map(_.getLong(3)).toSeq == byRk.map(_.getLong(3)).toSeq.sorted.reverse)
+      byRk.foreach { r =>
+        val occurrences = docs(docId).split(" ", -1).count(_ == r.getString(2))
+        assert(occurrences == r.getLong(3),
+          s"doc $docId term '${r.getString(2)}': tf ${r.getLong(3)} vs $occurrences")
+      }
+    }
+  }
+
+  test("v06: int8-quantized top-10 recovers >=80% of the exact fp32 " +
+    "top-10 (ranking fidelity of the 4x-compressed path)") {
+    val exact = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        VectorOps.dotQueryNative(col("embedding"), VectorQueries.flagshipVec).as("s"))
+      .orderBy(col("s").desc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val quant = VectorQueries.v06_quantized_topk(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(quant.size == 10)
+    assert(exact.intersect(quant).size >= 8,
+      s"quantized top-10 overlap ${exact.intersect(quant).size}/10")
+  }
+}
