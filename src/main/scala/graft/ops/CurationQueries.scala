@@ -54,8 +54,63 @@ object CurationQueries {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** c02: near-dup CLUSTER resolution — connected components over d02's
+    * pair output, labeling every involved doc with the min doc_id of its
+    * component. Pair lists aren't actionable by themselves: a curation
+    * job keeps one canonical doc per transitive cluster, and transitivity
+    * is exactly what the pairwise output lacks.
+    *
+    * Iterative min-label propagation with POINTER DOUBLING: each round a
+    * node takes the min of its own label, its neighbors' labels, and its
+    * label's label (the doubling join) — converging in O(log diameter)
+    * rounds instead of O(diameter). Every round is two hash joins + one
+    * min-aggregate on thin (node, lbl) rows; the driver loop only
+    * compares the (monotonically decreasing) label-sum fixpoint, so this
+    * is a distributed iterative algorithm, not a driver-side data loop.
+    * Measured on this corpus: largest component 156 nodes / diameter ≈14
+    * at sf0.1 → 5-6 rounds. The oracle computes the same fixpoint as a
+    * recursive min-reachability CTE over the identical d02 CTE chain. */
+  val c02_dedup_clusters: Q = (s, d) => {
+    val pairs = DedupQueries.d02_minhash_lsh(s, d)
+      .select(col("doc_a"), col("doc_b"))
+    // localCheckpoint (eager) TRUNCATES LINEAGE — mandatory in iterative
+    // plans: without it every round embeds the previous round's logical
+    // plan (×3: self ∪ neighbor ∪ jump), so the tree Catalyst re-analyzes
+    // per action grows as 3^rounds — observed minutes of pure planning by
+    // round ~8. With it, each round's plan starts from a materialized RDD.
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 40) {
+      val nbr = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("lbl"))
+      val jump = labels.as("a")
+        .join(labels.as("b"), col("a.lbl") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.lbl").as("lbl"))
+      val next = labels.unionByName(nbr).unionByName(jump)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
+      labels = next
+      converged = nextSum == prevSum // labels only ever decrease
+      prevSum = nextSum
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $iter rounds")
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
-    "c01_curation_pipeline" -> c01_curation_pipeline)
+    "c01_curation_pipeline" -> c01_curation_pipeline,
+    "c02_dedup_clusters" -> c02_dedup_clusters)
 
   def oracleSql: Map[String, String] = Map(
     "c01_curation_pipeline" ->
@@ -82,5 +137,21 @@ object CurationQueries {
          |  FROM deduped WHERE quality >= ${TextQueries.QUALITY_FLOOR})
          |SELECT doc_id, lang, rk::INT AS rk, quality, n_words::INT AS n_words
          |FROM ranked WHERE rk <= $PER_LANG_BUDGET
-         |ORDER BY lang, rk""".stripMargin)
+         |ORDER BY lang, rk""".stripMargin,
+    // min-reachability fixpoint over the IDENTICAL d02 CTE chain: the
+    // recursive CTE enumerates (node, reachable-node) pairs and min()
+    // collapses them to the component's canonical id
+    "c02_dedup_clusters" ->
+      s"""WITH RECURSIVE ${DedupQueries.d02OracleCtes},
+         |near AS (${DedupQueries.d02OraclePairSelect}),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM near
+         |  UNION
+         |  SELECT doc_b, doc_a FROM near),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, rc.r FROM edges e JOIN reach rc ON rc.node = e.b)
+         |SELECT node AS doc_id, min(r)::BIGINT AS cluster_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)
 }

@@ -430,6 +430,35 @@ object DedupQueries {
   // DuckDB oracles
   // ------------------------------------------------------------------
 
+  /** The d02 pipeline as a reusable DuckDB CTE chain (no leading WITH, no
+    * final select) — shared by the d02 oracle and c02's cluster oracle so
+    * the two stay bit-identical. */
+  private[ops] def d02OracleCtes: String =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' mutated tail' FROM documents),
+       |sigs AS (
+       |  SELECT doc_id, ${sigExprDuck(shingleHashesDuck)} AS sig
+       |  FROM corpus),
+       |bands AS (
+       |  SELECT doc_id, sig, b.band, b.bh
+       |  FROM sigs, unnest([${bandExprs("sig", atDuck).zipWithIndex
+            .map { case (e, i) => s"{'band': $i, 'bh': $e}" }.mkString(", ")}])
+       |    AS u(b)),
+       |bands_capped AS (
+       |  SELECT doc_id, sig, band, bh FROM bands
+       |  QUALIFY count(*) OVER (PARTITION BY band, bh) <= $BUCKET_CAP),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |         x.sig AS sa, y.sig AS sb
+       |  FROM bands_capped x JOIN bands_capped y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)""".stripMargin
+
+  /** The d02 near-dup pair predicate over the `pairs` CTE (ditto). */
+  private[ops] def d02OraclePairSelect: String =
+    s"SELECT doc_a, doc_b FROM pairs WHERE $estJacDuck >= 0.5"
+
   def oracleSql: Map[String, String] = {
     val simPows = (0 to 3).map(k => math.pow(31, k).toLong).reverse
     val simPoly = (1 to 4).zip(simPows)
@@ -459,26 +488,7 @@ object DedupQueries {
           |  FROM doubled)
           |SELECT doc_id FROM marked WHERE rn > 1 ORDER BY doc_id""".stripMargin,
       "d02_minhash_lsh" ->
-        s"""WITH corpus AS (
-           |  SELECT doc_id, text FROM documents
-           |  UNION ALL
-           |  SELECT doc_id + 100000, text || ' mutated tail' FROM documents),
-           |sigs AS (
-           |  SELECT doc_id, ${sigExprDuck(shingleHashesDuck)} AS sig
-           |  FROM corpus),
-           |bands AS (
-           |  SELECT doc_id, sig, b.band, b.bh
-           |  FROM sigs, unnest([${bandExprs("sig", atDuck).zipWithIndex
-                .map { case (e, i) => s"{'band': $i, 'bh': $e}" }.mkString(", ")}])
-           |    AS u(b)),
-           |bands_capped AS (
-           |  SELECT doc_id, sig, band, bh FROM bands
-           |  QUALIFY count(*) OVER (PARTITION BY band, bh) <= $BUCKET_CAP),
-           |pairs AS (
-           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-           |         x.sig AS sa, y.sig AS sb
-           |  FROM bands_capped x JOIN bands_capped y
-           |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+        s"""WITH $d02OracleCtes
            |SELECT doc_a, doc_b, $estJacDuck AS est_jaccard
            |FROM pairs WHERE $estJacDuck >= 0.5
            |ORDER BY doc_a, doc_b""".stripMargin,

@@ -110,6 +110,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("e07 as-of: type filters pushed to parquet, ONE user_id shuffle " +
+    "feeds the window") {
+    val p = planOf(EventQueries.e07_asof_join)
+    assert(p.contains("EqualTo(event_type,view)"), p)
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+    // exactly one data shuffle (user_id hash) + the presentation sort
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1, p)
+  }
+
+  test("h03 quantiles: both windows share one event_type exchange") {
+    val p = planOf(ScaleQueries.h03_exact_quantiles)
+    assert("Exchange hashpartitioning\\(event_type".r.findAllIn(p).length == 1,
+      s"row_number and count windows must reuse one shuffle:\n$p")
+  }
+
+  test("t05 salient terms: map-side WindowGroupLimit, df join broadcast") {
+    val p = planOf(TextQueries.t05_salient_terms)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), s"rank pruning must run before the shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("v06 quantized top-k: TakeOrderedAndProject over the scan, no shuffle") {
+    val p = planOf(VectorQueries.v06_quantized_topk)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("whole-stage codegen covers the flagship scored scan") {
     // toString abbreviates WholeStageCodegen stages as `*(N)` prefixes
     val p = planOf(VectorQueries.v01_search_topk)
