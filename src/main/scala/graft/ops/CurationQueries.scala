@@ -85,25 +85,29 @@ object CurationQueries {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 40) {
-      val nbr = edges.join(labels, edges("dst") === labels("node"))
-        .select(edges("src").as("node"), col("lbl"))
-      val jump = labels.as("a")
-        .join(labels.as("b"), col("a.lbl") === col("b.node"))
-        .select(col("a.node").as("node"), col("b.lbl").as("lbl"))
-      val next = labels.unionByName(nbr).unionByName(jump)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
-      labels = next
-      converged = nextSum == prevSum // labels only ever decrease
-      prevSum = nextSum
-      iter += 1
+    // no pairs → no clusters: skip the loop rather than aggregating
+    // sum(lbl) over zero rows (NULL → getLong NPE)
+    if (!labels.isEmpty) {
+      var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 40) {
+        val nbr = edges.join(labels, edges("dst") === labels("node"))
+          .select(edges("src").as("node"), col("lbl"))
+        val jump = labels.as("a")
+          .join(labels.as("b"), col("a.lbl") === col("b.node"))
+          .select(col("a.node").as("node"), col("b.lbl").as("lbl"))
+        val next = labels.unionByName(nbr).unionByName(jump)
+          .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+        val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
+        labels = next
+        converged = nextSum == prevSum // labels only ever decrease
+        prevSum = nextSum
+        iter += 1
+      }
+      require(converged, s"label propagation did not converge in $iter rounds")
     }
-    require(converged, s"label propagation did not converge in $iter rounds")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id"))
   }

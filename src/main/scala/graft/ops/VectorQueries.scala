@@ -112,23 +112,17 @@ object VectorQueries {
     * fp32 top-k. */
   val v06_quantized_topk: Q = (s, d) => {
     val qq = quantize(flagshipVec)
+    // ONE quantization definition: the row side calls the same quantize()
+    // that produced qq and the oracle literal, so a formula edit cannot
+    // desynchronize the three surfaces
     val qdotUdf = udf { (v: Seq[Float]) =>
       if (v == null) null
       else {
-        var m = 0.0; var i = 0
-        while (i < v.length) {
-          val a = math.abs(v(i).toDouble); if (a > m) m = a; i += 1
-        }
-        if (m == 0.0) java.lang.Long.valueOf(0L)
-        else {
-          var sum = 0L; i = 0
-          val n = math.min(v.length, qq.length)
-          while (i < n) {
-            sum += math.floor(v(i).toDouble * 127.0 / m + 0.5).toLong * qq(i)
-            i += 1
-          }
-          java.lang.Long.valueOf(sum)
-        }
+        val qv = quantize(v.toArray)
+        var sum = 0L; var i = 0
+        val n = math.min(qv.length, qq.length)
+        while (i < n) { sum += qv(i) * qq(i); i += 1 }
+        java.lang.Long.valueOf(sum)
       }
     }
     Tables.embeddings(s, d)

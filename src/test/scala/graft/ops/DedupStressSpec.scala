@@ -32,7 +32,9 @@ class DedupStressSpec extends SparkSpec {
     }
     val hotText = (0 until 12).map(j => tok(s"hot-$j")).mkString(" ")
     val hot = (0 until 500).map(i => (10000L + i, hotText, "srcB"))
-    val dir = java.nio.file.Files.createTempDirectory("graft-stress-d02").toString
+    // stable path + overwrite: repeated suite runs reuse one corpus dir
+    // instead of accumulating parquet copies in /tmp
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-stress-d02"
     (distinct ++ hot).toDF("doc_id", "text", "source")
       .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")

@@ -11,7 +11,11 @@ class OperatorBehaviorSpec extends SparkSpec {
 
   test("e07: every matched prior view is at-or-before its purchase, " +
     "same user, and is the latest such view") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    // through Tables.events, NOT a raw parquet read: the query compares
+    // MICROSECOND-truncated timestamps, and the raw nanos (≈1.8e18, above
+    // 2^53) would both quantize lossily as doubles and disagree with the
+    // query's tie semantics for same-microsecond events
+    val ev = graft.model.Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts").cast("double").as("tsd"))
       .collect()
