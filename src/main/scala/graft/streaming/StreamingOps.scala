@@ -101,6 +101,52 @@ object StreamingOps {
 
   // ---------------------------------------------------------------- state
 
+  final case class AsofEv(
+      user_id: Long, ts: Timestamp, event_id: Long, is_view: Boolean)
+  /** Latest view per user — (millis, nanos, id) totally orders views with
+    * the same (ts, max event_id) tie rule as the batch operator. */
+  final case class AsofViewState(tsMillis: Long, tsNanos: Int, viewId: Long)
+  final case class AsofOut(
+      purchase_id: Long, user_id: Long, prior_view_id: Option[Long])
+
+  /** Streaming twin of the batch AS-OF join (ops.EventQueries.e07): each
+    * arriving purchase is enriched with the user's latest view at-or-
+    * before it, from per-user state that holds ONE view — constant bytes
+    * per user, no watermark needed because the state never grows with
+    * traffic. Events inside a micro-batch are sorted to the batch
+    * operator's exact total order (ts, view-before-purchase, event_id),
+    * so a single batch reproduces e07 bit-for-bit; across micro-batches
+    * the enrichment is correct whenever a user's events arrive in
+    * event-time order (the usual log-stream contract — for late,
+    * out-of-order replays the batch e07 is the source of truth). */
+  def asofEnrich(events: Dataset[AsofEv])(
+      implicit spark: SparkSession): Dataset[AsofOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofViewState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[AsofEv], state: GroupState[AsofViewState]) =>
+          val sorted = evs.toSeq.sortBy(e =>
+            (e.ts.getTime, e.ts.getNanos, if (e.is_view) 0 else 1, e.event_id))
+          var st = state.getOption
+          val out = Seq.newBuilder[AsofOut]
+          sorted.foreach { e =>
+            if (e.is_view) {
+              val cand = AsofViewState(e.ts.getTime, e.ts.getNanos, e.event_id)
+              val newer = st.forall(s => Ordering[(Long, Int, Long)].lt(
+                (s.tsMillis, s.tsNanos, s.viewId),
+                (cand.tsMillis, cand.tsNanos, cand.viewId)))
+              if (newer) st = Some(cand)
+            } else {
+              out += AsofOut(e.event_id, userId, st.map(_.viewId))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   final case class Ev(user_id: Long, ts: Timestamp, event_type: String)
   final case class SessionState(count: Long, lastTs: Long)
   final case class SessionOut(user_id: Long, events: Long, closed: Boolean)

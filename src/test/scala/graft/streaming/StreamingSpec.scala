@@ -103,6 +103,58 @@ class StreamingSpec extends SparkSpec {
     query.stop()
   }
 
+  test("streaming as-of enrichment: purchases pick up the latest prior " +
+    "view, state carries across micro-batches") {
+    import spark.implicits._
+    implicit val s = spark
+    val mem = MemoryStream[StreamingOps.AsofEv](spark)
+    val query = StreamingOps.asofEnrich(mem.toDS()).writeStream
+      .format("memory").queryName("asof").outputMode("append").start()
+    def t(m: Int) = new Timestamp(1704067200000L + m * 60000L)
+    mem.addData(
+      StreamingOps.AsofEv(1, t(0), 10, is_view = true),
+      StreamingOps.AsofEv(1, t(5), 11, is_view = false), // prior = 10
+      StreamingOps.AsofEv(2, t(1), 20, is_view = false)) // no view yet
+    query.processAllAvailable()
+    mem.addData(
+      StreamingOps.AsofEv(1, t(6), 12, is_view = true),
+      StreamingOps.AsofEv(1, t(7), 13, is_view = false), // prior = 12
+      StreamingOps.AsofEv(2, t(8), 21, is_view = false)) // still none
+    query.processAllAvailable()
+    val got = spark.table("asof").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSet
+    assert(got == Set((11L, Some(10L)), (20L, None),
+      (13L, Some(12L)), (21L, None)))
+    query.stop()
+  }
+
+  test("stream/batch unification: streaming as-of == batch e07 on the " +
+    "events table") {
+    import spark.implicits._
+    implicit val s = spark
+    val asofIn = graft.model.Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("event_type") === "view").as("is_view"))
+    val dir = Files.createTempDirectory("stream-asof-eq").toString
+    asofIn.write.parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema(asofIn.schema).parquet(s"$dir/in")
+      .as[StreamingOps.AsofEv]
+    val q = StreamingOps.asofEnrich(streamIn).writeStream
+      .format("memory").queryName("asof_eq").outputMode("append").start()
+    q.processAllAvailable()
+    val streamed = spark.table("asof_eq").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val batch = graft.ops.EventQueries.e07_asof_join(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    q.stop()
+  }
+
   test("mapGroupsWithState sessionization counts per-user events") {
     import spark.implicits._
     implicit val s = spark
