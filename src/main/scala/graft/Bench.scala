@@ -105,6 +105,41 @@ object Bench {
     spark.stop()
   }
 
+  /** Compiled-UDF vs interpreted-HOF rolling-hash fingerprint (t04's
+    * rewrite, VERDICT r02 #3) over generated text: the HOF evaluates
+    * ~8 interpreted lambda calls per character, the UDF one compiled
+    * O(n) pass. */
+  def microFingerprint(spark: SparkSession): Seq[(String, Double)] = {
+    val corpus = spark.range(100000)
+      .selectExpr("id",
+        "repeat(concat('w', CAST(id % 97 AS STRING), ' '), 40) AS text")
+      .cache()
+    corpus.count()
+    val p = 1000000007L
+    val pows = (0 to 7).map(k => math.pow(31, k).toLong).reverse
+    val winHash = (1 to 8).zip(pows)
+      .map { case (j, pw) => s"ascii(substr(text, i + ${j - 1}, 1)) * ${pw}L" }
+      .mkString(" + ")
+    val hof = expr(
+      s"""CASE WHEN length(text) >= 8 THEN
+         |  aggregate(transform(sequence(1, length(text) - 7),
+         |    i -> ($winHash) % ${p}L),
+         |    CAST(0 AS BIGINT), (acc, x) -> (acc + x) % ${p}L)
+         |ELSE CAST(0 AS BIGINT) END""".stripMargin)
+    val udfCol = graft.ops.TextQueries.fpUdf(col("text"))
+    def time(c: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      corpus.select(sum(c)).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val out = Seq("fp_udf" -> udfCol, "fp_hof" -> hof).map { case (name, c) =>
+      time(c)
+      name -> math.min(time(c), time(c))
+    }
+    corpus.unpersist()
+    out
+  }
+
   /** Codegen vs UDF vs HOF dot product over generated cached corpora:
     * 200k×64 (the testdata dim — mostly memory-bound, implementations
     * within ~3×) and 25k×512 (the reference's CLIP dim — compute-bound,
@@ -113,7 +148,8 @@ object Bench {
     * r01 inversion was co-tenant load. */
   def microDot(spark: SparkSession): Seq[(String, Double)] =
     microDotAt(spark, 200000, 64, "dot") ++
-      microDotAt(spark, 25000, 512, "dot512")
+      microDotAt(spark, 25000, 512, "dot512") ++
+      microFingerprint(spark)
 
   def microDotAt(spark: SparkSession, rows: Int, dim: Int,
       prefix: String): Seq[(String, Double)] = {

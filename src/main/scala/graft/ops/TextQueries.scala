@@ -149,7 +149,7 @@ object TextQueries {
     * to the oracle's per-window polynomial mod p: the rolling recurrence
     * maintains exactly (Σ c_j·31^(7−j)) mod p, and every intermediate
     * stays < 2⁶³ (h < p ≈ 2³⁰; ·31 + char < 2³⁵). */
-  private val fpUdf = udf { (text: String) =>
+  private[graft] val fpUdf = udf { (text: String) =>
     val p = 1000000007L
     val pow7 = 27512614111L % p // 31^7 mod p
     if (text == null) 0L // oracle: CASE over length(NULL) falls to ELSE 0
