@@ -86,12 +86,39 @@ object JoinQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** j06: RANGE (band) join, expressed the scalable way. The natural SQL
+    * — `orders JOIN bands ON price BETWEEN lo AND hi` (what the oracle
+    * runs) — plans as a nested-loop probe of every band per row
+    * (BroadcastNestedLoopJoin: O(|fact|·|bands|) comparisons, and a
+    * full cartesian explosion if the dim outgrows broadcast). Because
+    * the bands are uniform, the band id is COMPUTABLE:
+    * `least(floor(price/width), maxBand)` turns the range predicate
+    * into a plain broadcast equi-join — O(|fact|) work, codegen'd,
+    * AQE-friendly. (Non-uniform bands get the same shape from a
+    * broadcast sorted-bounds binary-search expression.) The last band
+    * is open-ended on both engines so the rewrite is exactly the
+    * BETWEEN semantics. */
+  val j06_band_join: Q = (s, d) => {
+    import s.implicits._
+    val bands = (0L until 10L).map(b => (b, b * 50000.0))
+      .toDF("band", "lo")
+    Tables.orders(s, d)
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100.0D) AS BIGINT)"))
+      .withColumn("band",
+        expr("least(CAST(floor(o_totalprice / 50000.0D) AS BIGINT), 9L)"))
+      .join(broadcast(bands), "band")
+      .groupBy(col("band"), col("lo"))
+      .agg(count(lit(1)).as("n"), expr("sum(cents) / 100.0D").as("revenue"))
+      .orderBy(col("band"))
+  }
+
   def queries: Map[String, Q] = Map(
     "j01_score_metadata_join" -> j01_score_metadata_join,
     "j02_star_join_agg" -> j02_star_join_agg,
     "j03_anti_join" -> j03_anti_join,
     "j04_semi_join" -> j04_semi_join,
-    "j05_shuffle_join_agg" -> j05_shuffle_join_agg)
+    "j05_shuffle_join_agg" -> j05_shuffle_join_agg,
+    "j06_band_join" -> j06_band_join)
 
   def oracleSql: Map[String, String] = Map(
     "j01_score_metadata_join" ->
@@ -125,5 +152,16 @@ object JoinQueries {
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
         |       count(DISTINCT o_orderkey) AS n_orders
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the genuine range-predicate form — what j06's equi-join rewrite is
+    // proven equivalent to (last band open-ended on both engines)
+    "j06_band_join" ->
+      """WITH bands AS (
+        |  SELECT b AS band, b * 50000.0 AS lo, (b + 1) * 50000.0 AS hi
+        |  FROM (SELECT unnest(range(0, 10)) AS b))
+        |SELECT band, lo, count(*) AS n,
+        |       sum(CAST(round(o_totalprice * 100.0) AS BIGINT))::BIGINT / 100.0 AS revenue
+        |FROM orders JOIN bands
+        |  ON o_totalprice >= lo AND (o_totalprice < hi OR band = 9)
+        |GROUP BY band, lo ORDER BY band""".stripMargin)
 }

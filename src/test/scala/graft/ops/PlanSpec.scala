@@ -138,6 +138,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("j06 band join: the range predicate is rewritten to a broadcast " +
+    "EQUI-join (no nested-loop probe)") {
+    val p = planOf(JoinQueries.j06_band_join)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the flagship scored scan") {
     // toString abbreviates WholeStageCodegen stages as `*(N)` prefixes
     val p = planOf(VectorQueries.v01_search_topk)
