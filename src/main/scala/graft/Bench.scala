@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * first-ever Spark job pays ~10s of JIT that says nothing about plan
   * quality). A `micro` section compares the three dot-product
   * implementations (codegen Expression vs Scala UDF vs higher-order
-  * functions) on a generated 200k×64 corpus — the evidence behind
-  * defaulting the hot path to the codegen expression.
+  * functions) on generated corpora, plus the compiled-vs-interpreted
+  * rolling-hash fingerprint — the evidence behind defaulting hot paths
+  * to codegen expressions and compiled UDF loops.
   */
 object Bench {
 
@@ -91,7 +92,7 @@ object Bench {
 
     val results = qs.map { case (name, fn) => name -> timeBest(fn) }
 
-    val micro = microDot(spark)
+    val micro = microDot(spark) ++ microFingerprint(spark)
 
     val qJson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val mJson = micro.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -128,6 +129,7 @@ object Bench {
          |ELSE CAST(0 AS BIGINT) END""".stripMargin)
     val udfCol = graft.ops.TextQueries.fpUdf(col("text"))
     def time(c: org.apache.spark.sql.Column): Double = {
+      spark.sparkContext.setJobDescription("micro-fingerprint")
       val t0 = System.nanoTime()
       corpus.select(sum(c)).head()
       (System.nanoTime() - t0) / 1e9
@@ -148,8 +150,7 @@ object Bench {
     * r01 inversion was co-tenant load. */
   def microDot(spark: SparkSession): Seq[(String, Double)] =
     microDotAt(spark, 200000, 64, "dot") ++
-      microDotAt(spark, 25000, 512, "dot512") ++
-      microFingerprint(spark)
+      microDotAt(spark, 25000, 512, "dot512")
 
   def microDotAt(spark: SparkSession, rows: Int, dim: Int,
       prefix: String): Seq[(String, Double)] = {

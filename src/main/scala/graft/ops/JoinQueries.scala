@@ -87,8 +87,9 @@ object JoinQueries {
   }
 
   /** j06: RANGE (band) join, expressed the scalable way. The natural SQL
-    * — `orders JOIN bands ON price BETWEEN lo AND hi` (what the oracle
-    * runs) — plans as a nested-loop probe of every band per row
+    * — `orders JOIN bands ON price >= lo AND price < hi` (the half-open
+    * form the oracle runs; inclusive BETWEEN would double-count exact
+    * boundary prices) — plans as a nested-loop probe of every band per row
     * (BroadcastNestedLoopJoin: O(|fact|·|bands|) comparisons, and a
     * full cartesian explosion if the dim outgrows broadcast). Because
     * the bands are uniform, the band id is COMPUTABLE:

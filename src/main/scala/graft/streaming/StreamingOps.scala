@@ -117,8 +117,11 @@ object StreamingOps {
     * operator's exact total order (ts, view-before-purchase, event_id),
     * so a single batch reproduces e07 bit-for-bit; across micro-batches
     * the enrichment is correct whenever a user's events arrive in
-    * event-time order (the usual log-stream contract — for late,
-    * out-of-order replays the batch e07 is the source of truth). */
+    * STRICTLY increasing event-time order across batches (an
+    * equal-timestamp view landing in a later batch than its purchase
+    * enriches as null where batch e07's tag order would match it — for
+    * ties split across batches, or late out-of-order replays, the batch
+    * e07 is the source of truth). */
   def asofEnrich(events: Dataset[AsofEv])(
       implicit spark: SparkSession): Dataset[AsofOut] = {
     import spark.implicits._
