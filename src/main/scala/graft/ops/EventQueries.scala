@@ -156,6 +156,23 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** e09: cohort retention — users grouped by first-activity week
+    * (cohort), counted distinct per (cohort, week offset). The cohort
+    * week comes from a min-window over ONE user_id shuffle (not a
+    * groupBy + self-join, which would shuffle the events twice); week
+    * arithmetic is integer day-diffs of week-truncated timestamps, so
+    * both engines compute identical exact values. */
+  val e09_cohort_retention: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .withColumn("cohort_wk", min(col("wk")).over(w))
+      .groupBy(col("cohort_wk"),
+        expr("CAST(datediff(wk, cohort_wk) div 7 AS INT)").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
   def queries: Map[String, Q] = Map(
     "e01_sessionize" -> e01_sessionize,
     "e02_json_props" -> e02_json_props,
@@ -164,7 +181,8 @@ object EventQueries {
     "e05_set_intersect" -> e05_set_intersect,
     "e06_set_except" -> e06_set_except,
     "e07_asof_join" -> e07_asof_join,
-    "e08_funnel" -> e08_funnel)
+    "e08_funnel" -> e08_funnel,
+    "e09_cohort_retention" -> e09_cohort_retention)
 
   def oracleSql: Map[String, String] = Map(
     "e01_sessionize" ->
@@ -240,5 +258,16 @@ object EventQueries {
         |             WHEN t2 IS NOT NULL THEN 2
         |             WHEN t1 IS NOT NULL THEN 1
         |             ELSE 0 END)::INT AS stage
-        |FROM s3 ORDER BY user_id""".stripMargin)
+        |FROM s3 ORDER BY user_id""".stripMargin,
+    "e09_cohort_retention" ->
+      """WITH weekly AS (
+        |  SELECT user_id, date_trunc('week', ts) AS wk,
+        |         min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort_wk
+        |  FROM events)
+        |SELECT cohort_wk,
+        |       (date_diff('day', cohort_wk, wk) // 7)::INT AS week_offset,
+        |       count(DISTINCT user_id) AS active_users
+        |FROM weekly
+        |GROUP BY cohort_wk, week_offset
+        |ORDER BY cohort_wk, week_offset""".stripMargin)
 }

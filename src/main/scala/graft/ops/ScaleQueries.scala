@@ -121,13 +121,32 @@ object ScaleQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** p02: deterministic train/val/test split — the assignment every
+    * training pipeline needs to be reproducible and engine-independent:
+    * bucket = (id·φ) mod 1000 (same multiplicative hash as p01), split
+    * by fixed per-mille cut points 800/100/100. A row's split never
+    * changes with partitioning, cluster size, or engine — unlike
+    * randomSplit, which is seed-stable only per partitioning. Pure
+    * narrow projection: zero shuffle at any scale. */
+  val p02_train_val_test: Q = (s, d) => {
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "lang",
+        "pmod(doc_id * 2654435761, 1000) AS bucket")
+      .selectExpr("doc_id", "lang",
+        """CASE WHEN bucket < 800 THEN 'train'
+          |     WHEN bucket < 900 THEN 'val'
+          |     ELSE 'test' END AS split""".stripMargin)
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "r01_rollup" -> r01_rollup,
     "s01_salted_agg" -> s01_salted_agg,
     "h01_approx_distinct" -> h01_approx_distinct,
     "h02_exact_distinct" -> h02_exact_distinct,
     "h03_exact_quantiles" -> h03_exact_quantiles,
-    "p01_stratified_sample" -> p01_stratified_sample)
+    "p01_stratified_sample" -> p01_stratified_sample,
+    "p02_train_val_test" -> p02_train_val_test)
 
   def oracleSql: Map[String, String] = Map(
     "r01_rollup" ->
@@ -160,6 +179,12 @@ object ScaleQueries {
         |  max(CASE WHEN rn = greatest(1, ceil(n * 0.75)::BIGINT) THEN cents END)::BIGINT / 100.0 AS p75,
         |  count(*) AS n_events
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "p02_train_val_test" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+        |            WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "p01_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
