@@ -28,6 +28,9 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
+  /** `files` is the count of parquet files ACTUALLY written (a low-
+    * cardinality sort key can fill fewer range partitions than
+    * requested, and Spark writes no file for an empty partition). */
   final case class Stats(rows: Long, inputBytes: Long, files: Int)
 
   def compact(
@@ -36,15 +39,23 @@ object Compaction {
       outDir: String,
       sortCol: String,
       targetBytes: Long = 128L * 1024 * 1024): Stats = {
-    val p = new org.apache.hadoop.fs.Path(inDir)
-    val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getContentSummary(p).getLength
-    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val bytes = graft.model.FsUtil.dirBytes(spark, inDir)
+    val nFiles = graft.model.FsUtil.sizedCount(bytes, targetBytes)
     val df = spark.read.parquet(inDir)
+    // rows counted on the INPUT (already listed) — re-reading the fresh
+    // output would re-list every new file just for a stat
+    val rows = df.count()
+    // default ErrorIfExists enforces the documented contract: compaction
+    // writes a NEW directory and the caller swaps it in; Overwrite would
+    // silently permit an in-place rewrite under live readers
     df.repartitionByRange(nFiles, col(sortCol))
       .sortWithinPartitions(sortCol)
-      .write.mode(SaveMode.Overwrite).parquet(outDir)
-    val rows = spark.read.parquet(outDir).count()
-    Stats(rows, bytes, nFiles)
+      .write.mode(SaveMode.ErrorIfExists).parquet(outDir)
+    val written = {
+      val p = new org.apache.hadoop.fs.Path(outDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    Stats(rows, bytes, written)
   }
 }

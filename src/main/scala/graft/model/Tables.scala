@@ -12,6 +12,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (vec_id ↔ id, embedding ↔ vector) and a per-label centroid table plays
   * `words` (SURVEY §7.5).
   */
+/** Shared filesystem sizing helpers (one driver RPC, never a per-file
+  * getFileStatus loop — O(files) RPCs on an object store). Used by
+  * [[graft.multimodal.MultimodalOps.readBlobTable]] and
+  * [[graft.ingest.Compaction]] so the sizing logic cannot drift. */
+object FsUtil {
+  def dirBytes(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+  }
+
+  /** ceil(bytes / target), floored at 1. */
+  def sizedCount(bytes: Long, targetBytes: Long): Int =
+    math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+}
+
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

@@ -137,10 +137,8 @@ object MultimodalOps {
   def readBlobTable(spark: SparkSession, path: String,
       targetPartitionBytes: Long = 32L << 20): DataFrame = {
     val df = spark.read.parquet(path)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getContentSummary(p).getLength
-    val parts = math.max(1L, (bytes + targetPartitionBytes - 1) / targetPartitionBytes).toInt
+    val parts = graft.model.FsUtil.sizedCount(
+      graft.model.FsUtil.dirBytes(spark, path), targetPartitionBytes)
     df.repartition(parts)
   }
 

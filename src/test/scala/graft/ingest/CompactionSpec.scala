@@ -10,6 +10,13 @@ class CompactionSpec extends SparkSpec {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-compaction"
     val inDir = s"$base/in"
     val outDir = s"$base/out"
+    // compact() refuses to overwrite (ErrorIfExists enforces the
+    // new-dir + swap contract), so clear the stable spec dir first
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(outDir))
     // 20 tiny files in random row order — the incremental-ingest mess
     spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("source"), col("text"))

@@ -88,6 +88,31 @@ class OperatorBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("e09: cohort assignment separates users whose first activity " +
+    "falls in different weeks (the driver corpus is single-cohort)") {
+    import spark.implicits._
+    // synthetic: users 1-2 start week 0, user 3 starts week 1; user 1
+    // returns in weeks 1 and 2, user 2 never returns
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime +
+        day * 86400000L)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-e09-weeks"
+    Seq(
+      (1L, 1L, "view", ts(0)), (2L, 2L, "view", ts(1)),
+      (3L, 1L, "click", ts(8)), (4L, 3L, "view", ts(9)),
+      (5L, 1L, "view", ts(15)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = EventQueries.e09_cohort_retention(spark, dir).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getInt(1), r.getLong(2)))
+    // 2024-01-01 is a Monday, so week starts are Jan 1 / Jan 8 / Jan 15
+    assert(rows.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", 0, 2L), // users 1,2 in cohort week 0
+      ("2024-01-01 00:00:00.0", 1, 1L), // user 1 active week 1
+      ("2024-01-01 00:00:00.0", 2, 1L), // user 1 active week 2
+      ("2024-01-08 00:00:00.0", 0, 1L))) // user 3's own later cohort
+  }
+
   test("v06: int8-quantized top-10 recovers >=80% of the exact fp32 " +
     "top-10 (ranking fidelity of the 4x-compressed path)") {
     val exact = spark.read.parquet(s"$sf/embeddings.parquet")
