@@ -136,7 +136,7 @@ object Bench {
     }
     val out = Seq("fp_udf" -> udfCol, "fp_hof" -> hof).map { case (name, c) =>
       time(c)
-      name -> math.min(time(c), time(c))
+      name -> Seq(time(c), time(c), time(c)).min
     }
     corpus.unpersist()
     out
@@ -174,12 +174,15 @@ object Bench {
       corpus.select(sum(c)).head()
       (System.nanoTime() - t0) / 1e9
     }
-    // warmup each, then best of 2
+    // warmup each, then best of 3 — a single GC/JIT spike can land on
+    // two consecutive runs of one column (observed once: dot512_codegen
+    // recorded 3.9s when its steady state is 0.2s), and the micro's
+    // whole point is the steady-state ordering
     val out = Seq(s"${prefix}_codegen" -> codegen, s"${prefix}_udf" -> udfCol,
       s"${prefix}_hof" -> hof).map {
       case (name, c) =>
         time(c)
-        name -> math.min(time(c), time(c))
+        name -> Seq(time(c), time(c), time(c)).min
     }
     corpus.unpersist()
     out
