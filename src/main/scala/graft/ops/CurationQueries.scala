@@ -112,9 +112,43 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** c03: rule-gauntlet quality filter — the C4/Gopher-style hard-rule
+    * pass a corpus runs BEFORE model-based scoring: word-count bounds,
+    * mean-word-length bounds, a stopword-presence requirement (English
+    * only — the classic C4 rule), and a duplicate-word-fraction cap.
+    * Emits every document with one 0/1 flag per rule plus the conjunction,
+    * so downstream jobs can audit WHICH rule dropped a document (the
+    * operational requirement that separates a curation pipeline from a
+    * filter). All comparisons are integer cross-multiplications — no
+    * ratio arithmetic to diverge between engines. Pure narrow projection:
+    * zero shuffle at any scale. */
+  val c03_quality_filter: Q = (s, d) => {
+    Tables.documents(s, d)
+      .selectExpr(
+        "doc_id", "lang",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_words",
+        // chars in words = total minus separators (single-space joined)
+        "CAST(length(replace(text, ' ', '')) AS BIGINT) AS wchars",
+        s"CAST(${TextQueries.hitExpr(TextQueries.markers.head._2)} AS BIGINT) AS sw_hits",
+        "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS n_distinct")
+      .selectExpr(
+        "doc_id", "lang", "CAST(n_words AS INT) AS n_words",
+        "CAST(n_words BETWEEN 30 AND 100000 AS INT) AS len_ok",
+        // mean word length in [4.0, 5.2]: 10·wchars ⋚ {40,52}·n_words
+        "CAST(10 * wchars >= 40 * n_words AND 10 * wchars <= 52 * n_words AS INT) AS mwl_ok",
+        "CAST(lang <> 'en' OR sw_hits >= 2 AS INT) AS sw_ok",
+        // duplicate-word fraction ≤ 0.5: 2·(n_words − n_distinct) ≤ n_words
+        "CAST(2 * (n_words - n_distinct) <= n_words AS INT) AS rep_ok")
+      .selectExpr("doc_id", "lang", "n_words",
+        "len_ok", "mwl_ok", "sw_ok", "rep_ok",
+        "len_ok * mwl_ok * sw_ok * rep_ok AS kept")
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "c01_curation_pipeline" -> c01_curation_pipeline,
-    "c02_dedup_clusters" -> c02_dedup_clusters)
+    "c02_dedup_clusters" -> c02_dedup_clusters,
+    "c03_quality_filter" -> c03_quality_filter)
 
   def oracleSql: Map[String, String] = Map(
     "c01_curation_pipeline" ->
@@ -142,6 +176,24 @@ object CurationQueries {
          |SELECT doc_id, lang, rk::INT AS rk, quality, n_words::INT AS n_words
          |FROM ranked WHERE rk <= $PER_LANG_BUDGET
          |ORDER BY lang, rk""".stripMargin,
+    "c03_quality_filter" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang,
+         |         len(string_split(text, ' ')) AS n_words,
+         |         length(replace(text, ' ', '')) AS wchars,
+         |         ${TextQueries.duckHitExpr(TextQueries.markers.head._2)} AS sw_hits,
+         |         len(list_distinct(string_split(text, ' '))) AS n_distinct
+         |  FROM documents),
+         |flags AS (
+         |  SELECT doc_id, lang, n_words::INT AS n_words,
+         |         CAST(n_words BETWEEN 30 AND 100000 AS INT) AS len_ok,
+         |         CAST(10 * wchars >= 40 * n_words AND 10 * wchars <= 52 * n_words AS INT) AS mwl_ok,
+         |         CAST(lang <> 'en' OR sw_hits >= 2 AS INT) AS sw_ok,
+         |         CAST(2 * (n_words - n_distinct) <= n_words AS INT) AS rep_ok
+         |  FROM base)
+         |SELECT doc_id, lang, n_words, len_ok, mwl_ok, sw_ok, rep_ok,
+         |       len_ok * mwl_ok * sw_ok * rep_ok AS kept
+         |FROM flags ORDER BY doc_id""".stripMargin,
     // min-reachability fixpoint over the IDENTICAL d02 CTE chain: the
     // recursive CTE enumerates (node, reachable-node) pairs and min()
     // collapses them to the component's canonical id

@@ -208,12 +208,60 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Word-3-gram repetition counts in ONE compiled pass: (total grams,
+    * distinct grams), gram identity `a_b_c` — the same first-occurrence
+    * semantics as d04's gram extraction and DuckDB's `list_distinct`.
+    * NULL text → NULL (match HOF/oracle NULL propagation — a coined 0
+    * would silently diverge). */
+  private[graft] val gramStatsUdf = udf { (text: String) =>
+    if (text == null) null
+    else {
+      val ws = text.split(" ", -1) // -1: keep trailing empties, like Spark split / DuckDB string_split
+      if (ws.length < 3) (0L, 0L)
+      else {
+        val seen = new java.util.HashSet[String]
+        var i = 0
+        while (i + 2 < ws.length) {
+          seen.add(ws(i) + "_" + ws(i + 1) + "_" + ws(i + 2))
+          i += 1
+        }
+        ((ws.length - 2).toLong, seen.size.toLong)
+      }
+    }
+  }
+
+  /** t06: repetition analysis (the Gopher-style "repetitive document"
+    * signals): duplicate-word fraction and duplicate-3-gram fraction per
+    * document. High gram-duplication marks boilerplate / template /
+    * looping text that survives exact dedup because of trivial edits.
+    * Pure narrow projection — zero shuffle at any scale; ratios rendered
+    * via integer half-up division (round(p/q) is engine-divergent at
+    * repr ties). */
+  val t06_repetition: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        expr("size(split(text, ' '))").as("n_words"),
+        expr("size(array_distinct(split(text, ' ')))").as("n_distinct"),
+        gramStatsUdf(col("text")).as("gs"))
+      .selectExpr(
+        "doc_id", "n_words",
+        "CAST(gs._1 AS BIGINT) AS n_grams",
+        """((2 * 10000 * (CAST(n_words AS BIGINT) - CAST(n_distinct AS BIGINT)) + n_words)
+          |  div (2 * CAST(n_words AS BIGINT))) / 10000.0D AS dup_word_ratio""".stripMargin,
+        """CASE WHEN gs._1 = 0 THEN 0.0D ELSE
+          |  ((2 * 10000 * (gs._1 - gs._2) + gs._1) div (2 * gs._1)) / 10000.0D
+          |END AS dup_gram_ratio""".stripMargin)
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
     "t02_quality_score" -> t02_quality_score,
     "t03_token_count" -> t03_token_count,
     "t04_fingerprint" -> t04_fingerprint,
-    "t05_salient_terms" -> t05_salient_terms)
+    "t05_salient_terms" -> t05_salient_terms,
+    "t06_repetition" -> t06_repetition)
 
   def oracleSql: Map[String, String] = {
     val langs = markers.map(_._1)
@@ -265,6 +313,28 @@ object TextQueries {
            |       i -> ($winHash) % 1000000007)) % 1000000007)::BIGINT
            |  ELSE 0 END AS fingerprint
            |FROM documents ORDER BY doc_id""".stripMargin,
+      "t06_repetition" ->
+        """WITH base AS (
+          |  SELECT doc_id,
+          |         len(string_split(text, ' ')) AS n_words,
+          |         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+          |         CASE WHEN len(string_split(text, ' ')) < 3 THEN []::VARCHAR[]
+          |              ELSE list_transform(
+          |                range(1, len(string_split(text, ' ')) - 1),
+          |                i -> string_split(text, ' ')[i] || '_' ||
+          |                     string_split(text, ' ')[i + 1] || '_' ||
+          |                     string_split(text, ' ')[i + 2])
+          |         END AS grams
+          |  FROM documents)
+          |SELECT doc_id, n_words::INT AS n_words,
+          |       len(grams)::BIGINT AS n_grams,
+          |       ((2 * 10000 * (n_words - n_distinct) + n_words)
+          |          // (2 * n_words)) / 10000.0 AS dup_word_ratio,
+          |       CASE WHEN len(grams) = 0 THEN 0.0 ELSE
+          |         ((2 * 10000 * (len(grams) - len(list_distinct(grams))) + len(grams))
+          |            // (2 * len(grams))) / 10000.0
+          |       END AS dup_gram_ratio
+          |FROM base ORDER BY doc_id""".stripMargin,
       "t05_salient_terms" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

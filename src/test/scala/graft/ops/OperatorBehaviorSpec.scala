@@ -113,6 +113,53 @@ class OperatorBehaviorSpec extends SparkSpec {
       ("2024-01-08 00:00:00.0", 0, 1L))) // user 3's own later cohort
   }
 
+  test("t06: dup-word and dup-gram ratios match an independent " +
+    "re-derivation from the raw text") {
+    def halfUp(p: Long, q: Long): Double =
+      ((2 * 10000 * p + q) / (2 * q)) / 10000.0
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextQueries.t06_repetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ws = docs(r.getLong(0)).split(" ", -1)
+      val grams = ws.sliding(3).filter(_.length == 3).map(_.mkString("_")).toSeq
+      assert(r.getLong(2) == grams.length, s"n_grams of doc ${r.getLong(0)}")
+      assert(r.getDouble(3) ==
+        halfUp(ws.length - ws.distinct.length, ws.length))
+      val expGram = if (grams.isEmpty) 0.0
+        else halfUp(grams.length - grams.distinct.length, grams.length)
+      assert(r.getDouble(4) == expGram, s"dup_gram_ratio of doc ${r.getLong(0)}")
+    }
+  }
+
+  test("c03: kept is exactly the conjunction of the four rule flags and " +
+    "every flag matches a re-derivation from the raw text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val en = Set("the", "a", "of", "and", "is")
+    val rows = CurationQueries.c03_quality_filter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var kept = 0
+    rows.foreach { r =>
+      val (text, lang) = docs(r.getLong(0))
+      val ws = text.split(" ", -1)
+      val wchars = ws.map(_.length.toLong).sum
+      val flags = Seq(
+        ws.length >= 30 && ws.length <= 100000,
+        10 * wchars >= 40L * ws.length && 10 * wchars <= 52L * ws.length,
+        lang != "en" || ws.count(en) >= 2,
+        2 * (ws.length - ws.distinct.length) <= ws.length).map(b => if (b) 1 else 0)
+      assert(Seq(r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6)) == flags,
+        s"flags of doc ${r.getLong(0)}")
+      assert(r.getInt(7) == flags.product)
+      kept += r.getInt(7)
+    }
+    assert(kept > 0 && kept < rows.length, "rule gauntlet must be non-degenerate")
+  }
+
   test("v06: int8-quantized top-10 recovers >=80% of the exact fp32 " +
     "top-10 (ranking fidelity of the 4x-compressed path)") {
     val exact = spark.read.parquet(s"$sf/embeddings.parquet")
