@@ -289,28 +289,38 @@ object DedupQueries {
     * verification stage for LSH candidates, bucketed so the pair count
     * stays O(bucket²) not O(N²). Word-3-gram sets; inclusion-exclusion
     * union size. */
-  val d04_ngram_jaccard: Q = (s, d) => {
-    // Grams in ONE compiled pass (word 3-grams, first-occurrence
-    // distinct, matching array_distinct semantics). The interpreted
-    // transform/concat lambda chain — recomputed on BOTH sides of the
-    // self-join by the unmaterialized-cache race — was 403 s of the
-    // 474 s BENCH_r01 total (VERDICT r01 #1).
-    val gramUdf = udf { (text: String) =>
-      if (text == null) Array.empty[String]
+  /** Distinct word-3-grams in ONE compiled pass (first-occurrence order,
+    * matching array_distinct / DuckDB list_distinct semantics). The
+    * interpreted transform/concat lambda chain this replaced — recomputed
+    * on BOTH sides of d04's self-join by the unmaterialized-cache race —
+    * was 403 s of the 474 s BENCH_r01 total (VERDICT r01 #1). Shared by
+    * d04 (near-dup Jaccard) and d07 (train/eval decontamination). */
+  private[ops] val gramUdf = udf { (text: String) =>
+    if (text == null) Array.empty[String]
+    else {
+      val ws = text.split(" ", -1) // -1: keep trailing empties, like Spark split / DuckDB string_split
+      if (ws.length < 3) Array.empty[String]
       else {
-        val ws = text.split(" ", -1) // -1: keep trailing empties, like Spark split / DuckDB string_split
-        if (ws.length < 3) Array.empty[String]
-        else {
-          val seen = new java.util.LinkedHashSet[String]
-          var i = 0
-          while (i + 2 < ws.length) {
-            seen.add(ws(i) + "_" + ws(i + 1) + "_" + ws(i + 2))
-            i += 1
-          }
-          seen.toArray(new Array[String](seen.size))
+        val seen = new java.util.LinkedHashSet[String]
+        var i = 0
+        while (i + 2 < ws.length) {
+          seen.add(ws(i) + "_" + ws(i + 1) + "_" + ws(i + 2))
+          i += 1
         }
+        seen.toArray(new Array[String](seen.size))
       }
     }
+  }
+
+  /** The same distinct word-3-gram list, DuckDB dialect. */
+  private def gramListDuck: String =
+    """list_distinct(list_transform(
+      |      range(1, len(string_split(text, ' ')) - 1),
+      |      i -> string_split(text, ' ')[i] || '_' ||
+      |           string_split(text, ' ')[i + 1] || '_' ||
+      |           string_split(text, ' ')[i + 2]))""".stripMargin
+
+  val d04_ngram_jaccard: Q = (s, d) => {
     // INVERTED INDEX shape: explode distinct grams → gram-level equi-join
     // → pair count = |intersection| → inclusion-exclusion union. Every
     // step is a codegen hash join/agg; cost is O(Σ posting-list²), not
@@ -418,13 +428,53 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** d07: train/eval DECONTAMINATION — the overlap check every LLM
+    * training pipeline must run before evaluation is meaningful: flag
+    * training documents that share word-3-grams with held-out eval
+    * documents (the C4/GPT-3-style n-gram contamination test; a
+    * contaminated doc inflates benchmark scores). The splits are p02's
+    * deterministic hash buckets (train <800‰, test ≥900‰), so the check
+    * composes with the split operator users actually run.
+    *
+    * Scale shape: both sides explode to thin (doc_id, gram) rows and
+    * meet in ONE gram-keyed equi-join — cost O(Σ posting-list products),
+    * bounded by the same df-cap discipline as d02/d04: grams appearing
+    * in more than GRAM_DF_CAP docs corpus-wide are dropped before the
+    * join (a ubiquitous gram carries no contamination signal, and one
+    * stopword gram at 100 TB would otherwise make the join
+    * O(train × eval)). At scale the eval side is tiny (thousands of
+    * benchmark docs), so Spark broadcasts it and the train side never
+    * shuffles at all. */
+  val d07_decontaminate: Q = (s, d) => {
+    val bucketed = Tables.documents(s, d)
+      .selectExpr("doc_id", "text", "pmod(doc_id * 2654435761, 1000) AS b")
+    def grams(side: DataFrame) = side
+      .select(col("doc_id"), explode(gramUdf(col("text"))).as("gram"))
+    val train = grams(bucketed.filter(col("b") < 800)).cache()
+    val eval_ = grams(bucketed.filter(col("b") >= 900)).cache()
+    // materialize BEFORE the df-agg + join probe both caches (build race)
+    train.count(); eval_.count()
+    val hot = train.unionByName(eval_)
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > GRAM_DF_CAP)
+      .select(col("gram"))
+    train.join(hot, Seq("gram"), "left_anti")
+      .join(eval_.join(hot, Seq("gram"), "left_anti")
+        .withColumnRenamed("doc_id", "eval_doc"), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "d01_exact_dedup" -> d01_exact_dedup,
     "d02_minhash_lsh" -> d02_minhash_lsh,
     "d03_simhash" -> d03_simhash,
     "d04_ngram_jaccard" -> d04_ngram_jaccard,
     "d05_cosine_brute" -> d05_cosine_brute,
-    "d06_cosine_lsh" -> d06_cosine_lsh)
+    "d06_cosine_lsh" -> d06_cosine_lsh,
+    "d07_decontaminate" -> d07_decontaminate)
 
   // ------------------------------------------------------------------
   // DuckDB oracles
@@ -512,11 +562,7 @@ object DedupQueries {
       "d04_ngram_jaccard" ->
         s"""WITH docs AS (
            |  SELECT doc_id, source,
-           |    list_distinct(list_transform(
-           |      range(1, len(string_split(text, ' ')) - 1),
-           |      i -> string_split(text, ' ')[i] || '_' ||
-           |           string_split(text, ' ')[i + 1] || '_' ||
-           |           string_split(text, ' ')[i + 2])) AS g
+           |    $gramListDuck AS g
            |  FROM documents),
            |inv AS (
            |  SELECT doc_id, source, len(g) AS n, unnest(g) AS gram FROM docs),
@@ -534,6 +580,29 @@ object DedupQueries {
            |FROM pairs
            |WHERE ((20000 * inter + (na + nb - inter)) // (2 * (na + nb - inter))) / 10000.0 >= 0.02
            |ORDER BY doc_a, doc_b""".stripMargin,
+      "d07_decontaminate" ->
+        s"""WITH bucketed AS (
+           |  SELECT doc_id, text, (doc_id * 2654435761) % 1000 AS b
+           |  FROM documents),
+           |tg AS (
+           |  SELECT doc_id, unnest($gramListDuck) AS gram
+           |  FROM bucketed WHERE b < 800),
+           |eg AS (
+           |  SELECT doc_id, unnest($gramListDuck) AS gram
+           |  FROM bucketed WHERE b >= 900),
+           |hot AS (
+           |  SELECT gram FROM (
+           |    SELECT gram, count(*) AS df FROM (
+           |      SELECT gram FROM tg UNION ALL SELECT gram FROM eg)
+           |    GROUP BY gram)
+           |  WHERE df > $GRAM_DF_CAP)
+           |SELECT t.doc_id,
+           |       count(DISTINCT t.gram) AS n_shared_grams,
+           |       count(DISTINCT e.doc_id) AS n_eval_docs
+           |FROM (SELECT * FROM tg ANTI JOIN hot USING (gram)) t
+           |JOIN (SELECT * FROM eg ANTI JOIN hot USING (gram)) e
+           |  USING (gram)
+           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
       "d05_cosine_brute" ->
         """SELECT x.vec_id AS id_a, y.vec_id AS id_b,
           |       round(list_cosine_similarity(x.embedding::DOUBLE[],

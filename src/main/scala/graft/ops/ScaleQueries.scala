@@ -139,12 +139,32 @@ object ScaleQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** h04: corpus-wide heavy hitters — the exact top-20 terms by total
+    * occurrence count with their document frequency, tiebreak (tf DESC,
+    * term ASC). Shape at scale: explode → ONE (term)-keyed aggregation
+    * whose map-side partial combine collapses each partition to its
+    * distinct terms before the shuffle (vocabulary ≪ corpus), then df
+    * via a second partial-distinct agg on thin (term, doc_id) rows;
+    * final top-20 is TakeOrdered. At 100 TB the first pass you'd run is
+    * a count-min/space-saving sketch (mergeable, fixed memory) — this is
+    * the exact twin you run when the answer must be exact, the same
+    * pairing as h01/h02. */
+  val h04_heavy_hitters: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS term")
+    toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(20)
+  }
+
   def queries: Map[String, Q] = Map(
     "r01_rollup" -> r01_rollup,
     "s01_salted_agg" -> s01_salted_agg,
     "h01_approx_distinct" -> h01_approx_distinct,
     "h02_exact_distinct" -> h02_exact_distinct,
     "h03_exact_quantiles" -> h03_exact_quantiles,
+    "h04_heavy_hitters" -> h04_heavy_hitters,
     "p01_stratified_sample" -> p01_stratified_sample,
     "p02_train_val_test" -> p02_train_val_test)
 
@@ -179,6 +199,11 @@ object ScaleQueries {
         |  max(CASE WHEN rn = greatest(1, ceil(n * 0.75)::BIGINT) THEN cents END)::BIGINT / 100.0 AS p75,
         |  count(*) AS n_events
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "h04_heavy_hitters" ->
+      """SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents)
+        |GROUP BY term ORDER BY tf DESC, term ASC LIMIT 20""".stripMargin,
     "p02_train_val_test" ->
       """SELECT doc_id, lang,
         |       CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'

@@ -160,6 +160,55 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(kept > 0 && kept < rows.length, "rule gauntlet must be non-degenerate")
   }
 
+  test("d07: contamination counts match a re-derivation, and no doc is " +
+    "in both the train and eval split") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bucket(id: Long) = math.floorMod(id * 2654435761L, 1000L)
+    def grams(t: String) =
+      t.split(" ", -1).sliding(3).filter(_.length == 3).map(_.mkString("_")).toSet
+    val train = docs.filter { case (id, _) => bucket(id) < 800 }
+    val eval_ = docs.filter { case (id, _) => bucket(id) >= 900 }
+    assert(train.keySet.intersect(eval_.keySet).isEmpty)
+    // df-capped gram universe (cap never fires at sf0.001's vocab, but
+    // recompute it anyway so the test tracks the query's semantics)
+    val df = (train ++ eval_).toSeq.flatMap { case (_, t) => grams(t) }
+      .groupBy(identity).view.mapValues(_.size)
+    val kept = (g: String) => df(g) <= 100
+    val evalGrams = eval_.map { case (id, t) => id -> grams(t).filter(kept) }
+    val rows = DedupQueries.d07_decontaminate(spark, sf).collect()
+    val got = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    train.foreach { case (id, t) =>
+      val tg = grams(t).filter(kept)
+      val shared = tg.filter(g => evalGrams.exists(_._2.contains(g)))
+      val hitDocs = evalGrams.count(_._2.intersect(tg).nonEmpty)
+      if (shared.nonEmpty)
+        assert(got(id) == ((shared.size.toLong, hitDocs.toLong)), s"doc $id")
+      else assert(!got.contains(id), s"doc $id should be clean")
+    }
+  }
+
+  test("h04: heavy-hitter counts match a full recount and come back in " +
+    "(tf DESC, term ASC) order") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0))
+    val tf = texts.flatMap(_.split(" ", -1)).groupBy(identity).view.mapValues(_.size)
+    val docF = texts.flatMap(_.split(" ", -1).distinct)
+      .groupBy(identity).view.mapValues(_.size)
+    val got = ScaleQueries.h04_heavy_hitters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.length <= 20)
+    val resorted = got.sortBy { case (t, f, _) => (-f, t) }
+    assert(got.toSeq == resorted.toSeq, "output must be (tf DESC, term ASC)")
+    got.foreach { case (term, f, dcnt) =>
+      assert(f == tf(term).toLong && dcnt == docF(term).toLong, term)
+    }
+    // nothing outside the top-20 beats anything inside it
+    val minTf = got.map(_._2).min
+    assert(tf.values.count(_ > minTf) <= got.count(_._2 > minTf))
+  }
+
   test("v06: int8-quantized top-10 recovers >=80% of the exact fp32 " +
     "top-10 (ranking fidelity of the 4x-compressed path)") {
     val exact = spark.read.parquet(s"$sf/embeddings.parquet")
