@@ -158,6 +158,62 @@ object ScaleQueries {
       .limit(20)
   }
 
+  /** p03: domain balancing (mixture re-weighting) — downsample
+    * over-represented domains (here: languages — the skewed axis of this
+    * corpus; `source` is uniform by construction) so each contributes
+    * ≈ its fair share of the output corpus: keep-rate‰ per domain =
+    * min(1000, (total/n_domains)·1000 / n_domain), applied with the same
+    * deterministic id hash as p01/p02 (auditable, partitioning- and
+    * engine-independent — a training mixture must be reproducible).
+    * All-integer rate arithmetic. Shape at scale: the per-source count
+    * is one tiny agg (20 rows here; thousands of domains at 100 TB —
+    * still broadcast-size), the rate table joins back as a broadcast
+    * hash join, and the filter is narrow: no shuffle of the corpus
+    * itself, ever. */
+  val p03_domain_mix: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+    // window over the tiny per-domain counts table, NOT the corpus
+    val all = Window.partitionBy()
+    val rates = counts
+      .withColumn("total", sum(col("n_s")).over(all))
+      .withColumn("n_dom", count(lit(1)).over(all))
+      .selectExpr("lang",
+        "least(CAST(1000 AS BIGINT), ((total div n_dom) * 1000) div n_s) AS keep_rate")
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(expr("pmod(doc_id * 2654435761, 1000)") < col("keep_rate"))
+      .select(col("doc_id"), col("lang"), col("keep_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** p04: sequence packing (concat-and-chunk) — assign every document a
+    * (bin, offset) in the fixed CONTEXT_TOKENS-token training windows its
+    * source's token stream fills, the standard pretraining layout
+    * (documents concatenated in a deterministic order, then cut every
+    * CONTEXT_TOKENS tokens). offset = running token count before the doc
+    * (per-source prefix sum); bin = offset div CONTEXT_TOKENS. One
+    * window shuffle keyed by source; at 100 TB you sub-partition the
+    * stream key (source, shard) so no single reducer owns a whole
+    * source's prefix sum — same salting discipline as s01. */
+  val p04_sequence_pack: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("size(split(text, ' '))").as("tokens"))
+      .withColumn("off",
+        coalesce(sum(col("tokens").cast("long")).over(w), lit(0L)))
+      .selectExpr("doc_id", "source", "tokens",
+        s"off div $CONTEXT_TOKENS AS bin",
+        s"pmod(off, $CONTEXT_TOKENS) AS pos")
+      .orderBy(col("doc_id"))
+  }
+
+  private val CONTEXT_TOKENS = 2048
+
   def queries: Map[String, Q] = Map(
     "r01_rollup" -> r01_rollup,
     "s01_salted_agg" -> s01_salted_agg,
@@ -166,7 +222,9 @@ object ScaleQueries {
     "h03_exact_quantiles" -> h03_exact_quantiles,
     "h04_heavy_hitters" -> h04_heavy_hitters,
     "p01_stratified_sample" -> p01_stratified_sample,
-    "p02_train_val_test" -> p02_train_val_test)
+    "p02_train_val_test" -> p02_train_val_test,
+    "p03_domain_mix" -> p03_domain_mix,
+    "p04_sequence_pack" -> p04_sequence_pack)
 
   def oracleSql: Map[String, String] = Map(
     "r01_rollup" ->
@@ -210,6 +268,31 @@ object ScaleQueries {
         |            WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "p03_domain_mix" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+        |r AS (
+        |  SELECT lang,
+        |         least(1000,
+        |           (((SELECT sum(n_s) FROM c)::BIGINT // (SELECT count(*) FROM c)) * 1000)
+        |             // n_s)::BIGINT AS keep_rate
+        |  FROM c)
+        |SELECT d.doc_id, d.lang, r.keep_rate
+        |FROM documents d JOIN r USING (lang)
+        |WHERE (d.doc_id * 2654435761) % 1000 < r.keep_rate
+        |ORDER BY d.doc_id""".stripMargin,
+    "p04_sequence_pack" ->
+      """SELECT doc_id, source, tokens::INT AS tokens,
+        |       (off // 2048)::BIGINT AS bin,
+        |       (off % 2048)::BIGINT AS pos
+        |FROM (
+        |  SELECT doc_id, source, tokens,
+        |         coalesce(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+        |  FROM (SELECT doc_id, source,
+        |               len(string_split(text, ' ')) AS tokens
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     "p01_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

@@ -209,6 +209,39 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(tf.values.count(_ > minTf) <= got.count(_._2 > minTf))
   }
 
+  test("p03: balanced mixture keeps under-represented domains whole and " +
+    "lands over-represented ones near the fair share") {
+    val inCounts = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fairShare = inCounts.values.sum / inCounts.size
+    val out = ScaleQueries.p03_domain_mix(spark, sf).collect()
+    val outCounts = out.groupBy(_.getString(1)).view.mapValues(_.size.toLong).toMap
+    inCounts.foreach { case (lang, nIn) =>
+      val nOut = outCounts.getOrElse(lang, 0L)
+      if (nIn <= fairShare) assert(nOut == nIn, s"$lang should be kept whole")
+      else assert(math.abs(nOut - fairShare) <= math.max(2, fairShare / 10),
+        s"$lang: $nOut vs fair share $fairShare")
+    }
+    // determinism: the same doc set on every run
+    val again = ScaleQueries.p03_domain_mix(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet == again.map(_.getLong(0)).toSet)
+  }
+
+  test("p04: per-source offsets are exact prefix sums and bins cut the " +
+    "stream every 2048 tokens") {
+    val rows = ScaleQueries.p04_sequence_pack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      var off = 0L
+      rs.sortBy(_._1).foreach { case (id, _, toks, bin, pos) =>
+        assert(bin == off / 2048 && pos == off % 2048, s"doc $id")
+        off += toks
+      }
+    }
+  }
+
   test("v06: int8-quantized top-10 recovers >=80% of the exact fp32 " +
     "top-10 (ranking fidelity of the 4x-compressed path)") {
     val exact = spark.read.parquet(s"$sf/embeddings.parquet")
