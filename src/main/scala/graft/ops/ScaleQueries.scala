@@ -214,6 +214,80 @@ object ScaleQueries {
 
   private val CONTEXT_TOKENS = 2048
 
+  /** s02: skew-safe SALTED JOIN — s01's companion for the other half of
+    * the skew problem: a fact⋈dim join where a few hot keys own an
+    * outsized share of the fact side, so one reducer would receive a
+    * whole hot key's rows. Two-path plan: (1) detect hot keys with a
+    * thin (key, count) aggregate (at 100 TB you'd sample or read AQE's
+    * shuffle stats instead — the split logic is identical); (2) HOT path:
+    * replicate each hot dim row ×SALT and spray the hot fact rows across
+    * the salts, so a hot key occupies SALT reducers; (3) COLD path: plain
+    * equi-join. Result is EXACTLY the plain join+aggregate (the oracle
+    * computes it directly). The hot-key set is tiny by construction
+    * (count > threshold bounds it at n_rows/threshold) → both hot-path
+    * joins broadcast it. */
+  val s02_skew_join: Q = (s, d) => {
+    val SALT = 8
+    val HOT = 10L // keys with more fact rows than this take the salted path
+    val li = Tables.lineitem(s, d)
+      .withColumn("cents", expr("CAST(round(l_extendedprice * 100.0D) AS BIGINT)"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("cents"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val hotKeys = li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("nl")).filter(col("nl") > HOT)
+      .select(col("l_orderkey").as("hk"))
+    val hotOrd = ord
+      .join(broadcast(hotKeys), ord("o_orderkey") === hotKeys("hk"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(sequence(lit(0), lit(SALT - 1))))
+    val hotLi = li
+      .join(broadcast(hotKeys), li("l_orderkey") === hotKeys("hk"), "left_semi")
+      .withColumn("salt", pmod(col("l_linenumber"), lit(SALT)))
+    val hotSide = hotLi.join(hotOrd,
+      hotLi("l_orderkey") === hotOrd("o_orderkey")
+        && hotLi("salt") === hotOrd("salt"))
+    val coldSide = li
+      .join(broadcast(hotKeys), li("l_orderkey") === hotKeys("hk"), "left_anti")
+      .join(ord, col("l_orderkey") === ord("o_orderkey"))
+    hotSide.select(col("o_orderpriority"), col("cents"))
+      .unionByName(coldSide.select(col("o_orderpriority"), col("cents")))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("sum(cents) / 100.0D").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** p05: quality-weighted EPOCH sampling — the mixture-weights-to-
+    * physical-rows step of a pretraining pipeline: high-quality documents
+    * are repeated (multiple training epochs), mid-quality seen once, and
+    * low-quality documents deterministically downsampled — the
+    * DoReMi/DataComp-style "good data is worth more passes" strategy
+    * materialized as an explicit (doc, epoch) stream a packing job
+    * (p04) can consume. Quality is t02's shared integer formula; the
+    * downsample uses the same id-hash discipline as p01/p02 (auditable,
+    * engine- and partitioning-independent). Narrow projection + explode:
+    * zero shuffle at any scale, output ≤ 2× input rows by construction. */
+  val p05_quality_epochs: Q = (s, d) => {
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "lang", "text",
+        "size(split(text, ' ')) AS n_words",
+        s"${TextQueries.hitExpr(TextQueries.markers.head._2)} AS sw_hits",
+        "size(array_distinct(split(text, ' '))) AS n_distinct")
+      .selectExpr("doc_id", "lang",
+        s"${TextQueries.qualityExpr} AS quality",
+        "pmod(doc_id * 2654435761, 1000) AS bucket")
+      .selectExpr("doc_id", "lang", "quality",
+        s"""CASE WHEN quality >= 0.7D THEN 2
+           |     WHEN quality >= ${TextQueries.QUALITY_FLOOR}D THEN 1
+           |     WHEN bucket < 250 THEN 1 ELSE 0 END AS n_epochs""".stripMargin)
+      .filter(col("n_epochs") > 0)
+      .withColumn("epoch", explode(sequence(lit(1), col("n_epochs"))))
+      .select(col("doc_id"), col("lang"), col("quality"),
+        col("n_epochs"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
   def queries: Map[String, Q] = Map(
     "r01_rollup" -> r01_rollup,
     "s01_salted_agg" -> s01_salted_agg,
@@ -224,7 +298,9 @@ object ScaleQueries {
     "p01_stratified_sample" -> p01_stratified_sample,
     "p02_train_val_test" -> p02_train_val_test,
     "p03_domain_mix" -> p03_domain_mix,
-    "p04_sequence_pack" -> p04_sequence_pack)
+    "p04_sequence_pack" -> p04_sequence_pack,
+    "p05_quality_epochs" -> p05_quality_epochs,
+    "s02_skew_join" -> s02_skew_join)
 
   def oracleSql: Map[String, String] = Map(
     "r01_rollup" ->
@@ -293,6 +369,34 @@ object ScaleQueries {
         |               len(string_split(text, ' ')) AS tokens
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    "s02_skew_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))::BIGINT / 100.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "p05_quality_epochs" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang,
+         |         len(string_split(text, ' ')) AS n_words,
+         |         ${TextQueries.duckHitExpr(TextQueries.markers.head._2)} AS sw_hits,
+         |         len(list_distinct(string_split(text, ' '))) AS n_distinct
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |         ${TextQueries.qualityExprDuck} AS quality,
+         |         (doc_id * 2654435761) % 1000 AS bucket
+         |  FROM base),
+         |e AS (
+         |  SELECT doc_id, lang, quality,
+         |         CASE WHEN quality >= 0.7 THEN 2
+         |              WHEN quality >= ${TextQueries.QUALITY_FLOOR} THEN 1
+         |              WHEN bucket < 250 THEN 1 ELSE 0 END AS n_epochs
+         |  FROM q WHERE n_epochs > 0)
+         |SELECT doc_id, lang, quality, n_epochs::INT AS n_epochs, epoch::INT AS epoch
+         |FROM (SELECT doc_id, lang, quality, n_epochs,
+         |             unnest(range(1, n_epochs + 1)) AS epoch
+         |      FROM e)
+         |ORDER BY doc_id, epoch""".stripMargin,
     "p01_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

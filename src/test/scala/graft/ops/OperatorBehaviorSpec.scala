@@ -242,6 +242,49 @@ class OperatorBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("s02: the two-path salted join equals the plain join+aggregate, " +
+    "and the hot path actually fires") {
+    import org.apache.spark.sql.functions.{broadcast => _, _}
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .withColumn("cents", expr("CAST(round(l_extendedprice * 100.0D) AS BIGINT)"))
+    val ord = graft.model.Tables.orders(spark, sf)
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), expr("sum(cents) / 100.0D").as("revenue"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = ScaleQueries.s02_skew_join(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+    // the split must route some keys down the hot path at this sf, or the
+    // test isn't exercising the salted side at all
+    val hot = li.groupBy(col("l_orderkey")).count().filter(col("count") > 10)
+    assert(hot.count() > 0, "threshold leaves the hot path empty at test sf")
+  }
+
+  test("p05: epoch multiplicity follows the quality tiers and the " +
+    "low-tier downsample is deterministic") {
+    val quality = TextQueries.t02_quality_score(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("quality"))).toMap
+    val out = ScaleQueries.p05_quality_epochs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(r.fieldIndex("n_epochs")),
+        r.getInt(r.fieldIndex("epoch"))))
+    val perDoc = out.groupBy(_._1)
+    perDoc.foreach { case (id, rs) =>
+      val q = quality(id)
+      val expected = if (q >= 0.7) 2 else 1 // low tier only appears if kept
+      assert(rs.length == expected, s"doc $id q=$q")
+      assert(rs.map(_._3).sorted.sameElements(1 to expected), s"doc $id epochs")
+    }
+    // every document lands in exactly one tier; dropped docs are the
+    // low-quality ones outside the 250-per-mille keep bucket
+    quality.foreach { case (id, q) =>
+      val kept = perDoc.contains(id)
+      if (q >= 0.6) assert(kept, s"doc $id q=$q must be kept")
+      else assert(kept == (Math.floorMod(id * 2654435761L, 1000L) < 250),
+        s"doc $id low-tier keep mismatch")
+    }
+  }
+
   test("v06: int8-quantized top-10 recovers >=80% of the exact fp32 " +
     "top-10 (ranking fidelity of the 4x-compressed path)") {
     val exact = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -145,6 +145,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s02 skew join: the hot-key set drives broadcast probes on both " +
+    "paths — no shuffle keyed by the raw join key feeds a join build") {
+    val p = planOf(ScaleQueries.s02_skew_join)
+    // three broadcast probes of the tiny hot-key set (dim inner, fact
+    // semi, fact anti) + the dim build of the cold join
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    // the hot path joins on (key, salt), never on the bare hot key
+    assert(p.contains("salt"), p)
+  }
+
   test("whole-stage codegen covers the flagship scored scan") {
     // toString abbreviates WholeStageCodegen stages as `*(N)` prefixes
     val p = planOf(VectorQueries.v01_search_topk)
