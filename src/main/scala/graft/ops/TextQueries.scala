@@ -255,13 +255,42 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t07: vocabulary coverage — the tokenizer-prep question "how much of
+    * the token stream does a top-K vocabulary cover?": terms ranked by
+    * (tf DESC, term ASC) with cumulative corpus coverage per rank.
+    * Shape at scale: the explode collapses map-side to per-partition
+    * distinct terms (vocabulary ≪ corpus, same as h04), so the only
+    * full-width work is the narrow scan; the ranking/running-sum windows
+    * then run over the VOCABULARY table — the single-partition global
+    * window is over |vocab| rows, never the corpus (at 100 TB: a few
+    * million rows on one reducer, fine — and the corpus itself never
+    * passes through it). Coverage is integer half-up per-10⁴ — no
+    * float-ratio divergence. */
+  val t07_vocab_coverage: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .selectExpr("explode(split(text, ' ')) AS term")
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val ord = Window.orderBy(col("tf").desc, col("term").asc)
+    tf
+      .withColumn("rk", row_number().over(ord))
+      .withColumn("cum_tf", sum(col("tf")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("tf")).over(Window.partitionBy()))
+      .filter(col("rk") <= 30)
+      .selectExpr("rk", "term", "tf",
+        "((2 * 10000 * cum_tf + total) div (2 * total)) / 10000.0D AS coverage")
+      .orderBy(col("rk"))
+  }
+
   def queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
     "t02_quality_score" -> t02_quality_score,
     "t03_token_count" -> t03_token_count,
     "t04_fingerprint" -> t04_fingerprint,
     "t05_salient_terms" -> t05_salient_terms,
-    "t06_repetition" -> t06_repetition)
+    "t06_repetition" -> t06_repetition,
+    "t07_vocab_coverage" -> t07_vocab_coverage)
 
   def oracleSql: Map[String, String] = {
     val langs = markers.map(_._1)
@@ -335,6 +364,21 @@ object TextQueries {
           |            // (2 * len(grams))) / 10000.0
           |       END AS dup_gram_ratio
           |FROM base ORDER BY doc_id""".stripMargin,
+      "t07_vocab_coverage" ->
+        """WITH tf AS (
+          |  SELECT term, count(*) AS tf FROM (
+          |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+          |  GROUP BY term),
+          |r AS (
+          |  SELECT term, tf,
+          |         row_number() OVER (ORDER BY tf DESC, term ASC) AS rk,
+          |         sum(tf) OVER (ORDER BY tf DESC, term ASC
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tf,
+          |         sum(tf) OVER () AS total
+          |  FROM tf)
+          |SELECT rk::INT AS rk, term, tf,
+          |       ((2 * 10000 * cum_tf + total) // (2 * total)) / 10000.0 AS coverage
+          |FROM r WHERE rk <= 30 ORDER BY rk""".stripMargin,
       "t05_salient_terms" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

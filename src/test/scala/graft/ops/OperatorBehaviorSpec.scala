@@ -285,6 +285,27 @@ class OperatorBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("t07: coverage is a nondecreasing prefix share in (0,1], ranks " +
+    "descend by tf, and cum_tf matches an independent recount") {
+    val rows = TextQueries.t07_vocab_coverage(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 30)
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS term")
+      .groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    var cum = 0L
+    rows.zipWithIndex.foreach { case ((rk, term, tf, cov), i) =>
+      assert(rk == i + 1)
+      assert(counts(term) == tf, s"$term tf")
+      if (i > 0) assert(rows(i - 1)._3 >= tf, "tf must be nonincreasing")
+      cum += tf
+      val expected = ((2 * 10000 * cum + total) / (2 * total)) / 10000.0
+      assert(cov == expected && cov > 0.0 && cov <= 1.0, s"rank $rk coverage")
+    }
+  }
+
   test("v06: int8-quantized top-10 recovers >=80% of the exact fp32 " +
     "top-10 (ranking fidelity of the 4x-compressed path)") {
     val exact = spark.read.parquet(s"$sf/embeddings.parquet")
