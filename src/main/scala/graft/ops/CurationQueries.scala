@@ -145,10 +145,102 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** c04: the FULL composed corpus pipeline as an AUDIT TABLE — every
+    * stage a pretraining corpus actually runs, in production order, with
+    * one flag column per stage so a dropped document is attributable
+    * (the same operational requirement as c03, extended to the whole
+    * flow): rule gauntlet (c03's conjunction) → exact dedup among
+    * survivors → train/val/test split (p02's hash) → train-vs-test
+    * 3-gram decontamination (d07's df-capped join) → domain-balanced
+    * mixture over the clean train pool (p03's fair-share rates, a
+    * SECOND independent hash so mixture and split don't correlate).
+    * `final` = the rows of the training corpus.
+    *
+    * Stage semantics are SEQUENTIAL — each stage sees only the prior
+    * stage's survivors (dedup canonicals are chosen among
+    * gauntlet-passers; mixture rates are computed over the clean train
+    * pool) — because that is how the stages compose in a real run, and
+    * reordering changes the result.
+    *
+    * Scale shape: flags and split are narrow; the dedup window shuffles
+    * thin (doc_id, digest) rows and rejoins by id (the body never
+    * shuffles, as c01); decontamination is d07's df-capped gram join
+    * with the eval side broadcast-size at scale; the mixture rate table
+    * is a broadcast join. Every corpus-wide shuffle in the plan carries
+    * ids/digests/grams — never document text. */
+  val c04_corpus_pipeline: Q = (s, d) => {
+    val gauntletExpr =
+      """CAST(n_words BETWEEN 30 AND 100000 AS INT)
+        | * CAST(10 * wchars >= 40 * n_words AND 10 * wchars <= 52 * n_words AS INT)
+        | * CAST(lang <> 'en' OR sw_hits >= 2 AS INT)
+        | * CAST(2 * (n_words - n_distinct) <= n_words AS INT)""".stripMargin
+    val staged = Tables.documents(s, d)
+      .selectExpr(
+        "doc_id", "lang", "text",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_words",
+        "CAST(length(replace(text, ' ', '')) AS BIGINT) AS wchars",
+        s"CAST(${TextQueries.hitExpr(TextQueries.markers.head._2)} AS BIGINT) AS sw_hits",
+        "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS n_distinct")
+      .selectExpr("doc_id", "lang", "text",
+        s"$gauntletExpr AS gauntlet",
+        """CASE WHEN pmod(doc_id * 2654435761, 1000) < 800 THEN 'train'
+          |     WHEN pmod(doc_id * 2654435761, 1000) < 900 THEN 'val'
+          |     ELSE 'test' END AS split""".stripMargin)
+    // dedup among gauntlet survivors: thin (doc_id, digest) window
+    val dedupW = Window.partitionBy(col("digest")).orderBy(col("doc_id").asc)
+    val dup = staged.filter(col("gauntlet") === 1)
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+      .withColumn("dup", (row_number().over(dedupW) > 1).cast("int"))
+      .select(col("doc_id"), col("dup"))
+    val pool = staged.join(dup, Seq("doc_id")).filter(col("dup") === 0)
+    // decontamination: df-capped 3-gram join, train pool vs test pool
+    def grams(side: DataFrame) = side
+      .select(col("doc_id"),
+        explode(DedupQueries.gramUdf(col("text"))).as("gram"))
+    val trainG = grams(pool.filter(col("split") === "train")).cache()
+    val evalG = grams(pool.filter(col("split") === "test")).cache()
+    trainG.count(); evalG.count() // materialize before the df-agg probes
+    val hot = trainG.unionByName(evalG)
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > DedupQueries.GRAM_DF_CAP)
+      .select(col("gram"))
+    val contam = trainG.join(hot, Seq("gram"), "left_anti")
+      .join(evalG.join(hot, Seq("gram"), "left_anti")
+        .select(col("gram")), Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("contam", lit(1))
+    // mixture over the clean train pool — SECOND hash (xxhash prime 2),
+    // independent of the split hash, so rates don't correlate with splits
+    val pool2 = pool.filter(col("split") === "train")
+      .join(contam, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"))
+    val all = Window.partitionBy()
+    val rates = pool2.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+      .withColumn("total", sum(col("n_s")).over(all))
+      .withColumn("n_dom", count(lit(1)).over(all))
+      .selectExpr("lang",
+        "least(CAST(1000 AS BIGINT), ((total div n_dom) * 1000) div n_s) AS keep_rate")
+    val mixed = pool2.join(broadcast(rates), Seq("lang"))
+      .selectExpr("doc_id", "keep_rate",
+        "CAST(pmod(doc_id * 2246822519, 1000) < keep_rate AS INT) AS mixed")
+    staged.select(col("doc_id"), col("lang"), col("split"), col("gauntlet"))
+      .join(dup, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .join(mixed, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "lang", "split", "gauntlet",
+        "coalesce(dup, 0) AS dup",
+        "coalesce(contam, 0) AS contam",
+        "coalesce(keep_rate, CAST(0 AS BIGINT)) AS keep_rate",
+        "coalesce(mixed, 0) AS mixed",
+        "coalesce(mixed, 0) AS final")
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "c01_curation_pipeline" -> c01_curation_pipeline,
     "c02_dedup_clusters" -> c02_dedup_clusters,
-    "c03_quality_filter" -> c03_quality_filter)
+    "c03_quality_filter" -> c03_quality_filter,
+    "c04_corpus_pipeline" -> c04_corpus_pipeline)
 
   def oracleSql: Map[String, String] = Map(
     "c01_curation_pipeline" ->
@@ -194,6 +286,73 @@ object CurationQueries {
          |SELECT doc_id, lang, n_words, len_ok, mwl_ok, sw_ok, rep_ok,
          |       len_ok * mwl_ok * sw_ok * rep_ok AS kept
          |FROM flags ORDER BY doc_id""".stripMargin,
+    "c04_corpus_pipeline" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, text,
+         |         len(string_split(text, ' ')) AS n_words,
+         |         length(replace(text, ' ', '')) AS wchars,
+         |         ${TextQueries.duckHitExpr(TextQueries.markers.head._2)} AS sw_hits,
+         |         len(list_distinct(string_split(text, ' '))) AS n_distinct
+         |  FROM documents),
+         |staged AS (
+         |  SELECT doc_id, lang, text,
+         |         CAST(n_words BETWEEN 30 AND 100000 AS INT)
+         |         * CAST(10 * wchars >= 40 * n_words AND 10 * wchars <= 52 * n_words AS INT)
+         |         * CAST(lang <> 'en' OR sw_hits >= 2 AS INT)
+         |         * CAST(2 * (n_words - n_distinct) <= n_words AS INT) AS gauntlet,
+         |         CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+         |              WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM base),
+         |dup AS (
+         |  SELECT doc_id,
+         |         CAST(row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1 AS INT) AS dup
+         |  FROM staged WHERE gauntlet = 1),
+         |pool AS (
+         |  SELECT s.* FROM staged s JOIN dup USING (doc_id) WHERE dup = 0),
+         |tg AS (
+         |  SELECT doc_id, unnest(${DedupQueries.gramListDuck}) AS gram
+         |  FROM pool WHERE split = 'train'),
+         |eg AS (
+         |  SELECT doc_id, unnest(${DedupQueries.gramListDuck}) AS gram
+         |  FROM pool WHERE split = 'test'),
+         |hot AS (
+         |  SELECT gram FROM (
+         |    SELECT gram, count(*) AS df FROM (
+         |      SELECT gram FROM tg UNION ALL SELECT gram FROM eg)
+         |    GROUP BY gram)
+         |  WHERE df > ${DedupQueries.GRAM_DF_CAP}),
+         |contam AS (
+         |  SELECT DISTINCT t.doc_id, 1 AS contam
+         |  FROM (SELECT * FROM tg ANTI JOIN hot USING (gram)) t
+         |  SEMI JOIN (SELECT * FROM eg ANTI JOIN hot USING (gram)) e
+         |    USING (gram)),
+         |pool2 AS (
+         |  SELECT p.doc_id, p.lang
+         |  FROM pool p ANTI JOIN contam c USING (doc_id)
+         |  WHERE p.split = 'train'),
+         |counts AS (SELECT lang, count(*) AS n_s FROM pool2 GROUP BY lang),
+         |rates AS (
+         |  SELECT lang,
+         |         least(1000,
+         |           (((SELECT sum(n_s) FROM counts)::BIGINT // (SELECT count(*) FROM counts)) * 1000)
+         |             // n_s)::BIGINT AS keep_rate
+         |  FROM counts),
+         |mixed AS (
+         |  SELECT p.doc_id, r.keep_rate,
+         |         CAST((p.doc_id * 2246822519) % 1000 < r.keep_rate AS INT) AS mixed
+         |  FROM pool2 p JOIN rates r USING (lang))
+         |SELECT s.doc_id, s.lang, s.split, s.gauntlet,
+         |       coalesce(d.dup, 0)::INT AS dup,
+         |       coalesce(c.contam, 0)::INT AS contam,
+         |       coalesce(m.keep_rate, 0)::BIGINT AS keep_rate,
+         |       coalesce(m.mixed, 0)::INT AS mixed,
+         |       coalesce(m.mixed, 0)::INT AS final
+         |FROM staged s
+         |LEFT JOIN dup d USING (doc_id)
+         |LEFT JOIN contam c USING (doc_id)
+         |LEFT JOIN mixed m USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin,
     // min-reachability fixpoint over the IDENTICAL d02 CTE chain: the
     // recursive CTE enumerates (node, reachable-node) pairs and min()
     // collapses them to the component's canonical id

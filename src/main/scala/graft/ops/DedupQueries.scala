@@ -51,7 +51,7 @@ object DedupQueries {
     * purely to bound the stopword-gram blow-up at scale. Both caps are
     * mirrored verbatim in the DuckDB oracles. */
   private val BUCKET_CAP = 50
-  private val GRAM_DF_CAP = 100
+  private[ops] val GRAM_DF_CAP = 100
 
   /** Seeded (a,b) pairs for the K MinHash permutations h(x)=(a·x+b) mod P. */
   private val perms: Seq[(Long, Long)] = {
@@ -313,7 +313,7 @@ object DedupQueries {
   }
 
   /** The same distinct word-3-gram list, DuckDB dialect. */
-  private def gramListDuck: String =
+  private[ops] def gramListDuck: String =
     """list_distinct(list_transform(
       |      range(1, len(string_split(text, ' ')) - 1),
       |      i -> string_split(text, ' ')[i] || '_' ||

@@ -285,6 +285,36 @@ class OperatorBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("c04: stage flags are sequentially consistent and final is " +
+    "exactly the conjunction of every stage") {
+    val rows = CurationQueries.c04_corpus_pipeline(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getString(2), r.getInt(3), r.getInt(4), r.getInt(5),
+        r.getLong(6), r.getInt(7), r.getInt(8))
+    }
+    assert(rows.nonEmpty)
+    var anyFinal = false
+    rows.foreach { case (id, split, gauntlet, dup, contam, rate, mixed, fin) =>
+      // flags only fire inside their stage's surviving pool
+      if (gauntlet == 0) assert(dup == 0 && contam == 0 && mixed == 0, s"doc $id")
+      if (dup == 1) assert(gauntlet == 1, s"doc $id")
+      if (contam == 1) assert(gauntlet == 1 && dup == 0 && split == "train", s"doc $id")
+      if (rate > 0)
+        assert(gauntlet == 1 && dup == 0 && contam == 0 && split == "train", s"doc $id")
+      if (mixed == 1) assert(rate > 0, s"doc $id")
+      val expected =
+        if (gauntlet == 1 && dup == 0 && contam == 0 && split == "train") mixed else 0
+      assert(fin == expected, s"doc $id final")
+      anyFinal ||= fin == 1
+    }
+    assert(anyFinal, "pipeline must keep at least one training document at test sf")
+    // gauntlet matches c03's conjunction doc-for-doc
+    val c03kept = CurationQueries.c03_quality_filter(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(r.fieldIndex("kept"))).toMap
+    rows.foreach { case (id, _, gauntlet, _, _, _, _, _) =>
+      assert(c03kept(id) == gauntlet, s"doc $id gauntlet vs c03")
+    }
+  }
+
   test("t07: coverage is a nondecreasing prefix share in (0,1], ranks " +
     "descend by tf, and cum_tf matches an independent recount") {
     val rows = TextQueries.t07_vocab_coverage(spark, sf).collect()
