@@ -192,7 +192,11 @@ object CurationQueries {
       .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
       .withColumn("dup", (row_number().over(dedupW) > 1).cast("int"))
       .select(col("doc_id"), col("dup"))
-    val pool = staged.join(dup, Seq("doc_id")).filter(col("dup") === 0)
+    // id-keyed corpus×flags joins: force shuffled-HASH dispatch — the
+    // static planner defaults these unknown-size joins to SortMergeJoin,
+    // and at corpus scale an id equi-join needs no sort on either side
+    val pool = staged.hint("shuffle_hash")
+      .join(dup, Seq("doc_id")).filter(col("dup") === 0)
     // decontamination: df-capped 3-gram join, train pool vs test pool
     def grams(side: DataFrame) = side
       .select(col("doc_id"),
@@ -224,9 +228,9 @@ object CurationQueries {
       .selectExpr("doc_id", "keep_rate",
         "CAST(pmod(doc_id * 2246822519, 1000) < keep_rate AS INT) AS mixed")
     staged.select(col("doc_id"), col("lang"), col("split"), col("gauntlet"))
-      .join(dup, Seq("doc_id"), "left")
-      .join(contam, Seq("doc_id"), "left")
-      .join(mixed, Seq("doc_id"), "left")
+      .join(dup.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(contam.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(mixed.hint("shuffle_hash"), Seq("doc_id"), "left")
       .selectExpr("doc_id", "lang", "split", "gauntlet",
         "coalesce(dup, 0) AS dup",
         "coalesce(contam, 0) AS contam",
