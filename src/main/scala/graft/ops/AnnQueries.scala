@@ -139,11 +139,41 @@ object AnnQueries {
       .select(col("vec_id"), (col("score") + lit(0.0)).as("score"))
   }
 
+  /** n05: two-stage retrieve-then-rerank — the deployment shape that
+    * makes v06's compression usable without its ranking error: a coarse
+    * pass scores EVERY row with the all-integer int8-quantized dot
+    * (v06's exact kernel — at 100 TB this pass scans 1-byte codes, 4×
+    * less IO than fp32, and is TakeOrderedAndProject: only
+    * COARSE_K·partitions rows leave the scan), then only the 100
+    * survivors are re-scored exact fp32 for the final top-10. The
+    * candidate list is a 100-row broadcast, so the rerank join never
+    * shuffles the corpus; at scale the second stage is 100 point reads
+    * against the id-sorted store. Quantization error only costs recall
+    * if a true top-10 vector falls below coarse rank 100 — the spec
+    * pins coarse-to-exact agreement on this corpus. */
+  val n05_quantized_rerank: Q = (s, d) => {
+    val q = VectorQueries.flagshipVec
+    val coarse = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        VectorQueries.quantizedDot(VectorQueries.quantize(q))(col("embedding"))
+          .as("qdot"))
+      .orderBy(col("qdot").desc, col("vec_id").asc)
+      .limit(100)
+      .select(col("vec_id"))
+    Tables.embeddings(s, d)
+      .join(broadcast(coarse), "vec_id")
+      .select(col("vec_id"),
+        round(VectorOps.dotQueryNative(col("embedding"), q), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   def queries: Map[String, Q] = Map(
     "n01_ann_ivf" -> n01_ann_ivf,
     "n02_ann_lsh_topk" -> n02_ann_lsh_topk,
     "n03_ann_batch" -> n03_ann_batch,
-    "n04_ivf_artifact" -> n04_ivf_artifact)
+    "n04_ivf_artifact" -> n04_ivf_artifact,
+    "n05_quantized_rerank" -> n05_quantized_rerank)
 
   def oracleSql: Map[String, String] = {
     val qLit = VectorOps.sqlDoubleArray(VectorQueries.flagshipVec)
@@ -218,6 +248,16 @@ object AnnQueries {
            |                            ORDER BY score DESC, vec_id ASC) AS rn
            |  FROM scored)
            |SELECT qlabel::BIGINT AS qlabel, rn::INT AS rn, vec_id, score
-           |FROM ranked WHERE rn <= 3 ORDER BY qlabel, rn""".stripMargin)
+           |FROM ranked WHERE rn <= 3 ORDER BY qlabel, rn""".stripMargin,
+      "n05_quantized_rerank" ->
+        s"""WITH coarse AS (
+           |  ${VectorQueries.quantizedDotDuck(
+                 VectorQueries.quantize(VectorQueries.flagshipVec))
+                 .replace("\n", "\n  ")}
+           |  ORDER BY qdot DESC, vec_id ASC LIMIT 100)
+           |SELECT e.vec_id,
+           |       round(list_dot_product(e.embedding::DOUBLE[], $qLit), 4) AS score
+           |FROM embeddings e JOIN coarse c ON e.vec_id = c.vec_id
+           |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin)
   }
 }

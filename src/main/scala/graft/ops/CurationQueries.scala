@@ -240,11 +240,66 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** c05 span geometry: fixed 16-word windows; a span is boilerplate
+    * when it appears verbatim in ≥ 3 distinct documents (measured on
+    * this corpus: 7 such spans, max df 5 — the df≥2 tail is 62 spans,
+    * too aggressive for near-dup-heavy data). */
+  private[ops] val SPAN_WORDS = 16
+  private[ops] val SPAN_HOT_DF = 3
+
+  /** Span list of a doc, ONE definition for both c05 stages: consecutive
+    * SPAN_WORDS-word windows of the split text (ragged tail kept). */
+  private def spanExpr(wordsCol: String): String =
+    s"transform(sequence(0, (size($wordsCol) - 1) div $SPAN_WORDS), " +
+      s"i -> array_join(slice($wordsCol, i * $SPAN_WORDS + 1, $SPAN_WORDS), ' '))"
+
+  /** c05: span-level BOILERPLATE REMOVAL (RefinedWeb/CCNet-style line
+    * dedup, adapted to this corpus's newline-free text as fixed 16-word
+    * spans): drop every span whose verbatim content occurs in ≥ 3
+    * distinct documents — headers, navigation, license blurbs — and
+    * rebuild each document from its surviving spans, in order.
+    *
+    * Scale shape, two stages:
+    *  1. hot-span census — the ONLY corpus-wide shuffle, and it carries
+    *     (md5 hash, doc_id) pairs, never span text; partial-distinct
+    *     map-side combine collapses each partition to its distinct
+    *     (hash, doc) set first. The hot SET is tiny by construction
+    *     (ubiquitous content has few distinct values — same argument as
+    *     d02/d04's df caps) and is collected + broadcast as a literal.
+    *  2. rebuild — a pure NARROW map over the scan: each doc filters its
+    *     own span list against the broadcast set. No join, no second
+    *     shuffle; at 100 TB the corpus streams through stage 2 once.
+    * The interpreted HOF lambda here runs per SPAN (~n_words/16 evals
+    * per doc), not per char/word — outside the t03/d04 per-element cost
+    * class that forced compiled UDFs there. */
+  val c05_boilerplate_spans: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+    val hot: Array[String] = docs
+      .selectExpr("doc_id", s"explode(${spanExpr("words")}) AS span")
+      .select(md5(col("span")).as("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= SPAN_HOT_DF)
+      .select(col("h")).collect().map(_.getString(0)).sorted
+    val hotLit = typedlit(hot.toSeq)
+    docs
+      .withColumn("spans", expr(spanExpr("words")))
+      .withColumn("kept",
+        filter(col("spans"), sp => !array_contains(hotLit, md5(sp))))
+      .select(col("doc_id"),
+        size(col("spans")).cast("long").as("n_spans"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "c01_curation_pipeline" -> c01_curation_pipeline,
     "c02_dedup_clusters" -> c02_dedup_clusters,
     "c03_quality_filter" -> c03_quality_filter,
-    "c04_corpus_pipeline" -> c04_corpus_pipeline)
+    "c04_corpus_pipeline" -> c04_corpus_pipeline,
+    "c05_boilerplate_spans" -> c05_boilerplate_spans)
 
   def oracleSql: Map[String, String] = Map(
     "c01_curation_pipeline" ->
@@ -372,5 +427,29 @@ object CurationQueries {
          |  UNION
          |  SELECT e.a, rc.r FROM edges e JOIN reach rc ON rc.node = e.b)
          |SELECT node AS doc_id, min(r)::BIGINT AS cluster_id
-         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "c05_boilerplate_spans" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |spans AS (
+         |  SELECT doc_id, idx,
+         |         array_to_string(
+         |           words[idx * $SPAN_WORDS + 1 : (idx + 1) * $SPAN_WORDS],
+         |           ' ') AS span
+         |  FROM docs,
+         |       LATERAL (SELECT unnest(range(0,
+         |                  (len(words) + ${SPAN_WORDS - 1}) // $SPAN_WORDS)) AS idx)),
+         |hot AS (
+         |  SELECT md5(span) AS h FROM spans
+         |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= $SPAN_HOT_DF),
+         |kept AS (
+         |  SELECT doc_id, idx, span FROM spans
+         |  WHERE md5(span) NOT IN (SELECT h FROM hot))
+         |SELECT d.doc_id,
+         |       (len(d.words) + ${SPAN_WORDS - 1}) // $SPAN_WORDS AS n_spans,
+         |       count(k.span) AS n_kept,
+         |       coalesce(string_agg(k.span, ' ' ORDER BY k.idx), '') AS clean_text
+         |FROM docs d LEFT JOIN kept k USING (doc_id)
+         |GROUP BY d.doc_id, len(d.words)
+         |ORDER BY d.doc_id""".stripMargin)
 }

@@ -288,6 +288,41 @@ object ScaleQueries {
       .orderBy(col("doc_id"), col("epoch"))
   }
 
+  /** s03: broadcast BLOOM-FILTER pre-join — the runtime-filter pattern
+    * for a selective fact⋈dim join when the dim key set is too big to
+    * broadcast as a hash table but its Bloom sketch is not (~1.2
+    * bytes/key at 1% FPP vs 8+ bytes/key + object overhead for a set:
+    * roughly an order of magnitude, the regime where Spark's own
+    * InjectRuntimeFilter picks a bloom over a semi-join subquery). The
+    * fact side is pre-filtered by the broadcast bloom BEFORE its shuffle,
+    * so ~96% of the 100 TB side (1/5 of keys survive + 1% FP) never
+    * enters the exchange; the exact SHUFFLE_HASH semi-join afterwards
+    * removes the false positives, making the result EXACTLY the plain
+    * semi-join the oracle computes — a bloom is a performance hint here,
+    * never a correctness surface. Driver-side build cost is one tiny agg
+    * over dim keys (mergeable sketch, same shape as h01's HLL). */
+  val s03_bloom_prejoin: Q = (s, d) => {
+    val dimKeys = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = dimKeys.stat.bloomFilter("o_orderkey",
+      expectedNumItems = math.max(dimKeys.count(), 1L), fpp = 0.01)
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf { (k: java.lang.Long) =>
+      k != null && bc.value.mightContain(k.longValue)
+    }
+    Tables.lineitem(s, d)
+      .withColumn("cents", expr("CAST(round(l_extendedprice * 100.0D) AS BIGINT)"))
+      .select(col("l_orderkey"), col("l_returnflag"), col("cents"))
+      .filter(mightContain(col("l_orderkey")))
+      .join(dimKeys.hint("SHUFFLE_HASH"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("sum(cents) / 100.0D").as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def queries: Map[String, Q] = Map(
     "r01_rollup" -> r01_rollup,
     "s01_salted_agg" -> s01_salted_agg,
@@ -300,7 +335,8 @@ object ScaleQueries {
     "p03_domain_mix" -> p03_domain_mix,
     "p04_sequence_pack" -> p04_sequence_pack,
     "p05_quality_epochs" -> p05_quality_epochs,
-    "s02_skew_join" -> s02_skew_join)
+    "s02_skew_join" -> s02_skew_join,
+    "s03_bloom_prejoin" -> s03_bloom_prejoin)
 
   def oracleSql: Map[String, String] = Map(
     "r01_rollup" ->
@@ -374,6 +410,13 @@ object ScaleQueries {
         |       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))::BIGINT / 100.0 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "s03_bloom_prejoin" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))::BIGINT / 100.0 AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "p05_quality_epochs" ->
       s"""WITH base AS (
          |  SELECT doc_id, lang,

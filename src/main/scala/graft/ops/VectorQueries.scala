@@ -110,23 +110,40 @@ object VectorQueries {
     * (BIGINT products of int8 codes), so the query has zero float
     * rounding surface; the spec asserts ranking fidelity vs the exact
     * fp32 top-k. */
-  val v06_quantized_topk: Q = (s, d) => {
-    val qq = quantize(flagshipVec)
-    // ONE quantization definition: the row side calls the same quantize()
-    // that produced qq and the oracle literal, so a formula edit cannot
-    // desynchronize the three surfaces
-    val qdotUdf = udf { (v: Seq[Float]) =>
-      if (v == null) null
-      else {
-        val qv = quantize(v.toArray)
-        var sum = 0L; var i = 0
-        val n = math.min(qv.length, qq.length)
-        while (i < n) { sum += qv(i) * qq(i); i += 1 }
-        java.lang.Long.valueOf(sum)
-      }
+  /** Quantized-dot scoring UDF against a pre-quantized query — shared by
+    * v06 and the n05 coarse pass. ONE quantization definition: the row
+    * side calls the same quantize() that produced the query codes and the
+    * oracle literal, so a formula edit cannot desynchronize the surfaces. */
+  private[ops] def quantizedDot(qq: Array[Long]) = udf { (v: Seq[Float]) =>
+    if (v == null) null
+    else {
+      val qv = quantize(v.toArray)
+      var sum = 0L; var i = 0
+      val n = math.min(qv.length, qq.length)
+      while (i < n) { sum += qv(i) * qq(i); i += 1 }
+      java.lang.Long.valueOf(sum)
     }
+  }
+
+  /** The v06/n05 coarse-scoring SQL (DuckDB): per-row int8 quantization +
+    * all-integer dot against the quantized query literal. */
+  private[ops] def quantizedDotDuck(qq: Array[Long]): String =
+    s"""WITH m AS (
+       |  SELECT vec_id, embedding,
+       |         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m
+       |  FROM embeddings)
+       |SELECT vec_id,
+       |  (CASE WHEN m = 0 THEN 0
+       |        ELSE list_sum(list_transform(range(1, len(embedding) + 1),
+       |               i -> floor(embedding[i]::DOUBLE * 127.0 / m + 0.5)::BIGINT
+       |                    * (${qq.mkString("[", ",", "]")}::BIGINT[])[i]))
+       |   END)::BIGINT AS qdot
+       |FROM m""".stripMargin
+
+  val v06_quantized_topk: Q = (s, d) => {
     Tables.embeddings(s, d)
-      .select(col("vec_id"), qdotUdf(col("embedding")).as("qdot"))
+      .select(col("vec_id"),
+        quantizedDot(quantize(flagshipVec))(col("embedding")).as("qdot"))
       .orderBy(col("qdot").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -162,15 +179,6 @@ object VectorQueries {
         |      FROM embeddings)
         |GROUP BY dim ORDER BY dim""".stripMargin,
     "v06_quantized_topk" ->
-      s"""WITH m AS (
-         |  SELECT vec_id, embedding,
-         |         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m
-         |  FROM embeddings)
-         |SELECT vec_id,
-         |  (CASE WHEN m = 0 THEN 0
-         |        ELSE list_sum(list_transform(range(1, len(embedding) + 1),
-         |               i -> floor(embedding[i]::DOUBLE * 127.0 / m + 0.5)::BIGINT
-         |                    * (${quantize(flagshipVec).mkString("[", ",", "]")}::BIGINT[])[i]))
-         |   END)::BIGINT AS qdot
-         |FROM m ORDER BY qdot DESC, vec_id ASC LIMIT 10""".stripMargin)
+      s"""${quantizedDotDuck(quantize(flagshipVec))}
+         |ORDER BY qdot DESC, vec_id ASC LIMIT 10""".stripMargin)
 }

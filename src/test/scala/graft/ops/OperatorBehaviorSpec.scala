@@ -349,4 +349,59 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(exact.intersect(quant).size >= 8,
       s"quantized top-10 overlap ${exact.intersect(quant).size}/10")
   }
+
+  test("n05: coarse-100 + exact rerank returns EXACTLY the exact fp32 " +
+    "top-10, in order (the rerank repairs v06's quantization error)") {
+    val exact = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        VectorOps.dotQueryNative(col("embedding"), VectorQueries.flagshipVec).as("s"))
+      .orderBy(col("s").desc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    val reranked = AnnQueries.n05_quantized_rerank(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(reranked == exact,
+      s"two-stage $reranked diverges from exact $exact — a true top-10 " +
+        "vector fell below coarse rank 100")
+  }
+
+  test("s03: bloom pre-join equals the plain semi-join aggregate " +
+    "(the bloom is a performance hint, never a correctness surface)") {
+    val got = ScaleQueries.s03_bloom_prejoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val urgent = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val direct = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("cents", expr("CAST(round(l_extendedprice * 100.0D) AS BIGINT)"))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"), expr("sum(cents) / 100.0D").as("revenue"))
+      .orderBy(col("l_returnflag")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == direct, s"bloom path $got vs direct $direct")
+  }
+
+  test("c05: clean_text matches an independent in-memory hot-span " +
+    "removal, and span counts are conserved") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def spansOf(t: String): Seq[String] =
+      t.split(" ", -1).toSeq.grouped(CurationQueries.SPAN_WORDS)
+        .map(_.mkString(" ")).toSeq
+    val hot: Set[String] = docs.toSeq
+      .flatMap { case (id, t) => spansOf(t).distinct.map(_ -> id) }
+      .groupBy(_._1).collect {
+        case (sp, xs) if xs.map(_._2).distinct.size >= CurationQueries.SPAN_HOT_DF => sp
+      }.toSet
+    val rows = CurationQueries.c05_boilerplate_spans(spark, sf).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val spans = spansOf(docs(r.getLong(0)))
+      val kept = spans.filterNot(hot)
+      assert(r.getLong(1) == spans.size && r.getLong(2) == kept.size,
+        s"doc ${r.getLong(0)}: counts (${r.getLong(1)},${r.getLong(2)}) " +
+          s"vs recompute (${spans.size},${kept.size})")
+      assert(r.getString(3) == kept.mkString(" "), s"doc ${r.getLong(0)} text")
+    }
+  }
 }

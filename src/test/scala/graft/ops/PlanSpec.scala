@@ -161,4 +161,36 @@ class PlanSpec extends SparkSpec {
     val p = planOf(VectorQueries.v01_search_topk)
     assert(p.contains("*(1) Project"), p)
   }
+
+  test("s03 bloom pre-join: fact is UDF-filtered below the exchange and " +
+    "the exact semi-join is shuffled-hash (the 100 TB dim regime), not SMJ") {
+    val p = planOf(ScaleQueries.s03_bloom_prejoin)
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the bloom probe is a plain Filter over the scan — BEFORE any
+    // exchange, so false-negatives-free pruning cuts the shuffle volume
+    val filterLine = p.linesIterator.indexWhere(l =>
+      l.contains("Filter") && l.contains("UDF"))
+    val exchangeLine = p.linesIterator.indexWhere(_.contains("Exchange hashpartitioning(l_orderkey"))
+    assert(filterLine >= 0, s"no UDF filter in plan:\n$p")
+    assert(exchangeLine >= 0 && filterLine > exchangeLine,
+      s"bloom filter (line $filterLine) must sit under the fact exchange " +
+        s"(line $exchangeLine) in the plan tree:\n$p")
+  }
+
+  test("n05 rerank: coarse pass is TakeOrderedAndProject, candidate " +
+    "re-join broadcasts the 100-row list — the corpus never shuffles") {
+    val p = planOf(AnnQueries.n05_quantized_rerank)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("c05 rebuild stage: pure narrow map over the scan — the only " +
+    "exchange is the final presentation sort, no join re-enters the corpus") {
+    val p = planOf(CurationQueries.c05_boilerplate_spans)
+    assert(!p.contains("Join"), s"stage 2 must not join:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1 && p.contains("rangepartitioning"),
+      s"only the orderBy exchange may appear:\n$p")
+  }
 }
