@@ -241,11 +241,19 @@ object CurationQueries {
   }
 
   /** c05 span geometry: fixed 16-word windows; a span is boilerplate
-    * when it appears verbatim in ≥ 3 distinct documents (measured on
-    * this corpus: 7 such spans, max df 5 — the df≥2 tail is 62 spans,
-    * too aggressive for near-dup-heavy data). */
+    * when it appears verbatim in ≥ 3 distinct documents (census at
+    * sf0.01: 7 spans at df≥3, max df 5; the df=2 tail alone is 62
+    * spans — too aggressive for near-dup-heavy data). */
   private[ops] val SPAN_WORDS = 16
   private[ops] val SPAN_HOT_DF = 3
+
+  /** Upper bound on the collected hot-span hash set (~32 MB of hex
+    * strings): "ubiquitous content has few distinct values" is a
+    * heuristic, not a law, so refuse loudly — like d05's guard — rather
+    * than silently OOM the driver on a template-explosion corpus. Past
+    * this bound, rewrite stage 2 as a broadcast-join against the hot
+    * table (d02/d04's hot-set anti-join shape) instead of a collect. */
+  private val SPAN_HOT_MAX = 1000000
 
   /** Span list of a doc, ONE definition for both c05 stages: consecutive
     * SPAN_WORDS-word windows of the split text (ragged tail kept). */
@@ -267,11 +275,11 @@ object CurationQueries {
     *     (ubiquitous content has few distinct values — same argument as
     *     d02/d04's df caps) and is collected + broadcast as a literal.
     *  2. rebuild — a pure NARROW map over the scan: each doc filters its
-    *     own span list against the broadcast set. No join, no second
-    *     shuffle; at 100 TB the corpus streams through stage 2 once.
-    * The interpreted HOF lambda here runs per SPAN (~n_words/16 evals
-    * per doc), not per char/word — outside the t03/d04 per-element cost
-    * class that forced compiled UDFs there. */
+    *     own span list against the broadcast hash SET (a compiled UDF
+    *     with O(1) set probes per span — a plan-literal array would cost
+    *     O(|hot|) per span and bloat every task's plan copy). No join,
+    *     no second shuffle; at 100 TB the corpus streams through stage 2
+    *     once. */
   val c05_boilerplate_spans: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .withColumn("words", split(col("text"), " "))
@@ -281,12 +289,22 @@ object CurationQueries {
       .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= SPAN_HOT_DF)
-      .select(col("h")).collect().map(_.getString(0)).sorted
-    val hotLit = typedlit(hot.toSeq)
+      .select(col("h")).collect().map(_.getString(0))
+    require(hot.length <= SPAN_HOT_MAX,
+      s"c05 hot-span set ${hot.length} exceeds $SPAN_HOT_MAX — use the " +
+        "broadcast-join variant for template-explosion corpora")
+    val bcHot = s.sparkContext.broadcast(hot.toSet)
+    val keepSpans = udf { (spans: Seq[String]) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      spans.filter { sp =>
+        val h = md.digest(sp.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString // digest() resets md for the next span
+        !bcHot.value.contains(h)
+      }
+    }
     docs
       .withColumn("spans", expr(spanExpr("words")))
-      .withColumn("kept",
-        filter(col("spans"), sp => !array_contains(hotLit, md5(sp))))
+      .withColumn("kept", keepSpans(col("spans")))
       .select(col("doc_id"),
         size(col("spans")).cast("long").as("n_spans"),
         size(col("kept")).cast("long").as("n_kept"),

@@ -299,14 +299,20 @@ object ScaleQueries {
     * enters the exchange; the exact SHUFFLE_HASH semi-join afterwards
     * removes the false positives, making the result EXACTLY the plain
     * semi-join the oracle computes — a bloom is a performance hint here,
-    * never a correctness surface. Driver-side build cost is one tiny agg
-    * over dim keys (mergeable sketch, same shape as h01's HLL). */
+    * never a correctness surface. Driver-side build cost is ONE tiny agg
+    * over dim keys (mergeable sketch, same shape as h01's HLL): the
+    * sketch is sized from a fixed capacity constant, not a count() —
+    * a counting pre-pass would double the build cost, and overestimating
+    * only buys a lower FPP (in production, size from catalog/table
+    * stats, never a scan). */
   val s03_bloom_prejoin: Q = (s, d) => {
     val dimKeys = Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
+    // 4M capacity ≈ 4.7 MB at 1% FPP — broadcast-cheap and ≥ the urgent
+    // key count at every test sf
     val bloom = dimKeys.stat.bloomFilter("o_orderkey",
-      expectedNumItems = math.max(dimKeys.count(), 1L), fpp = 0.01)
+      expectedNumItems = 4L * 1024 * 1024, fpp = 0.01)
     val bc = s.sparkContext.broadcast(bloom)
     val mightContain = udf { (k: java.lang.Long) =>
       k != null && bc.value.mightContain(k.longValue)
