@@ -148,12 +148,46 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** v07: per-DIMENSION calibration statistics — mean, std, range, and
+    * the per-channel int8 scale (absmax/127) for every embedding
+    * dimension. v06 quantizes per-vector; production int8 deployments
+    * calibrate per-channel from exactly these statistics, and mean/std
+    * also feed whitening and drift monitoring. Determinism discipline:
+    * values are fixed to integer MICRO-units via floor(x·10⁶ + 0.5)
+    * (floor, not round — v06's repr-tie rationale), summed exactly in
+    * BIGINT (|mi| ≤ 2·10⁶, mi² ≤ 4·10¹²: safe past 10⁶ rows/dim; at
+    * 100 TB widen to DECIMAL(38) partials), and only then divided as
+    * doubles — both engines perform the IDENTICAL IEEE operations on
+    * identical integers, so no rounding surface exists at all. Shape:
+    * posexplode → one (dim)-keyed agg with map-side partial combine
+    * (shuffle ≤ 32·d rows), same as v04. */
+  val v07_dim_calibration: Q = (s, d) => {
+    import s.implicits._
+    val meanExpr = "sum(mi) / (count(1) * 1000000.0D)"
+    Tables.embeddings(s, d)
+      .select(posexplode($"embedding").as(Seq("pos", "x")))
+      .selectExpr("pos",
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT) AS mi",
+        "CAST(x AS DOUBLE) AS xd")
+      .groupBy($"pos".cast("long").as("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr(meanExpr).as("mean"),
+        expr(s"sqrt(greatest(sum(mi * mi) / (count(1) * 1000000000000.0D) " +
+          s"- ($meanExpr) * ($meanExpr), 0.0D))").as("std"),
+        (round(min($"xd"), 4) + lit(0.0)).as("lo"),
+        (round(max($"xd"), 4) + lit(0.0)).as("hi"),
+        expr("greatest(abs(min(xd)), abs(max(xd))) / 127.0D").as("scale"))
+      .orderBy($"dim")
+  }
+
   def queries: Map[String, Q] = Map(
     "v01_search_topk" -> v01_search_topk,
     "v02_search_top1000" -> v02_search_top1000,
     "v03_blob_roundtrip" -> v03_blob_roundtrip,
     "v04_vector_stats" -> v04_vector_stats,
-    "v06_quantized_topk" -> v06_quantized_topk)
+    "v06_quantized_topk" -> v06_quantized_topk,
+    "v07_dim_calibration" -> v07_dim_calibration)
 
   def oracleSql: Map[String, String] = Map(
     "v01_search_topk" ->
@@ -180,5 +214,22 @@ object VectorQueries {
         |GROUP BY dim ORDER BY dim""".stripMargin,
     "v06_quantized_topk" ->
       s"""${quantizedDotDuck(quantize(flagshipVec))}
-         |ORDER BY qdot DESC, vec_id ASC LIMIT 10""".stripMargin)
+         |ORDER BY qdot DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "v07_dim_calibration" ->
+      """WITH e AS (
+        |  SELECT i - 1 AS dim,
+        |         CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS mi,
+        |         x::DOUBLE AS xd
+        |  FROM (SELECT unnest(embedding) AS x,
+        |               unnest(range(1, len(embedding)+1)) AS i
+        |        FROM embeddings))
+        |SELECT dim, count(*) AS n,
+        |  sum(mi)::BIGINT / (count(*) * 1000000.0) AS mean,
+        |  sqrt(greatest(sum(mi * mi)::BIGINT / (count(*) * 1000000000000.0)
+        |    - (sum(mi)::BIGINT / (count(*) * 1000000.0))
+        |      * (sum(mi)::BIGINT / (count(*) * 1000000.0)), 0.0)) AS std,
+        |  round(min(xd), 4) + 0.0 AS lo,
+        |  round(max(xd), 4) + 0.0 AS hi,
+        |  greatest(abs(min(xd)), abs(max(xd))) / 127.0 AS scale
+        |FROM e GROUP BY dim ORDER BY dim""".stripMargin)
 }

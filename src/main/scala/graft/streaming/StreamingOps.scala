@@ -89,6 +89,35 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("digest")
       .select(col("doc_id"), col("lang"), col("quality"), col("n_words"))
 
+  /** Dedup an arriving document stream against a STATIC historical
+    * corpus (s03's bloom-pre-join pattern lifted into streaming): joining
+    * every micro-batch against 100 TB of history is untenable, so a
+    * Bloom sketch of the historical content digests (built ONCE, ~1.2
+    * bytes/key at 1% FPP, broadcast to every executor) splits each batch
+    * into definitely-new rows — a bloom negative is authoritative, they
+    * pass through with zero history IO — and the ~dup%+1% suspects,
+    * which alone run the exact stream-static anti-join (now a thin
+    * digest-keyed probe instead of a full-batch join every trigger).
+    * ONE digest definition (sha2-256 of text) on all three surfaces:
+    * history, stream, and the within-stream dedup ops above. Works
+    * unchanged on a batch DataFrame — the stream/batch twin discipline
+    * of the rest of this file. */
+  def historyGuardedDedup(docs: DataFrame, history: DataFrame,
+      expectedKeys: Long = 4L * 1024 * 1024): DataFrame = {
+    val spark = history.sparkSession
+    val hist = history.select(sha2(col("text"), 256).as("digest"))
+    val bloom = hist.stat.bloomFilter("digest", expectedKeys, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightBeDup = udf { (dg: String) =>
+      dg != null && bc.value.mightContainString(dg)
+    }
+    val staged = docs.withColumn("digest", sha2(col("text"), 256))
+    val fresh = staged.filter(!mightBeDup(col("digest")))
+    val suspects = staged.filter(mightBeDup(col("digest")))
+      .join(hist, Seq("digest"), "left_anti")
+    fresh.unionByName(suspects).drop("digest")
+  }
+
   /** Watermarked event-time windowed aggregation: events per (1-hour
     * tumbling window, type); late data beyond 2 h dropped, state pruned. */
   def hourlyCounts(events: DataFrame): DataFrame =

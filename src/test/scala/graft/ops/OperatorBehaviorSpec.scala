@@ -380,6 +380,30 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(got == direct, s"bloom path $got vs direct $direct")
   }
 
+  test("v07: per-dimension mean/std/scale match an independent " +
+    "micro-unit recompute exactly (no float-accumulation surface)") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dims = vecs.head.length
+    val rows = VectorQueries.v07_dim_calibration(spark, sf).collect()
+    assert(rows.length == dims)
+    rows.foreach { r =>
+      val dim = r.getLong(0).toInt
+      val xs = vecs.map(_(dim).toDouble)
+      val mi = xs.map(x => math.floor(x * 1e6 + 0.5).toLong)
+      val n = mi.length
+      val mean = mi.sum / (n * 1e6)
+      val std = math.sqrt(math.max(
+        mi.map(m => m * m).sum / (n * 1e12) - mean * mean, 0.0))
+      val scale = math.max(math.abs(xs.min), math.abs(xs.max)) / 127.0
+      assert(r.getLong(1) == n)
+      assert(r.getDouble(2) == mean, s"dim $dim mean")
+      assert(r.getDouble(3) == std, s"dim $dim std")
+      assert(math.abs(r.getDouble(6) - scale) < 1e-15, s"dim $dim scale")
+    }
+  }
+
   test("c05: clean_text matches an independent in-memory hot-span " +
     "removal, and span counts are conserved") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")

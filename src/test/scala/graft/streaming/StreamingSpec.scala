@@ -77,6 +77,38 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("history-guarded dedup: bloom + exact anti-join drops exactly " +
+    "the docs already in the static history, stream == batch") {
+    // history = first 300 docs; stream = all 500 (300 dups + 200 new).
+    // A deliberately tiny bloom capacity forces real false positives
+    // through the suspect path, so the exact anti-join's FP repair is
+    // exercised, not just the fast pass-through.
+    val all = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text")
+    val history = all.filter(col("doc_id") < 300)
+    val dir = Files.createTempDirectory("hist-dedup").toString
+    all.write.parquet(s"$dir/in")
+
+    val streamIn = spark.readStream.schema(all.schema).parquet(s"$dir/in")
+    val q = StreamingOps.historyGuardedDedup(streamIn, history, expectedKeys = 8)
+      .writeStream.format("memory").queryName("hist_dedup")
+      .outputMode("append").start()
+    q.processAllAvailable()
+
+    val streamed = spark.table("hist_dedup").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val batch = StreamingOps.historyGuardedDedup(all, history, expectedKeys = 8)
+      .select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq // same code path, batch df
+    val expected = all.join(history.select("text"), Seq("text"), "left_anti")
+      .select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(expected.nonEmpty && expected.forall(_ >= 300))
+    assert(streamed == expected, s"stream got ${streamed.size} rows")
+    assert(batch == expected)
+    q.stop()
+  }
+
   test("streaming curation: quality floor + digest dedup within watermark") {
     import spark.implicits._
     implicit val s = spark
