@@ -173,6 +173,29 @@ object EventQueries {
       .orderBy(col("cohort_wk"), col("week_offset"))
   }
 
+  /** e10: RANGE-frame sliding window — each event's count and exact
+    * micro-unit value sum over the trailing hour OF THE SAME USER (burst
+    * / rate-limit analytics). A range frame on event-time is a window
+    * shape none of e01–e09 exercise: the frame is bound by VALUE
+    * distance (epoch seconds), not row offsets, so ties and gaps are
+    * handled by time arithmetic, not position. One (user_id)-keyed
+    * shuffle + sort; at 100 TB sub-shard hot users by a coarse time
+    * bucket first (p04's salting discipline). Frame math is all-BIGINT
+    * epoch seconds — no interval/timezone surface to diverge on. */
+  val e10_sliding_window: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("es"))
+      .rangeBetween(-3599L, 0L)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT)").as("es"),
+        expr("CAST(round(value * 1000000.0D) AS BIGINT)").as("micro"))
+      .withColumn("n_hour", count(lit(1)).over(w))
+      .withColumn("sum_hour", sum(col("micro")).over(w) / lit(1000000.0))
+      .select(col("event_id"), col("user_id"), col("n_hour"), col("sum_hour"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "e01_sessionize" -> e01_sessionize,
     "e02_json_props" -> e02_json_props,
@@ -182,9 +205,19 @@ object EventQueries {
     "e06_set_except" -> e06_set_except,
     "e07_asof_join" -> e07_asof_join,
     "e08_funnel" -> e08_funnel,
-    "e09_cohort_retention" -> e09_cohort_retention)
+    "e09_cohort_retention" -> e09_cohort_retention,
+    "e10_sliding_window" -> e10_sliding_window)
 
   def oracleSql: Map[String, String] = Map(
+    "e10_sliding_window" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_hour,
+        |  (sum(CAST(round(value * 1000000.0) AS BIGINT)) OVER w)::BIGINT / 1000000.0 AS sum_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY floor(epoch(ts))::BIGINT
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "e01_sessionize" ->
       """WITH ordered AS (
         |  SELECT user_id,

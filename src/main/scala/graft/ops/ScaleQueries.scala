@@ -329,6 +329,32 @@ object ScaleQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** p06: reproducible GLOBAL SHUFFLE ORDER — the deterministic "random"
+    * training order a data loader consumes: every (doc, epoch) gets a
+    * pseudo-random sort key from a two-round multiply-mix of (doc_id,
+    * epoch), and the corpus is emitted in key order. Unlike
+    * `orderBy(rand(seed))`, the key is a pure function of the row — the
+    * order survives partitioning changes, retries, engines, and resume-
+    * from-step-N. Shape at scale: ONE range-partitioned sort; because the
+    * key is uniform the ranges balance perfectly, and a loader can
+    * instead SORT WITHIN partitions after hash-distributing on the key
+    * (zero global sort) when only per-shard order matters. All
+    * arithmetic stays < 2⁶³ by construction: the inner residue is
+    * < 2³¹ (mod 2³¹−1), so the second product is < 2³¹·2246822519
+    * ≈ 4.8·10¹⁸ — inside signed BIGINT on both engines at ANY id
+    * range (DuckDB would raise on overflow, Spark would wrap
+    * silently; the bound makes both moot). */
+  val p06_shuffle_order: Q = (s, d) => {
+    val keyExpr =
+      """pmod(pmod(doc_id * 2654435761 + epoch * 40503, 2147483647)
+        |     * 2246822519 + 1013904223, 2147483647)""".stripMargin
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .withColumn("epoch", explode(sequence(lit(1), lit(2))))
+      .selectExpr("doc_id", "epoch", s"$keyExpr AS shuffle_key")
+      .orderBy(col("shuffle_key"), col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "r01_rollup" -> r01_rollup,
     "s01_salted_agg" -> s01_salted_agg,
@@ -342,7 +368,8 @@ object ScaleQueries {
     "p04_sequence_pack" -> p04_sequence_pack,
     "p05_quality_epochs" -> p05_quality_epochs,
     "s02_skew_join" -> s02_skew_join,
-    "s03_bloom_prejoin" -> s03_bloom_prejoin)
+    "s03_bloom_prejoin" -> s03_bloom_prejoin,
+    "p06_shuffle_order" -> p06_shuffle_order)
 
   def oracleSql: Map[String, String] = Map(
     "r01_rollup" ->
@@ -416,6 +443,12 @@ object ScaleQueries {
         |       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))::BIGINT / 100.0 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "p06_shuffle_order" ->
+      """SELECT doc_id, epoch,
+        |       ((doc_id * 2654435761 + epoch * 40503) % 2147483647
+        |        * 2246822519 + 1013904223) % 2147483647 AS shuffle_key
+        |FROM documents, LATERAL (SELECT unnest([1, 2]) AS epoch)
+        |ORDER BY shuffle_key, doc_id""".stripMargin,
     "s03_bloom_prejoin" ->
       """SELECT l_returnflag, count(*) AS n_lines,
         |       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))::BIGINT / 100.0 AS revenue
