@@ -57,4 +57,57 @@ class CompactionSpec extends SparkSpec {
       .select(col("doc_id")).collect().map(_.getLong(0)).sorted
     assert(got.sameElements(want))
   }
+
+  test("z-order compaction: BOTH clustered columns prune files; a " +
+    "linear sort prunes only its own sort key") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-zorder"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    // 4096-point uniform (a, b) grid, written scattered
+    spark.range(4096)
+      .selectExpr("id", "CAST(id % 64 AS DOUBLE) AS a", "CAST(id DIV 64 AS DOUBLE) AS b")
+      .orderBy(hash(col("id")))
+      .repartition(16)
+      .write.parquet(s"$base/in")
+    val inBytes = new java.io.File(s"$base/in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val target = inBytes / 16 + 1 // ~16 output files
+
+    val zStats = Compaction.compactZOrder(spark, s"$base/in", s"$base/z",
+      Seq("a", "b"), targetBytes = target, buckets = 64)
+    Compaction.compact(spark, s"$base/in", s"$base/lin", "a",
+      targetBytes = target)
+    assert(zStats.rows == 4096)
+
+    // fraction of files whose [min,max] overlaps a 1/8-width slice of
+    // the given column — what parquet footer pruning would keep
+    def overlapFrac(dir: String, c: String, lo: Double, hi: Double): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq
+      val n = files.count { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(c)), max(col(c))).collect()(0)
+        r.getDouble(0) <= hi && r.getDouble(1) >= lo
+      }
+      n.toDouble / files.size
+    }
+    // z-order: a thin slice of EITHER dimension touches a minority of
+    // files (Z-curve locality: ~sqrt(N) of N files for 2 dims)
+    assert(overlapFrac(s"$base/z", "a", 0, 7) <= 0.5,
+      "z-order must prune on column a")
+    assert(overlapFrac(s"$base/z", "b", 0, 7) <= 0.5,
+      "z-order must prune on column b")
+    // linear sort: its own key prunes hard, the other key not at all
+    assert(overlapFrac(s"$base/lin", "a", 0, 7) <= 0.3)
+    assert(overlapFrac(s"$base/lin", "b", 0, 7) >= 0.8,
+      "a linear sort should NOT prune the unsorted column (the gap " +
+        "z-order closes)")
+    // round-trip integrity
+    val got = spark.read.parquet(s"$base/z").select(col("id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (0L until 4096L).toSeq)
+  }
 }
