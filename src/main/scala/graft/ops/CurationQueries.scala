@@ -247,13 +247,40 @@ object CurationQueries {
   private[ops] val SPAN_WORDS = 16
   private[ops] val SPAN_HOT_DF = 3
 
-  /** Upper bound on the collected hot-span hash set (~32 MB of hex
-    * strings): "ubiquitous content has few distinct values" is a
-    * heuristic, not a law, so refuse loudly — like d05's guard — rather
-    * than silently OOM the driver on a template-explosion corpus. Past
-    * this bound, rewrite stage 2 as a broadcast-join against the hot
-    * table (d02/d04's hot-set anti-join shape) instead of a collect. */
+  /** Upper bound on the collected hot-span hash set (~100 MB as JVM
+    * String-set entries): "ubiquitous content has few distinct values"
+    * is a heuristic, not a law, so refuse loudly — like d05's guard —
+    * rather than silently OOM the driver on a template-explosion
+    * corpus. Enforced by LIMITing the collect itself, so the driver
+    * never materializes more than the bound no matter the census size.
+    * Past this bound, rewrite stage 2 as a broadcast-join against the
+    * hot table (d02/d04's hot-set anti-join shape). */
   private val SPAN_HOT_MAX = 1000000
+
+  private val HEX_CHARS = "0123456789abcdef".toCharArray
+  // one MessageDigest per executor thread: getInstance per ROW is a
+  // provider lookup + allocation on the hot path (object is per-JVM
+  // static, so the UDF closure serializes a reference, not the pool)
+  private val md5Pool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Lowercase-hex MD5 matching Spark's and DuckDB's `md5()` exactly;
+    * table-lookup formatting (a per-byte f"%02x" is 16 format-spec
+    * parses per span). */
+  private[ops] def md5Hex(s: String): String = {
+    val d = md5Pool.get() // digest() below leaves it reset for the next call
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HEX_CHARS((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX_CHARS(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   /** Span list of a doc, ONE definition for both c05 stages: consecutive
     * SPAN_WORDS-word windows of the split text (ragged tail kept). */
@@ -289,18 +316,14 @@ object CurationQueries {
       .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= SPAN_HOT_DF)
-      .select(col("h")).collect().map(_.getString(0))
+      .select(col("h")).limit(SPAN_HOT_MAX + 1).collect().map(_.getString(0))
     require(hot.length <= SPAN_HOT_MAX,
-      s"c05 hot-span set ${hot.length} exceeds $SPAN_HOT_MAX — use the " +
+      s"c05 hot-span set exceeds $SPAN_HOT_MAX — use the " +
         "broadcast-join variant for template-explosion corpora")
     val bcHot = s.sparkContext.broadcast(hot.toSet)
     val keepSpans = udf { (spans: Seq[String]) =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      spans.filter { sp =>
-        val h = md.digest(sp.getBytes("UTF-8"))
-          .map(b => f"$b%02x").mkString // digest() resets md for the next span
-        !bcHot.value.contains(h)
-      }
+      if (spans == null) null // null text → null spans, like the HOF form
+      else spans.filter(sp => !bcHot.value.contains(md5Hex(sp)))
     }
     docs
       .withColumn("spans", expr(spanExpr("words")))

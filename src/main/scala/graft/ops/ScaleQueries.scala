@@ -309,10 +309,18 @@ object ScaleQueries {
     val dimKeys = Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    // 4M capacity ≈ 4.7 MB at 1% FPP — broadcast-cheap and ≥ the urgent
-    // key count at every test sf
+    // 4M capacity ≈ 4.7 MB at 1% FPP — broadcast-cheap, and ≥ the urgent
+    // key count up to sf ≈ 13 (≈ 300k urgent keys per sf unit). Past
+    // capacity a bloom SATURATES silently: correctness is untouched (the
+    // exact join removes FPs) but every fact row passes and the
+    // pre-filter is a pure cost. expectedFpp() reads the observed bit
+    // saturation, making the degradation loud instead of silent — on
+    // saturation, raise the capacity (size from catalog stats).
     val bloom = dimKeys.stat.bloomFilter("o_orderkey",
       expectedNumItems = 4L * 1024 * 1024, fpp = 0.01)
+    require(bloom.expectedFpp() < 0.1,
+      f"s03 bloom saturated (observed FPP ${bloom.expectedFpp()}%.2f): " +
+        "capacity is undersized for this dim key count")
     val bc = s.sparkContext.broadcast(bloom)
     val mightContain = udf { (k: java.lang.Long) =>
       k != null && bc.value.mightContain(k.longValue)
