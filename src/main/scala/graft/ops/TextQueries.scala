@@ -61,18 +61,25 @@ object TextQueries {
   /** Shared curation floor (c01 + streaming twin). */
   private[graft] val QUALITY_FLOOR: String = "0.6"
 
-  /** t01: language identification by stopword-marker hits; argmax with a
-    * fixed language-priority tiebreak, expressed as a CASE chain so both
-    * engines break ties identically. */
-  val t01_lang_id: Q = (s, d) => {
-    val score = markers.map { case (l, ws) => s"${hitExpr(ws)} AS s_$l" }
+  /** Language-ID building blocks, shared by t01 and the fused t08 (and
+    * mirrored into both oracles): per-language marker-hit columns and
+    * the argmax CASE chain with a fixed language-priority tiebreak, so
+    * both engines break ties identically. */
+  private[ops] def scoreCols(hit: Seq[String] => String): Seq[String] =
+    markers.map { case (l, ws) => s"${hit(ws)} AS s_$l" }
+  private[ops] val langCaseChain: String = {
     val langs = markers.map(_._1)
-    val caseChain = langs.map { l =>
+    langs.map { l =>
       val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
       s"WHEN $geAll THEN '$l'"
     }.mkString("CASE ", " ", " END")
+  }
+
+  /** t01: language identification by stopword-marker hits. */
+  val t01_lang_id: Q = (s, d) => {
+    val caseChain = langCaseChain
     Tables.documents(s, d)
-      .selectExpr(Seq("doc_id", "lang") ++ score: _*)
+      .selectExpr(Seq("doc_id", "lang") ++ scoreCols(hitExpr): _*)
       .selectExpr("doc_id", "lang", "s_en", "s_de", "s_es", "s_fr", "s_zh",
         s"$caseChain AS predicted")
       .orderBy(col("doc_id"))
@@ -183,6 +190,32 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t08: FUSED per-document profile — language, quality, word/BPE
+    * token counts, and the rolling-hash fingerprint in ONE narrow pass.
+    * t01–t04 exist as separately-oracled operators; a real 100 TB
+    * profiling job must not pay one corpus scan per column, so this is
+    * the production form: every profile expression rides the same scan,
+    * the plan is a single WholeStageCodegen projection (+ the two
+    * compiled UDFs), and there is no shuffle at any scale. The oracle
+    * re-derives all five surfaces in one statement, proving the fusion
+    * changes nothing semantically. */
+  val t08_profile: Q = (s, d) => {
+    Tables.documents(s, d)
+      .selectExpr(Seq("doc_id", "text",
+        "size(split(text, ' ')) AS n_words",
+        s"${hitExpr(markers.head._2)} AS sw_hits",
+        "size(array_distinct(split(text, ' '))) AS n_distinct") ++
+        scoreCols(hitExpr): _*)
+      .selectExpr("doc_id", "text", "n_words",
+        s"$langCaseChain AS predicted",
+        s"$qualityExpr AS quality")
+      .select(col("doc_id"), col("predicted"), col("quality"),
+        col("n_words"),
+        bpeUdf(col("text")).as("bpe_tokens"),
+        fpUdf(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t05: salient terms — top-3 terms per document ranked by
     * (tf DESC, df ASC, term ASC): highest in-document frequency, rarest
     * corpus-wide on ties. Rank-equivalent to tf-idf for the dominant
@@ -290,16 +323,12 @@ object TextQueries {
     "t04_fingerprint" -> t04_fingerprint,
     "t05_salient_terms" -> t05_salient_terms,
     "t06_repetition" -> t06_repetition,
-    "t07_vocab_coverage" -> t07_vocab_coverage)
+    "t07_vocab_coverage" -> t07_vocab_coverage,
+    "t08_profile" -> t08_profile)
 
   def oracleSql: Map[String, String] = {
-    val langs = markers.map(_._1)
-    val duckScore = markers.map { case (l, ws) => s"${duckHitExpr(ws)} AS s_$l" }
-      .mkString(",\n        ")
-    val caseChain = langs.map { l =>
-      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
-      s"WHEN $geAll THEN '$l'"
-    }.mkString("CASE ", " ", " END")
+    val duckScore = scoreCols(duckHitExpr).mkString(",\n        ")
+    val caseChain = langCaseChain
     val pows = (0 to 7).map(k => math.pow(31, k).toLong).reverse
     val winHash = (1 to 8).zip(pows)
       .map { case (j, pw) => s"unicode(substr(text, i + ${j - 1}, 1))::BIGINT * $pw" }
@@ -379,6 +408,25 @@ object TextQueries {
           |SELECT rk::INT AS rk, term, tf,
           |       ((2 * 10000 * cum_tf + total) // (2 * total)) / 10000.0 AS coverage
           |FROM r WHERE rk <= 30 ORDER BY rk""".stripMargin,
+      "t08_profile" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, text,
+           |         len(string_split(text, ' ')) AS n_words,
+           |         ${duckHitExpr(markers.head._2)} AS sw_hits,
+           |         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           |        $duckScore
+           |  FROM documents)
+           |SELECT doc_id,
+           |       $caseChain AS predicted,
+           |       $qualityExprDuck AS quality,
+           |       n_words::INT AS n_words,
+           |       list_sum(list_transform(string_split(text, ' '),
+           |         w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))::BIGINT AS bpe_tokens,
+           |       CASE WHEN length(text) >= 8 THEN
+           |         (list_sum(list_transform(range(1, length(text) - 6),
+           |            i -> ($winHash) % 1000000007)) % 1000000007)::BIGINT
+           |       ELSE 0 END AS fingerprint
+           |FROM base ORDER BY doc_id""".stripMargin,
       "t05_salient_terms" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
