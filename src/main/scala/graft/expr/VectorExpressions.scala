@@ -141,6 +141,73 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** int8-QUANTIZED dot against pre-quantized query codes — the v06/n05
+    * coarse kernel as a native expression: per-row symmetric
+    * quantization (m = max|xᵢ|, code = floor(xᵢ·127/m + 0.5)) FUSED with
+    * the all-integer dot in one generated loop, so the compression
+    * path's scan stays inside WholeStageCodegen like the fp32 path
+    * (vec_dot). Arithmetic is bit-identical to
+    * `ops.VectorQueries.quantize` — floor, not round, for the repr-tie
+    * rationale documented there — so the DuckDB oracles are unchanged. */
+  case class VecQDot(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "vec_qdot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val q = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      var m = 0.0
+      var i = 0
+      while (i < n) {
+        val v = math.abs(x.getFloat(i).toDouble); if (v > m) m = v; i += 1
+      }
+      if (m == 0.0) 0L
+      else {
+        val k = math.min(n, q.numElements())
+        var s = 0L
+        i = 0
+        while (i < k) {
+          s += math.floor(x.getFloat(i).toDouble * 127.0 / m + 0.5).toLong *
+            q.getLong(i)
+          i += 1
+        }
+        s
+      }
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val m = ctx.freshName("m")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val k = ctx.freshName("k"); val s = ctx.freshName("s")
+        val v = ctx.freshName("v")
+        s"""int $n = $a.numElements();
+           |double $m = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $v = java.lang.Math.abs((double) $a.getFloat($i));
+           |  if ($v > $m) $m = $v;
+           |}
+           |long $s = 0L;
+           |if ($m != 0.0) {
+           |  int $k = java.lang.Math.min($n, $b.numElements());
+           |  for (int $j = 0; $j < $k; $j++) {
+           |    $s += (long) java.lang.Math.floor(
+           |            (double) $a.getFloat($j) * 127.0 / $m + 0.5)
+           |          * $b.getLong($j);
+           |  }
+           |}
+           |${ev.value} = $s;""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** S1 BLOB variant (VERDICT r01 missing #1): the reference stores
     * embeddings as a BLOB of dim little-endian float32 words, decoded at
     * scan (`rclip_server.py:215`; schema `index_wikimedia.py:64`).
@@ -205,7 +272,10 @@ object VectorExpressions {
       arity("vec_decode", 1)(args => VecDecode(args(0)))),
     (FunctionIdentifier("vec_encode"),
       new ExpressionInfo(classOf[VecEncode].getName, "vec_encode"),
-      arity("vec_encode", 1)(args => VecEncode(args(0)))))
+      arity("vec_encode", 1)(args => VecEncode(args(0)))),
+    (FunctionIdentifier("vec_qdot"),
+      new ExpressionInfo(classOf[VecQDot].getName, "vec_qdot"),
+      arity("vec_qdot", 2)(args => VecQDot(args(0), args(1)))))
 }
 
 /** Static helpers for the blob codec — a top-level object so scalac emits

@@ -110,20 +110,14 @@ object VectorQueries {
     * (BIGINT products of int8 codes), so the query has zero float
     * rounding surface; the spec asserts ranking fidelity vs the exact
     * fp32 top-k. */
-  /** Quantized-dot scoring UDF against a pre-quantized query — shared by
-    * v06 and the n05 coarse pass. ONE quantization definition: the row
-    * side calls the same quantize() that produced the query codes and the
-    * oracle literal, so a formula edit cannot desynchronize the surfaces. */
-  private[ops] def quantizedDot(qq: Array[Long]) = udf { (v: Seq[Float]) =>
-    if (v == null) null
-    else {
-      val qv = quantize(v.toArray)
-      var sum = 0L; var i = 0
-      val n = math.min(qv.length, qq.length)
-      while (i < n) { sum += qv(i) * qq(i); i += 1 }
-      java.lang.Long.valueOf(sum)
-    }
-  }
+  /** Quantized-dot scoring column against a pre-quantized query — shared
+    * by v06 and the n05 coarse pass, now the native codegen `vec_qdot`
+    * (the row-side quantization is fused into the generated loop with
+    * arithmetic bit-identical to quantize(), so the oracle literal, the
+    * query codes, and the row kernel cannot desynchronize — the
+    * VectorExpressionsSpec pins expression == quantize()-dot). */
+  private[ops] def quantizedDot(qq: Array[Long])(v: org.apache.spark.sql.Column) =
+    VectorOps.qdotQueryNative(v, qq)
 
   /** The v06/n05 coarse-scoring SQL (DuckDB): per-row int8 quantization +
     * all-integer dot against the quantized query literal. */

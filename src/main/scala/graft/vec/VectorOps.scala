@@ -174,6 +174,11 @@ object VectorOps {
   def dotQueryNative(v: Column, q: Array[Float]): Column =
     call_function("vec_dot", v, typedlit(q))
 
+  /** Codegen int8-quantized dot against pre-quantized query codes
+    * (vec_qdot — the v06/n05 coarse kernel). */
+  def qdotQueryNative(v: Column, qq: Array[Long]): Column =
+    call_function("vec_qdot", v, typedlit(qq))
+
   /** Codegen dot / cosine between two vector columns. */
   def dotColsNative(a: Column, b: Column): Column =
     call_function("vec_dot", a, b)

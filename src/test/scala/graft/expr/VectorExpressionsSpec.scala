@@ -101,6 +101,45 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out.getDouble(3) == VectorOps.l2norm(y))
   }
 
+  test("vec_qdot matches the quantize()-then-dot reference exactly, " +
+    "incl. zero vectors and length mismatch, and codegen-compiles " +
+    "alongside other vec_* exprs") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeArrayData}
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    def refQdot(v: Array[Float], qq: Array[Long]): Long = {
+      var m = 0.0
+      v.foreach(x => m = math.max(m, math.abs(x.toDouble)))
+      if (m == 0.0) 0L
+      else {
+        val qv = v.map(x => math.floor(x.toDouble * 127.0 / m + 0.5).toLong)
+        qv.zip(qq).map { case (a, b) => a * b }.sum
+      }
+    }
+    val qq = Array.fill(64)(rnd.nextInt(255).toLong - 127L)
+    val qqLit = Literal.create(qq, ArrayType(LongType, containsNull = false))
+    val arrTy = ArrayType(FloatType, containsNull = false)
+    val a = BoundReference(0, arrTy, nullable = false)
+    // two qdots + a vec_dot in ONE generated function: freshName gate
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      VectorExpressions.VecQDot(a, qqLit),
+      VectorExpressions.VecQDot(a, Literal.create(qq.take(32),
+        ArrayType(LongType, containsNull = false))),
+      VectorExpressions.VecDot(a, a)))
+    val x = vec(64)
+    val out = proj(InternalRow(UnsafeArrayData.fromPrimitiveArray(x)))
+    assert(out.getLong(0) == refQdot(x, qq))
+    assert(out.getLong(1) == refQdot(x, qq.take(32))) // short query truncates
+    val zero = Array.fill(64)(0.0f)
+    val z = proj(InternalRow(UnsafeArrayData.fromPrimitiveArray(zero)))
+    assert(z.getLong(0) == 0L) // m == 0 guard
+    // interpreted eval agrees with codegen
+    val e = VectorExpressions.VecQDot(
+      Literal.create(x, ArrayType(FloatType)), qqLit)
+    assert(e.eval(null).asInstanceOf[Long] == refQdot(x, qq))
+  }
+
   test("vec_encode fails loudly on null array elements (no silent 0.0f)") {
     import spark.implicits._
     val df = Seq(Tuple1(Seq(Some(1.0f), None, Some(2.0f)))).toDF("v")
