@@ -150,7 +150,51 @@ object Bench {
     * r01 inversion was co-tenant load. */
   def microDot(spark: SparkSession): Seq[(String, Double)] =
     microDotAt(spark, 200000, 64, "dot") ++
-      microDotAt(spark, 25000, 512, "dot512")
+      microDotAt(spark, 25000, 512, "dot512") ++
+      microQDot(spark, 200000, 64)
+
+  /** Codegen vec_qdot vs an equivalent quantize-and-dot Scala UDF (the
+    * v06/n05 coarse kernel before it was promoted to an expression). */
+  def microQDot(spark: SparkSession, rows: Int, dim: Int): Seq[(String, Double)] = {
+    import graft.vec.VectorOps
+    val qq = Array.tabulate(dim)(i => (i % 255).toLong - 127L)
+    val corpus = spark.range(rows)
+      .selectExpr("id",
+        s"transform(sequence(0, ${dim - 1}), j -> CAST(sin(id * 1.7 + j) AS FLOAT)) AS embedding")
+      .cache()
+    corpus.count()
+    val codegen = VectorOps.qdotQueryNative(col("embedding"), qq)
+    val udfCol = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        var m = 0.0
+        v.foreach(x => m = math.max(m, math.abs(x.toDouble)))
+        if (m == 0.0) java.lang.Long.valueOf(0L)
+        else {
+          var s = 0L; var i = 0
+          val n = math.min(v.length, qq.length)
+          while (i < n) {
+            s += math.floor(v(i).toDouble * 127.0 / m + 0.5).toLong * qq(i)
+            i += 1
+          }
+          java.lang.Long.valueOf(s)
+        }
+      }
+    }.apply(col("embedding"))
+    def time(c: org.apache.spark.sql.Column): Double = {
+      spark.sparkContext.setJobDescription("micro-qdot")
+      val t0 = System.nanoTime()
+      corpus.select(sum(c)).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val out = Seq("qdot_codegen" -> codegen, "qdot_udf" -> udfCol).map {
+      case (name, c) =>
+        time(c)
+        name -> Seq(time(c), time(c), time(c)).min
+    }
+    corpus.unpersist()
+    out
+  }
 
   def microDotAt(spark: SparkSession, rows: Int, dim: Int,
       prefix: String): Seq[(String, Double)] = {
