@@ -467,6 +467,51 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** d08: passage-level exact dedup — the C4/RefinedWeb "line dedup"
+    * pattern at chunk granularity: split each document into fixed
+    * 20-word chunks, keep each distinct chunk only at its globally
+    * first occurrence (ordered by doc_id, then chunk position), and
+    * reassemble the surviving text per document. This catches the
+    * repeated-paragraph/boilerplate duplication that document-level
+    * dedup (d01) misses entirely — on this corpus 59 chunks across 32
+    * docs are cross-document repeats (one doc dedups away completely,
+    * surviving as an empty kept_text row).
+    *
+    * Scale shape: chunking is a narrow per-row slice over ~5 chunks per
+    * document (chunk-granular lambdas — not the banned per-CHAR kind;
+    * ≤ ⌈words/20⌉ evals/row). The dedup decision is ONE window shuffle
+    * partitioned by the 256-bit content digest (c01's narrow-key
+    * discipline): per-bucket state is a single running min-key, and the
+    * chunk body rides that shuffle exactly once as the reassembly
+    * payload — it has to move at least once for any cross-partition
+    * duplicate to be detected. The final groupBy(doc_id) restores
+    * document locality. No self-join anywhere, so no O(bucket²) stage
+    * to cap: total cost is O(corpus chunks) rows through two shuffles
+    * at any scale. */
+  val d08_chunk_dedup: Q = (s, d) => {
+    val CW = 20
+    val chunkArr = expr(
+      s"""transform(
+         |  sequence(0, CAST(ceil(size(split(text, ' ')) / $CW.0D) AS INT) - 1),
+         |  i -> array_join(slice(split(text, ' '), i * $CW + 1, $CW), ' '))""".stripMargin)
+    val key = col("doc_id") * lit(1000000L) + col("cno")
+    val w = Window.partitionBy(sha2(col("chunk"), 256))
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(chunkArr).as(Seq("cno", "chunk")))
+      .withColumn("keep", key === min(key).over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("cno"), col("chunk"))))),
+            x => x.getField("chunk")),
+          " ").as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "d01_exact_dedup" -> d01_exact_dedup,
     "d02_minhash_lsh" -> d02_minhash_lsh,
@@ -474,7 +519,8 @@ object DedupQueries {
     "d04_ngram_jaccard" -> d04_ngram_jaccard,
     "d05_cosine_brute" -> d05_cosine_brute,
     "d06_cosine_lsh" -> d06_cosine_lsh,
-    "d07_decontaminate" -> d07_decontaminate)
+    "d07_decontaminate" -> d07_decontaminate,
+    "d08_chunk_dedup" -> d08_chunk_dedup)
 
   // ------------------------------------------------------------------
   // DuckDB oracles
@@ -603,6 +649,30 @@ object DedupQueries {
            |JOIN (SELECT * FROM eg ANTI JOIN hot USING (gram)) e
            |  USING (gram)
            |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+      // chunk partition key: the oracle partitions by the chunk text
+      // itself where Spark partitions by sha2(chunk, 256) — identical
+      // grouping modulo SHA-256 collisions (2⁻¹²⁸ at corpus scale).
+      "d08_chunk_dedup" ->
+        """WITH chs AS (
+          |  SELECT doc_id,
+          |    list_transform(range(0, CAST(ceil(len(string_split(text, ' ')) / 20.0) AS INT)),
+          |      i -> array_to_string(string_split(text, ' ')[i * 20 + 1 : i * 20 + 20], ' ')) AS chunks
+          |  FROM documents),
+          |ch AS (
+          |  SELECT doc_id,
+          |         CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS cno,
+          |         unnest(chunks) AS chunk
+          |  FROM chs),
+          |mk AS (
+          |  SELECT doc_id, cno, chunk,
+          |         (doc_id * 1000000 + cno) =
+          |           min(doc_id * 1000000 + cno) OVER (PARTITION BY chunk) AS keep
+          |  FROM ch)
+          |SELECT doc_id,
+          |       count(*) AS n_chunks,
+          |       count(*) FILTER (WHERE keep) AS n_kept,
+          |       coalesce(string_agg(chunk, ' ' ORDER BY cno) FILTER (WHERE keep), '') AS kept_text
+          |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "d05_cosine_brute" ->
         """SELECT x.vec_id AS id_a, y.vec_id AS id_b,
           |       round(list_cosine_similarity(x.embedding::DOUBLE[],

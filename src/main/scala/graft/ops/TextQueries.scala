@@ -316,6 +316,47 @@ object TextQueries {
       .orderBy(col("rk"))
   }
 
+  /** PII patterns (t09). Deliberately lookaround-free and
+    * backreference-free so the Java regex engine (Spark) and RE2
+    * (DuckDB) accept and match them identically — RE2 has no
+    * lookarounds, and both support `\b`/`\d`/bounded repetition. */
+  private[graft] val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PHONE_RE = "\\+\\d{7,15}"
+
+  /** The t09 scrub: email → IP → phone, in that fixed order (an email
+    * local part may contain digit runs, so emails must be consumed
+    * before the numeric patterns get to look at the text). Shared by
+    * the query and the planted-fixture spec. */
+  private[graft] def redactPii(c: org.apache.spark.sql.Column) =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EMAIL_RE, "<EMAIL>"),
+        IPV4_RE, "<IP>"),
+      PHONE_RE, "<PHONE>")
+
+  /** t09: PII detection + redaction — per-document email/IPv4/phone
+    * match counts and the SHA-256 of the scrubbed text. Pure narrow
+    * projection (zero shuffle at any scale; the regexes ride the scan).
+    * Oracle semantics: this corpus is clean, so the oracle proves the
+    * ZERO-FALSE-POSITIVE half exactly — every count must be 0 and the
+    * redacted hash must equal sha256(original) on both engines. The
+    * true-positive and redaction-output goldens live in TextPiiSpec
+    * over a planted fixture (driver tables must not be synthesized, so
+    * the dirty corpus is test-local). Emitting the hash rather than the
+    * scrubbed body keeps the output row narrow — the production form
+    * writes the scrubbed text back to parquet instead. */
+  val t09_pii_redact: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(EMAIL_RE)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(IPV4_RE)).cast("long").as("n_ip"),
+        regexp_count(col("text"), lit(PHONE_RE)).cast("long").as("n_phone"),
+        sha2(redactPii(col("text")), 256).as("red_sha"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
     "t02_quality_score" -> t02_quality_score,
@@ -324,7 +365,8 @@ object TextQueries {
     "t05_salient_terms" -> t05_salient_terms,
     "t06_repetition" -> t06_repetition,
     "t07_vocab_coverage" -> t07_vocab_coverage,
-    "t08_profile" -> t08_profile)
+    "t08_profile" -> t08_profile,
+    "t09_pii_redact" -> t09_pii_redact)
 
   def oracleSql: Map[String, String] = {
     val duckScore = scoreCols(duckHitExpr).mkString(",\n        ")
@@ -427,6 +469,25 @@ object TextQueries {
            |            i -> ($winHash) % 1000000007)) % 1000000007)::BIGINT
            |       ELSE 0 END AS fingerprint
            |FROM base ORDER BY doc_id""".stripMargin,
+      // same regex constants interpolated verbatim: DuckDB standard
+      // string literals keep backslashes raw, and the patterns are
+      // RE2-safe by construction (no lookarounds). 'g' = replace all,
+      // matching Spark regexp_replace's replace-all default.
+      "t09_pii_redact" ->
+        s"""WITH red AS (
+           |  SELECT doc_id, text,
+           |    regexp_replace(
+           |      regexp_replace(
+           |        regexp_replace(text, '$EMAIL_RE', '<EMAIL>', 'g'),
+           |        '$IPV4_RE', '<IP>', 'g'),
+           |      '$PHONE_RE', '<PHONE>', 'g') AS redacted
+           |  FROM documents)
+           |SELECT doc_id,
+           |       len(regexp_extract_all(text, '$EMAIL_RE'))::BIGINT AS n_email,
+           |       len(regexp_extract_all(text, '$IPV4_RE'))::BIGINT AS n_ip,
+           |       len(regexp_extract_all(text, '$PHONE_RE'))::BIGINT AS n_phone,
+           |       sha256(redacted) AS red_sha
+           |FROM red ORDER BY doc_id""".stripMargin,
       "t05_salient_terms" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

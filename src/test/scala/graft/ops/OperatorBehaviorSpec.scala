@@ -428,4 +428,68 @@ class OperatorBehaviorSpec extends SparkSpec {
       assert(r.getString(3) == kept.mkString(" "), s"doc ${r.getLong(0)} text")
     }
   }
+
+  test("d08: chunk dedup keeps exactly the globally-first occurrence of " +
+    "every 20-word chunk and reassembles survivors in position order") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def chunksOf(t: String): Seq[String] =
+      t.split(" ", -1).toSeq.grouped(20).map(_.mkString(" ")).toSeq
+    // first global (doc_id, cno) key per distinct chunk
+    val firstKey: Map[String, Long] = docs.toSeq
+      .flatMap { case (id, t) =>
+        chunksOf(t).zipWithIndex.map { case (c, i) => (c, id * 1000000L + i) } }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).min }
+    val rows = DedupQueries.d08_chunk_dedup(spark, sf).collect()
+    assert(rows.length == docs.length)
+    var dropped = 0L
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val chunks = chunksOf(docs.find(_._1 == id).get._2)
+      val kept = chunks.zipWithIndex.collect {
+        case (c, i) if firstKey(c) == id * 1000000L + i => c
+      }
+      assert(r.getLong(1) == chunks.size && r.getLong(2) == kept.size,
+        s"doc $id counts")
+      assert(r.getString(3) == kept.mkString(" "), s"doc $id text")
+      dropped += chunks.size - kept.size
+    }
+    assert(dropped > 0, "corpus must exercise the dedup (cross-doc repeats)")
+  }
+
+  test("t09: planted PII is counted and redacted (emails consumed before " +
+    "numeric patterns), clean driver text passes through untouched") {
+    import spark.implicits._
+    val dirty = Seq(
+      ("write to alice.b+spam@mail.example.org today",
+        "write to <EMAIL> today", (1L, 0L, 0L)),
+      ("host 10.0.0.1 and 192.168.255.254 up",
+        "host <IP> and <IP> up", (0L, 2L, 0L)),
+      ("call +4915123456789 now", "call <PHONE> now", (0L, 0L, 1L)),
+      ("a1@b2.co from 8.8.8.8 ring +1234567890",
+        "<EMAIL> from <IP> ring <PHONE>", (1L, 1L, 1L)),
+      ("no pii here at all", "no pii here at all", (0L, 0L, 0L)))
+    val got = dirty.map(_._1).toDF("text")
+      .select(
+        regexp_count(col("text"), lit(TextQueries.EMAIL_RE)).cast("long"),
+        regexp_count(col("text"), lit(TextQueries.IPV4_RE)).cast("long"),
+        regexp_count(col("text"), lit(TextQueries.PHONE_RE)).cast("long"),
+        TextQueries.redactPii(col("text")))
+      .collect()
+    dirty.zip(got).foreach { case ((in, wantRed, (ne, ni, np)), r) =>
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((ne, ni, np)), in)
+      assert(r.getString(3) == wantRed, in)
+    }
+    // the oracled query itself: on the clean driver corpus every count is
+    // zero and the redacted hash equals the original's (no false positives)
+    val base = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), sha2(col("text"), 256).as("orig_sha"))
+    val bad = TextQueries.t09_pii_redact(spark, sf)
+      .join(base, "doc_id")
+      .filter(col("n_email") =!= 0 || col("n_ip") =!= 0 ||
+        col("n_phone") =!= 0 || col("red_sha") =!= col("orig_sha"))
+      .count()
+    assert(bad == 0)
+  }
 }
