@@ -20,6 +20,15 @@ import org.apache.spark.sql.types._
   * Registered via [[GraftExtensions]] (`spark.sql.extensions`), the
   * public plugin point; callable as SQL `vec_dot(a, b)` or
   * `functions.call_function("vec_dot", a, b)`.
+  *
+  * Null discipline: embedding arrays are DENSE by contract — they enter
+  * the engine via `vec_decode` (emits `containsNull = false`) or the
+  * parquet float columns the loaders validate. The boundary kernels that
+  * can MATERIALIZE corruption fail loudly on a null slot (`vec_encode`,
+  * and `vec_qdot`, whose quantization would otherwise silently zero a
+  * dimension of the score); the pure fp32 read kernels (dot/norm/cosine)
+  * assume the contract holds rather than paying a per-element branch on
+  * the flagship scan.
   */
 object VectorExpressions {
 
@@ -163,6 +172,14 @@ object VectorExpressions {
       var m = 0.0
       var i = 0
       while (i < n) {
+        // loud, like vec_encode: ArrayData.getFloat on a null slot
+        // returns 0.0f, which would silently zero a dimension of the
+        // quantized score (the Scala UDF this replaced failed instead).
+        // One check in this loop covers the dot loop too (its indices
+        // are a prefix of this one's).
+        if (x.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"vec_qdot: null element at index $i — embedding arrays must be dense")
         val v = math.abs(x.getFloat(i).toDouble); if (v > m) m = v; i += 1
       }
       if (m == 0.0) 0L
@@ -188,6 +205,10 @@ object VectorExpressions {
         s"""int $n = $a.numElements();
            |double $m = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i))
+           |    throw new IllegalArgumentException(
+           |      "vec_qdot: null element at index " + $i +
+           |      " — embedding arrays must be dense");
            |  double $v = java.lang.Math.abs((double) $a.getFloat($i));
            |  if ($v > $m) $m = $v;
            |}

@@ -53,13 +53,15 @@ object IncrementalAgg {
         min(col("first_ts")).as("first_ts"),
         max(col("last_ts")).as("last_ts"))
 
-  /** Render state as the user-facing metrics (exact average from the
-    * integer partials — derived at READ time, because averages are not
-    * mergeable; only (sum, count) pairs are). */
+  /** Render state as the user-facing metrics. The average is derived at
+    * READ time from the exact integer partials — averages are not
+    * mergeable, only (sum, count) pairs are, which is why the stored
+    * state carries `sum_micro`/`n` and never an avg column. */
   def finalize(state: DataFrame): DataFrame =
     state.select(
       col("event_type"), col("n"),
       (col("sum_micro") / lit(1000000.0)).as("sum_value"),
+      (col("sum_micro") / (col("n") * lit(1000000.0))).as("avg_value"),
       col("first_ts"), col("last_ts"))
       .orderBy(col("event_type"))
 }

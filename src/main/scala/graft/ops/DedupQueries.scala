@@ -487,16 +487,26 @@ object DedupQueries {
     * duplicate to be detected. The final groupBy(doc_id) restores
     * document locality. No self-join anywhere, so no O(bucket²) stage
     * to cap: total cost is O(corpus chunks) rows through two shuffles
-    * at any scale. */
+    * at any scale.
+    *
+    * The first-occurrence key is the STRUCT (doc_id, cno) under
+    * lexicographic min — a packed `doc_id·K + cno` BIGINT would collide
+    * across documents once a pathological concatenated doc exceeds K
+    * chunks, silently keeping both copies of a duplicate. Struct min is
+    * ordered identically in Spark and DuckDB, so the oracle mirrors it
+    * directly. The words array is bound ONCE per row before the chunk
+    * lambda — `split` inside the lambda body would re-tokenize the whole
+    * document per chunk (O(words²/CW) per doc). */
   val d08_chunk_dedup: Q = (s, d) => {
     val CW = 20
     val chunkArr = expr(
       s"""transform(
-         |  sequence(0, CAST(ceil(size(split(text, ' ')) / $CW.0D) AS INT) - 1),
-         |  i -> array_join(slice(split(text, ' '), i * $CW + 1, $CW), ' '))""".stripMargin)
-    val key = col("doc_id") * lit(1000000L) + col("cno")
+         |  sequence(0, CAST(ceil(size(ws) / $CW.0D) AS INT) - 1),
+         |  i -> array_join(slice(ws, i * $CW + 1, $CW), ' '))""".stripMargin)
+    val key = struct(col("doc_id"), col("cno"))
     val w = Window.partitionBy(sha2(col("chunk"), 256))
     Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), posexplode(chunkArr).as(Seq("cno", "chunk")))
       .withColumn("keep", key === min(key).over(w))
       .groupBy(col("doc_id"))
@@ -665,8 +675,8 @@ object DedupQueries {
           |  FROM chs),
           |mk AS (
           |  SELECT doc_id, cno, chunk,
-          |         (doc_id * 1000000 + cno) =
-          |           min(doc_id * 1000000 + cno) OVER (PARTITION BY chunk) AS keep
+          |         {'d': doc_id, 'c': cno} =
+          |           min({'d': doc_id, 'c': cno}) OVER (PARTITION BY chunk) AS keep
           |  FROM ch)
           |SELECT doc_id,
           |       count(*) AS n_chunks,

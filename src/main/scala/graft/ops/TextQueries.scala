@@ -319,41 +319,62 @@ object TextQueries {
   /** PII patterns (t09). Deliberately lookaround-free and
     * backreference-free so the Java regex engine (Spark) and RE2
     * (DuckDB) accept and match them identically — RE2 has no
-    * lookarounds, and both support `\b`/`\d`/bounded repetition. */
+    * lookarounds, and both support `\b`/`\d`/bounded repetition.
+    *  - IPv4 validates octet RANGE (0–255): a bare `\d{1,3}` quad would
+    *    count and destroy dotted version strings like `10.2.300.4`.
+    *  - phone is `{7,}` with NO upper bound: a bounded `{7,15}` would
+    *    PARTIALLY redact a 20-digit run and leak its tail digits into
+    *    the scrubbed output — over-redacting a weird long run beats
+    *    leaking half a phone number. */
   private[graft] val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[graft] val IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  private[graft] val PHONE_RE = "\\+\\d{7,15}"
+  private[graft] val IPV4_RE = {
+    val octet = "(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)"
+    s"\\b$octet(\\.$octet){3}\\b"
+  }
+  private[graft] val PHONE_RE = "\\+\\d{7,}"
 
-  /** The t09 scrub: email → IP → phone, in that fixed order (an email
-    * local part may contain digit runs, so emails must be consumed
-    * before the numeric patterns get to look at the text). Shared by
-    * the query and the planted-fixture spec. */
+  /** The t09 scrub stages: email → IP → phone, in that fixed order (an
+    * email local part may contain digit runs, so emails must be consumed
+    * before the numeric patterns get to look at the text). Each stage is
+    * exposed separately because the COUNTS must come from the same
+    * progressively-redacted text the scrub itself sees — counting
+    * `n_ip` on the raw text would report IP-PII for a document whose
+    * scrub output contains no `<IP>` (the dotted quad sat inside an
+    * email local part). Shared by the query and the planted-fixture
+    * spec. */
+  private[graft] def redactEmail(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, EMAIL_RE, "<EMAIL>")
+  private[graft] def redactIp(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, IPV4_RE, "<IP>")
   private[graft] def redactPii(c: org.apache.spark.sql.Column) =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(c, EMAIL_RE, "<EMAIL>"),
-        IPV4_RE, "<IP>"),
-      PHONE_RE, "<PHONE>")
+    regexp_replace(redactIp(redactEmail(c)), PHONE_RE, "<PHONE>")
 
   /** t09: PII detection + redaction — per-document email/IPv4/phone
-    * match counts and the SHA-256 of the scrubbed text. Pure narrow
-    * projection (zero shuffle at any scale; the regexes ride the scan).
+    * match counts and the SHA-256 of the scrubbed text. Counts are
+    * stage-consistent: each pattern is counted on the text AFTER the
+    * earlier stages redacted it, so `n_*` is exactly the number of
+    * `<...>` markers the scrub emitted. Pure narrow projection (zero
+    * shuffle at any scale; the regexes ride the scan).
     * Oracle semantics: this corpus is clean, so the oracle proves the
     * ZERO-FALSE-POSITIVE half exactly — every count must be 0 and the
     * redacted hash must equal sha256(original) on both engines. The
-    * true-positive and redaction-output goldens live in TextPiiSpec
-    * over a planted fixture (driver tables must not be synthesized, so
-    * the dirty corpus is test-local). Emitting the hash rather than the
-    * scrubbed body keeps the output row narrow — the production form
-    * writes the scrubbed text back to parquet instead. */
+    * true-positive and redaction-output goldens live in the behavior
+    * spec over a planted fixture (driver tables must not be
+    * synthesized, so the dirty corpus is test-local). Emitting the hash
+    * rather than the scrubbed body keeps the output row narrow — the
+    * production form writes the scrubbed text back to parquet
+    * instead. */
   val t09_pii_redact: Q = (s, d) => {
     Tables.documents(s, d)
+      .withColumn("after_email", redactEmail(col("text")))
+      .withColumn("after_ip", redactIp(col("after_email")))
       .select(
         col("doc_id"),
         regexp_count(col("text"), lit(EMAIL_RE)).cast("long").as("n_email"),
-        regexp_count(col("text"), lit(IPV4_RE)).cast("long").as("n_ip"),
-        regexp_count(col("text"), lit(PHONE_RE)).cast("long").as("n_phone"),
-        sha2(redactPii(col("text")), 256).as("red_sha"))
+        regexp_count(col("after_email"), lit(IPV4_RE)).cast("long").as("n_ip"),
+        regexp_count(col("after_ip"), lit(PHONE_RE)).cast("long").as("n_phone"),
+        sha2(regexp_replace(col("after_ip"), PHONE_RE, "<PHONE>"), 256)
+          .as("red_sha"))
       .orderBy(col("doc_id"))
   }
 
@@ -472,22 +493,24 @@ object TextQueries {
       // same regex constants interpolated verbatim: DuckDB standard
       // string literals keep backslashes raw, and the patterns are
       // RE2-safe by construction (no lookarounds). 'g' = replace all,
-      // matching Spark regexp_replace's replace-all default.
+      // matching Spark regexp_replace's replace-all default. Counts are
+      // stage-consistent (each pattern counted on the text the earlier
+      // redaction stages produced), mirroring the Spark side.
       "t09_pii_redact" ->
-        s"""WITH red AS (
+        s"""WITH st AS (
            |  SELECT doc_id, text,
-           |    regexp_replace(
-           |      regexp_replace(
-           |        regexp_replace(text, '$EMAIL_RE', '<EMAIL>', 'g'),
-           |        '$IPV4_RE', '<IP>', 'g'),
-           |      '$PHONE_RE', '<PHONE>', 'g') AS redacted
-           |  FROM documents)
+           |    regexp_replace(text, '$EMAIL_RE', '<EMAIL>', 'g') AS after_email
+           |  FROM documents),
+           |st2 AS (
+           |  SELECT *,
+           |    regexp_replace(after_email, '$IPV4_RE', '<IP>', 'g') AS after_ip
+           |  FROM st)
            |SELECT doc_id,
            |       len(regexp_extract_all(text, '$EMAIL_RE'))::BIGINT AS n_email,
-           |       len(regexp_extract_all(text, '$IPV4_RE'))::BIGINT AS n_ip,
-           |       len(regexp_extract_all(text, '$PHONE_RE'))::BIGINT AS n_phone,
-           |       sha256(redacted) AS red_sha
-           |FROM red ORDER BY doc_id""".stripMargin,
+           |       len(regexp_extract_all(after_email, '$IPV4_RE'))::BIGINT AS n_ip,
+           |       len(regexp_extract_all(after_ip, '$PHONE_RE'))::BIGINT AS n_phone,
+           |       sha256(regexp_replace(after_ip, '$PHONE_RE', '<PHONE>', 'g')) AS red_sha
+           |FROM st2 ORDER BY doc_id""".stripMargin,
       "t05_salient_terms" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -153,6 +153,31 @@ class VectorExpressionsSpec extends SparkSpec {
       causes(e).exists(c => c.getMessage != null && c.getMessage.contains("vec_encode: null element")))
   }
 
+  test("vec_qdot fails loudly on null array elements (no silent zeroed " +
+    "dimension), interpreted and codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val qq = Array.tabulate(4)(i => i.toLong - 2L)
+    val qqLit = Literal.create(qq, ArrayType(LongType, containsNull = false))
+    val holey = Literal.create(
+      Seq[java.lang.Float](1.0f, null, 2.0f, 3.0f),
+      ArrayType(FloatType, containsNull = true))
+    val interp = intercept[IllegalArgumentException](
+      VectorExpressions.VecQDot(holey, qqLit).eval(null))
+    assert(interp.getMessage.contains("vec_qdot: null element"))
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq(Some(1.0f), None, Some(2.0f), Some(3.0f))))
+      .toDF("v")
+      .select(VectorOps.qdotQueryNative(col("v").cast(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)), qq).as("q"))
+    val e = intercept[Exception](df.collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("vec_qdot: null element")))
+  }
+
   test("interpreted eval (nullSafeEval) agrees with codegen") {
     val a = vec(64); val b = vec(64)
     val e = VectorExpressions.VecDot(

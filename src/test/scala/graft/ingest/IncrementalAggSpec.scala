@@ -14,15 +14,18 @@ class IncrementalAggSpec extends SparkSpec {
       events.filter(pmod(col("event_id"), lit(3)) === 1),
       events.filter(pmod(col("event_id"), lit(3)) === 2))
 
-    def fold(order: Seq[Int]): Seq[(String, Long, Double)] = {
+    def fold(order: Seq[Int]): Seq[(String, Long, Double, Double)] = {
       val state = order.map(i => IncrementalAgg.aggregate(batches(i)))
         .reduce(IncrementalAgg.merge)
       IncrementalAgg.finalize(state).collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSeq
     }
 
     val oneShot = IncrementalAgg.finalize(IncrementalAgg.aggregate(events))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
     assert(oneShot.nonEmpty)
     assert(fold(Seq(0, 1, 2)) == oneShot) // fold == from-scratch
     assert(fold(Seq(2, 0, 1)) == oneShot) // commutative merge

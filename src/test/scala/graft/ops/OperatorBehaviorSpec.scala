@@ -436,10 +436,12 @@ class OperatorBehaviorSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     def chunksOf(t: String): Seq[String] =
       t.split(" ", -1).toSeq.grouped(20).map(_.mkString(" ")).toSeq
-    // first global (doc_id, cno) key per distinct chunk
-    val firstKey: Map[String, Long] = docs.toSeq
+    // first global (doc_id, cno) key per distinct chunk — TUPLE order,
+    // matching the query's struct-min key (a packed BIGINT would collide
+    // for pathological chunk counts)
+    val firstKey: Map[String, (Long, Int)] = docs.toSeq
       .flatMap { case (id, t) =>
-        chunksOf(t).zipWithIndex.map { case (c, i) => (c, id * 1000000L + i) } }
+        chunksOf(t).zipWithIndex.map { case (c, i) => (c, (id, i)) } }
       .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).min }
     val rows = DedupQueries.d08_chunk_dedup(spark, sf).collect()
     assert(rows.length == docs.length)
@@ -448,7 +450,7 @@ class OperatorBehaviorSpec extends SparkSpec {
       val id = r.getLong(0)
       val chunks = chunksOf(docs.find(_._1 == id).get._2)
       val kept = chunks.zipWithIndex.collect {
-        case (c, i) if firstKey(c) == id * 1000000L + i => c
+        case (c, i) if firstKey(c) == ((id, i)) => c
       }
       assert(r.getLong(1) == chunks.size && r.getLong(2) == kept.size,
         s"doc $id counts")
@@ -469,12 +471,24 @@ class OperatorBehaviorSpec extends SparkSpec {
       ("call +4915123456789 now", "call <PHONE> now", (0L, 0L, 1L)),
       ("a1@b2.co from 8.8.8.8 ring +1234567890",
         "<EMAIL> from <IP> ring <PHONE>", (1L, 1L, 1L)),
+      // octet-range validation: 999.x and a 300-octet never count as IP
+      ("build 999.999.999.999 and v10.2.300.4 tags",
+        "build 999.999.999.999 and v10.2.300.4 tags", (0L, 0L, 0L)),
+      // unbounded phone: a 20-digit run redacts WHOLE, no tail leak
+      ("ring +12345678901234567890 ok", "ring <PHONE> ok", (0L, 0L, 1L)),
+      // stage consistency: the dotted quad lives inside the email local
+      // part, so after email redaction there is NO ip to count
+      ("mail 10.0.0.1@host.example.com first",
+        "mail <EMAIL> first", (1L, 0L, 0L)),
       ("no pii here at all", "no pii here at all", (0L, 0L, 0L)))
+    // counts computed stage-consistently, exactly as t09 does
     val got = dirty.map(_._1).toDF("text")
+      .withColumn("after_email", TextQueries.redactEmail(col("text")))
+      .withColumn("after_ip", TextQueries.redactIp(col("after_email")))
       .select(
         regexp_count(col("text"), lit(TextQueries.EMAIL_RE)).cast("long"),
-        regexp_count(col("text"), lit(TextQueries.IPV4_RE)).cast("long"),
-        regexp_count(col("text"), lit(TextQueries.PHONE_RE)).cast("long"),
+        regexp_count(col("after_email"), lit(TextQueries.IPV4_RE)).cast("long"),
+        regexp_count(col("after_ip"), lit(TextQueries.PHONE_RE)).cast("long"),
         TextQueries.redactPii(col("text")))
       .collect()
     dirty.zip(got).foreach { case ((in, wantRed, (ne, ni, np)), r) =>

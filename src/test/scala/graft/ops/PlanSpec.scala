@@ -193,4 +193,23 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).length == 1 && p.contains("rangepartitioning"),
       s"only the orderBy exchange may appear:\n$p")
   }
+
+  test("d08 chunk dedup: dedup window keyed by the sha2 digest, no join, " +
+    "exactly dedup + doc-regroup + presentation exchanges") {
+    val p = planOf(DedupQueries.d08_chunk_dedup)
+    assert(!p.contains("Join"), s"first-occurrence via window, never a self-join:\n$p")
+    // the dedup exchange hashes the 256-bit digest (pre-projected as a
+    // _w window key: `sha2(chunk, 256) AS _wN`), never the chunk body
+    assert(p.contains("sha2(cast(chunk"), p)
+    assert("Exchange hashpartitioning\\(chunk".r.findFirstIn(p).isEmpty, p)
+    // window shuffle + groupBy(doc_id) shuffle + orderBy range exchange
+    assert("Exchange".r.findAllIn(p).length == 3, p)
+  }
+
+  test("t09 PII scrub: pure narrow scan — regexes ride the projection, " +
+    "only the presentation sort exchanges") {
+    val p = planOf(TextQueries.t09_pii_redact)
+    assert(!p.contains("Join") && !p.contains("ScalaUDF"), p)
+    assert("Exchange".r.findAllIn(p).length == 1 && p.contains("rangepartitioning"), p)
+  }
 }
