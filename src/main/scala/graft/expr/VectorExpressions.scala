@@ -229,6 +229,274 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Product-quantization encode — the 100 TB memory-bound ANN kernel:
+    * split the d-dim vector into `m` subspaces, assign each sub-vector
+    * to its nearest of `k` per-subspace centroids (L2², argmin, ties →
+    * lowest index), emit the `m` small codes. With m=8, k=16 a 64-dim
+    * fp32 embedding (256 B) becomes 8 codes — the ADC scan then reads
+    * codes instead of raw vectors. The codebook rides as ONE flat
+    * `ARRAY<FLOAT>` literal laid out `[(mm·k + j)·sub + dd]` so the
+    * generated loop is plain index math over a single ArrayData (no
+    * nested-array traversal in codegen). Distances accumulate in Double
+    * in index order — the DuckDB oracle reproduces them bit-exactly, so
+    * the argmin (and every code) matches across engines. */
+  case class VecPqEncode(left: Expression, right: Expression, m: Int, k: Int)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "vec_pq_encode"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val cb = b.asInstanceOf[ArrayData]
+      val sub = cb.numElements() / (m * k)
+      if (x.numElements() < m * sub)
+        throw new IllegalArgumentException(
+          s"vec_pq_encode: vector has ${x.numElements()} dims, codebook expects ${m * sub}")
+      val codes = new Array[Int](m)
+      var mm = 0
+      while (mm < m) {
+        var best = 0; var bestD = java.lang.Double.MAX_VALUE
+        var j = 0
+        while (j < k) {
+          var dist = 0.0
+          val xo = mm * sub; val co = (mm * k + j) * sub
+          var dd = 0
+          while (dd < sub) {
+            if (x.isNullAt(xo + dd))
+              throw new IllegalArgumentException(
+                s"vec_pq_encode: null element at index ${xo + dd} — embedding arrays must be dense")
+            val diff = x.getFloat(xo + dd).toDouble - cb.getFloat(co + dd).toDouble
+            dist += diff * diff
+            dd += 1
+          }
+          if (dist < bestD) { bestD = dist; best = j }
+          j += 1
+        }
+        codes(mm) = best
+        mm += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(codes)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, cb) => {
+        val sub = ctx.freshName("sub"); val codes = ctx.freshName("codes")
+        val mm = ctx.freshName("mm"); val j = ctx.freshName("j")
+        val dd = ctx.freshName("dd"); val dist = ctx.freshName("dist")
+        val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+        val xo = ctx.freshName("xo"); val co = ctx.freshName("co")
+        val diff = ctx.freshName("diff")
+        s"""int $sub = $cb.numElements() / ${m * k};
+           |if ($a.numElements() < $m * $sub)
+           |  throw new IllegalArgumentException(
+           |    "vec_pq_encode: vector has " + $a.numElements() +
+           |    " dims, codebook expects " + ($m * $sub));
+           |int[] $codes = new int[$m];
+           |for (int $mm = 0; $mm < $m; $mm++) {
+           |  int $best = 0; double $bestD = java.lang.Double.MAX_VALUE;
+           |  for (int $j = 0; $j < $k; $j++) {
+           |    double $dist = 0.0;
+           |    int $xo = $mm * $sub; int $co = ($mm * $k + $j) * $sub;
+           |    for (int $dd = 0; $dd < $sub; $dd++) {
+           |      if ($a.isNullAt($xo + $dd))
+           |        throw new IllegalArgumentException(
+           |          "vec_pq_encode: null element at index " + ($xo + $dd) +
+           |          " — embedding arrays must be dense");
+           |      double $diff = (double) $a.getFloat($xo + $dd)
+           |                   - (double) $cb.getFloat($co + $dd);
+           |      $dist += $diff * $diff;
+           |    }
+           |    if ($dist < $bestD) { $bestD = $dist; $best = $j; }
+           |  }
+           |  $codes[$mm] = $best;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions
+           |  .UnsafeArrayData.fromPrimitiveArray($codes);""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Asymmetric-distance (ADC) score over PQ codes: the query side stays
+    * exact — `lut[(mm·k) + j] = dot(q_mm, centroid_mmj)` is precomputed
+    * on the driver — and the corpus side is the `m` table lookups per
+    * row. This is the scan that makes PQ pay at 100 TB: it never touches
+    * the raw vectors, only the m-code column. Out-of-range codes fail
+    * loudly (a corrupt code would otherwise read a neighboring
+    * subspace's entry and silently mis-score). */
+  case class VecPqAdc(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_pq_adc"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val codes = a.asInstanceOf[ArrayData]
+      val lut = b.asInstanceOf[ArrayData]
+      val n = codes.numElements()
+      var acc = 0.0
+      var mm = 0
+      while (mm < n) {
+        val c = codes.getInt(mm)
+        val idx = mm * k + c
+        if (c < 0 || c >= k || idx >= lut.numElements())
+          throw new IllegalArgumentException(
+            s"vec_pq_adc: code $c at subspace $mm out of range (k=$k, lut=${lut.numElements()})")
+        acc += lut.getDouble(idx)
+        mm += 1
+      }
+      acc
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+        val mm = ctx.freshName("mm"); val c = ctx.freshName("c")
+        val idx = ctx.freshName("idx")
+        s"""int $n = $a.numElements();
+           |double $acc = 0.0;
+           |for (int $mm = 0; $mm < $n; $mm++) {
+           |  int $c = $a.getInt($mm);
+           |  int $idx = $mm * $k + $c;
+           |  if ($c < 0 || $c >= $k || $idx >= $b.numElements())
+           |    throw new IllegalArgumentException(
+           |      "vec_pq_adc: code " + $c + " at subspace " + $mm +
+           |      " out of range (k=" + $k + ", lut=" + $b.numElements() + ")");
+           |  $acc += $b.getDouble($idx);
+           |}
+           |${ev.value} = $acc;""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Packed variant of [[VecPqEncode]]: the m codes bit-packed into ONE
+    * BIGINT (code mm occupies bits [mm·b, (mm+1)·b), b = ⌈log₂k⌉) — the
+    * storage form the 32× compression claim actually needs: an
+    * `ARRAY<INT>` codes column costs ~4 B/code plus array overhead,
+    * a packed BIGINT is exactly 8 bytes and parquet bit-packs it
+    * further. Requires m·b ≤ 64 (m=16,k=16 → 64 bits exactly; the
+    * classic m=8,k=256 → 64 bits too). */
+  case class VecPqEncodePacked(left: Expression, right: Expression, m: Int, k: Int)
+      extends BinaryExpression with ExpectsInputTypes {
+    private val bits = 32 - java.lang.Integer.numberOfLeadingZeros(k - 1)
+    require(m * bits <= 64,
+      s"vec_pq_encode_packed: m=$m codes of $bits bits exceed one BIGINT")
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "vec_pq_encode_packed"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val codes = VecPqEncode(left, right, m, k)
+        .nullSafeEval(a, b).asInstanceOf[ArrayData]
+      var packed = 0L
+      var mm = 0
+      while (mm < m) {
+        packed |= codes.getInt(mm).toLong << (mm * bits)
+        mm += 1
+      }
+      packed
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, cb) => {
+        val sub = ctx.freshName("sub"); val packed = ctx.freshName("packed")
+        val mm = ctx.freshName("mm"); val j = ctx.freshName("j")
+        val dd = ctx.freshName("dd"); val dist = ctx.freshName("dist")
+        val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+        val xo = ctx.freshName("xo"); val co = ctx.freshName("co")
+        val diff = ctx.freshName("diff")
+        s"""int $sub = $cb.numElements() / ${m * k};
+           |if ($a.numElements() < $m * $sub)
+           |  throw new IllegalArgumentException(
+           |    "vec_pq_encode_packed: vector has " + $a.numElements() +
+           |    " dims, codebook expects " + ($m * $sub));
+           |long $packed = 0L;
+           |for (int $mm = 0; $mm < $m; $mm++) {
+           |  int $best = 0; double $bestD = java.lang.Double.MAX_VALUE;
+           |  for (int $j = 0; $j < $k; $j++) {
+           |    double $dist = 0.0;
+           |    int $xo = $mm * $sub; int $co = ($mm * $k + $j) * $sub;
+           |    for (int $dd = 0; $dd < $sub; $dd++) {
+           |      if ($a.isNullAt($xo + $dd))
+           |        throw new IllegalArgumentException(
+           |          "vec_pq_encode_packed: null element at index " + ($xo + $dd) +
+           |          " — embedding arrays must be dense");
+           |      double $diff = (double) $a.getFloat($xo + $dd)
+           |                   - (double) $cb.getFloat($co + $dd);
+           |      $dist += $diff * $diff;
+           |    }
+           |    if ($dist < $bestD) { $bestD = $dist; $best = $j; }
+           |  }
+           |  $packed |= ((long) $best) << ($mm * $bits);
+           |}
+           |${ev.value} = $packed;""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** ADC over a PACKED code word: m nibble/byte extractions + LUT adds
+    * per row — the scan kernel for [[VecPqEncodePacked]] storage. */
+  case class VecPqAdcPacked(left: Expression, right: Expression, m: Int, k: Int)
+      extends BinaryExpression with ExpectsInputTypes {
+    private val bits = 32 - java.lang.Integer.numberOfLeadingZeros(k - 1)
+    private val mask = (1L << bits) - 1
+    override def inputTypes: Seq[DataType] =
+      Seq(LongType, ArrayType(DoubleType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_pq_adc_packed"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val word = a.asInstanceOf[Long]
+      val lut = b.asInstanceOf[ArrayData]
+      var acc = 0.0
+      var mm = 0
+      while (mm < m) {
+        val c = ((word >>> (mm * bits)) & mask).toInt
+        val idx = mm * k + c
+        if (c >= k || idx >= lut.numElements())
+          throw new IllegalArgumentException(
+            s"vec_pq_adc_packed: code $c at subspace $mm out of range (k=$k)")
+        acc += lut.getDouble(idx)
+        mm += 1
+      }
+      acc
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val acc = ctx.freshName("acc"); val mm = ctx.freshName("mm")
+        val c = ctx.freshName("c"); val idx = ctx.freshName("idx")
+        s"""double $acc = 0.0;
+           |for (int $mm = 0; $mm < $m; $mm++) {
+           |  int $c = (int) (($a >>> ($mm * $bits)) & ${mask}L);
+           |  int $idx = $mm * $k + $c;
+           |  if ($c >= $k || $idx >= $b.numElements())
+           |    throw new IllegalArgumentException(
+           |      "vec_pq_adc_packed: code " + $c + " at subspace " + $mm +
+           |      " out of range (k=" + $k + ")");
+           |  $acc += $b.getDouble($idx);
+           |}
+           |${ev.value} = $acc;""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** S1 BLOB variant (VERDICT r01 missing #1): the reference stores
     * embeddings as a BLOB of dim little-endian float32 words, decoded at
     * scan (`rclip_server.py:215`; schema `index_wikimedia.py:64`).
@@ -296,7 +564,36 @@ object VectorExpressions {
       arity("vec_encode", 1)(args => VecEncode(args(0)))),
     (FunctionIdentifier("vec_qdot"),
       new ExpressionInfo(classOf[VecQDot].getName, "vec_qdot"),
-      arity("vec_qdot", 2)(args => VecQDot(args(0), args(1)))))
+      arity("vec_qdot", 2)(args => VecQDot(args(0), args(1)))),
+    (FunctionIdentifier("vec_pq_encode"),
+      new ExpressionInfo(classOf[VecPqEncode].getName, "vec_pq_encode"),
+      arity("vec_pq_encode", 4)(args =>
+        VecPqEncode(args(0), args(1), litInt(args(2), "vec_pq_encode(m)"),
+          litInt(args(3), "vec_pq_encode(k)")))),
+    (FunctionIdentifier("vec_pq_adc"),
+      new ExpressionInfo(classOf[VecPqAdc].getName, "vec_pq_adc"),
+      arity("vec_pq_adc", 3)(args =>
+        VecPqAdc(args(0), args(1), litInt(args(2), "vec_pq_adc(k)")))),
+    (FunctionIdentifier("vec_pq_encode_packed"),
+      new ExpressionInfo(classOf[VecPqEncodePacked].getName, "vec_pq_encode_packed"),
+      arity("vec_pq_encode_packed", 4)(args =>
+        VecPqEncodePacked(args(0), args(1),
+          litInt(args(2), "vec_pq_encode_packed(m)"),
+          litInt(args(3), "vec_pq_encode_packed(k)")))),
+    (FunctionIdentifier("vec_pq_adc_packed"),
+      new ExpressionInfo(classOf[VecPqAdcPacked].getName, "vec_pq_adc_packed"),
+      arity("vec_pq_adc_packed", 4)(args =>
+        VecPqAdcPacked(args(0), args(1),
+          litInt(args(2), "vec_pq_adc_packed(m)"),
+          litInt(args(3), "vec_pq_adc_packed(k)")))))
+
+  /** m/k are plan-shape constants (they size the generated loops), so
+    * they must arrive as integer literals, not runtime columns. */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an INT literal, got: $other")
+  }
 }
 
 /** Static helpers for the blob codec — a top-level object so scalac emits

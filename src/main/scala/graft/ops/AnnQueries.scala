@@ -168,12 +168,47 @@ object AnnQueries {
       .limit(10)
   }
 
+  /** n06: product-quantization ADC search — the MEMORY-bound scale path
+    * v06's scalar int8 can't reach: each embedding is compressed to
+    * M=8 per-subspace centroid codes (256 B → 8 codes, 32×) by the
+    * codegen `vec_pq_encode` kernel, and scoring is `vec_pq_adc` — M
+    * lookups into the query's exact dot-product table — so the scan
+    * never touches raw vectors. Codebook = sub-vectors of the first 16
+    * embeddings in id order (n04's iters=0 discipline: data-derivable,
+    * so the DuckDB oracle re-derives codes, LUT, and scores bit-exactly
+    * via unrolled left-associated arithmetic; Lloyd-refined codebooks
+    * and the persisted-artifact path are AnnPqSpec's PqIndex surface).
+    * Plan: one narrow projection over the scan + TakeOrderedAndProject,
+    * zero shuffle. */
+  val n06_pq_adc: Q = (s, d) => {
+    val q = VectorQueries.flagshipVec
+    val M = 8; val K = 16
+    import s.implicits._
+    val cbRows: Array[Array[Float]] = Tables.embeddings(s, d)
+      .orderBy(col("vec_id")).limit(K)
+      .select(col("embedding")).as[Array[Float]].collect()
+    val sub = cbRows(0).length / M
+    val flatCb = new Array[Float](M * K * sub)
+    for (mm <- 0 until M; j <- 0 until K; dd <- 0 until sub)
+      flatCb((mm * K + j) * sub + dd) = cbRows(j)(mm * sub + dd)
+    val lut = graft.ann.PqIndex.lut(flatCb, M, K, q)
+    VectorOps.ensureRegistered(s)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        (round(VectorOps.pqAdc(
+          VectorOps.pqEncode(col("embedding"), flatCb, M, K), lut, K), 4)
+          + lit(0.0)).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   def queries: Map[String, Q] = Map(
     "n01_ann_ivf" -> n01_ann_ivf,
     "n02_ann_lsh_topk" -> n02_ann_lsh_topk,
     "n03_ann_batch" -> n03_ann_batch,
     "n04_ivf_artifact" -> n04_ivf_artifact,
-    "n05_quantized_rerank" -> n05_quantized_rerank)
+    "n05_quantized_rerank" -> n05_quantized_rerank,
+    "n06_pq_adc" -> n06_pq_adc)
 
   def oracleSql: Map[String, String] = {
     val qLit = VectorOps.sqlDoubleArray(VectorQueries.flagshipVec)
@@ -258,6 +293,45 @@ object AnnQueries {
            |SELECT e.vec_id,
            |       round(list_dot_product(e.embedding::DOUBLE[], $qLit), 4) AS score
            |FROM embeddings e JOIN coarse c ON e.vec_id = c.vec_id
-           |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin)
+           |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+      // n06: every Double sum is an UNROLLED left-associated `+` chain in
+      // the exact order the codegen kernels accumulate, so subspace
+      // distances (hence every argmin CODE), the LUT, and the ADC score
+      // are bit-identical across engines.
+      "n06_pq_adc" -> {
+        val pqDist = (1 to 8).map(dd =>
+          s"""(e.embedding[s.mm*8+$dd]::DOUBLE - c.embedding[s.mm*8+$dd]::DOUBLE)
+             | * (e.embedding[s.mm*8+$dd]::DOUBLE - c.embedding[s.mm*8+$dd]::DOUBLE)"""
+            .stripMargin.replace("\n", "")).mkString("\n         + ")
+        val pqPdot = (1 to 8).map(dd =>
+          s"($qLit)[s.mm*8+$dd] * c.embedding[s.mm*8+$dd]::DOUBLE")
+          .mkString("\n         + ")
+        val adcSum = (0 until 8).map(mm =>
+          s"max(CASE WHEN l.mm = $mm THEN l.pdot END)").mkString("\n         + ")
+        s"""WITH cb AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding
+           |  FROM (SELECT vec_id, embedding FROM embeddings
+           |        ORDER BY vec_id LIMIT 16)),
+           |subsp AS (SELECT unnest(range(0, 8)) AS mm),
+           |dists AS (
+           |  SELECT e.vec_id, s.mm, c.j,
+           |         $pqDist AS dist
+           |  FROM embeddings e, subsp s, cb c),
+           |codes AS (
+           |  SELECT vec_id, mm, j AS code FROM dists
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id, mm
+           |                             ORDER BY dist ASC, j ASC) = 1),
+           |lut AS (
+           |  SELECT s.mm, c.j,
+           |         $pqPdot AS pdot
+           |  FROM subsp s, cb c),
+           |adc AS (
+           |  SELECT co.vec_id,
+           |         $adcSum AS score0
+           |  FROM codes co JOIN lut l ON l.mm = co.mm AND l.j = co.code
+           |  GROUP BY co.vec_id)
+           |SELECT vec_id, round(score0, 4) + 0.0 AS score
+           |FROM adc ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+      })
   }
 }

@@ -206,6 +206,13 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).length == 3, p)
   }
 
+  test("n06 PQ ADC: encode + LUT scoring ride ONE narrow scan into " +
+    "TakeOrderedAndProject — zero Exchange, no UDF") {
+    val p = planOf(AnnQueries.n06_pq_adc)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange") && !p.contains("ScalaUDF"), p)
+  }
+
   test("t09 PII scrub: pure narrow scan — regexes ride the projection, " +
     "only the presentation sort exchanges") {
     val p = planOf(TextQueries.t09_pii_redact)
