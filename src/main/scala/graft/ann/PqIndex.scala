@@ -52,7 +52,8 @@ final class PqIndex(
     val codes: DataFrame,
     idCol: String) {
 
-  private def sub: Int = flatCodebook.length / (m * k)
+  require(flatCodebook.length % (m * k) == 0,
+    s"flat codebook length ${flatCodebook.length} is not a multiple of m·k = ${m * k}")
 
   /** Driver-side ADC lookup table for a query: lut[mm·k + j] =
     * dot(q_mm, centroid_mmj) (see [[PqIndex.lut]]). */
@@ -67,13 +68,15 @@ final class PqIndex(
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(topk)
 
-  /** Persist codes + codebook sidecar. */
+  /** Persist codes + codebook sidecar. The sidecar carries idCol too,
+    * so the artifact is self-describing — a load() must not depend on
+    * the caller remembering which id column the index was built on. */
   def save(path: String): Unit = {
     codes.write.mode("overwrite").parquet(s"$path/codes")
     val spark = codes.sparkSession
     import spark.implicits._
-    Seq((m, k, flatCodebook.toSeq))
-      .toDF("m", "k", "flat_codebook")
+    Seq((m, k, flatCodebook.toSeq, idCol))
+      .toDF("m", "k", "flat_codebook", "id_col")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
   }
 }
@@ -181,14 +184,14 @@ object PqIndex {
     new PqIndex(m, k, flat, codes, idCol)
   }
 
-  /** Reload a saved artifact in a fresh session. */
-  def load(spark: SparkSession, path: String,
-      idCol: String = "vec_id"): PqIndex = {
+  /** Reload a saved artifact in a fresh session (the sidecar carries
+    * m, k, the codebook, and the id column — fully self-describing). */
+  def load(spark: SparkSession, path: String): PqIndex = {
     VectorOps.ensureRegistered(spark)
     import spark.implicits._
-    val (m, k, flat) = spark.read.parquet(s"$path/codebook")
-      .select(col("m"), col("k"), col("flat_codebook"))
-      .as[(Int, Int, Seq[Float])].head()
+    val (m, k, flat, idCol) = spark.read.parquet(s"$path/codebook")
+      .select(col("m"), col("k"), col("flat_codebook"), col("id_col"))
+      .as[(Int, Int, Seq[Float], String)].head()
     new PqIndex(m, k, flat.toArray, spark.read.parquet(s"$path/codes"), idCol)
   }
 }

@@ -240,6 +240,86 @@ object VectorExpressions {
     * nested-array traversal in codegen). Distances accumulate in Double
     * in index order — the DuckDB oracle reproduces them bit-exactly, so
     * the argmin (and every code) matches across engines. */
+  /** Shared interpreted PQ-encode kernel (both encode expressions
+    * delegate here — one argmin implementation, one error surface).
+    * Null/dims checks run ONCE over the m·sub prefix, not inside the
+    * k-way centroid loop. */
+  private[expr] def pqEncodeCodes(x: ArrayData, cb: ArrayData,
+      m: Int, k: Int, name: String): Array[Int] = {
+    val sub = cb.numElements() / (m * k)
+    if (x.numElements() < m * sub)
+      throw new IllegalArgumentException(
+        s"$name: vector has ${x.numElements()} dims, codebook expects ${m * sub}")
+    var i = 0
+    while (i < m * sub) {
+      if (x.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$name: null element at index $i — embedding arrays must be dense")
+      i += 1
+    }
+    val codes = new Array[Int](m)
+    var mm = 0
+    while (mm < m) {
+      var best = 0; var bestD = java.lang.Double.MAX_VALUE
+      var j = 0
+      while (j < k) {
+        var dist = 0.0
+        val xo = mm * sub; val co = (mm * k + j) * sub
+        var dd = 0
+        while (dd < sub) {
+          val diff = x.getFloat(xo + dd).toDouble - cb.getFloat(co + dd).toDouble
+          dist += diff * diff
+          dd += 1
+        }
+        if (dist < bestD) { bestD = dist; best = j }
+        j += 1
+      }
+      codes(mm) = best
+      mm += 1
+    }
+    codes
+  }
+
+  /** Shared codegen template for the PQ argmin loops: emits the dims
+    * check, ONE null-check pass over the m·sub prefix, and the 3-level
+    * argmin; `emitPerSubspace(mm, best)` stores each subspace's winner
+    * (the only line the two encode expressions differ in). */
+  private def pqEncodeLoop(ctx: CodegenContext, a: String, cb: String,
+      m: Int, k: Int, name: String)(
+      emitPerSubspace: (String, String) => String): String = {
+    val sub = ctx.freshName("sub"); val nc = ctx.freshName("nc")
+    val mm = ctx.freshName("mm"); val j = ctx.freshName("j")
+    val dd = ctx.freshName("dd"); val dist = ctx.freshName("dist")
+    val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+    val xo = ctx.freshName("xo"); val co = ctx.freshName("co")
+    val diff = ctx.freshName("diff")
+    s"""int $sub = $cb.numElements() / ${m * k};
+       |if ($a.numElements() < $m * $sub)
+       |  throw new IllegalArgumentException(
+       |    "$name: vector has " + $a.numElements() +
+       |    " dims, codebook expects " + ($m * $sub));
+       |for (int $nc = 0; $nc < $m * $sub; $nc++) {
+       |  if ($a.isNullAt($nc))
+       |    throw new IllegalArgumentException(
+       |      "$name: null element at index " + $nc +
+       |      " — embedding arrays must be dense");
+       |}
+       |for (int $mm = 0; $mm < $m; $mm++) {
+       |  int $best = 0; double $bestD = java.lang.Double.MAX_VALUE;
+       |  for (int $j = 0; $j < $k; $j++) {
+       |    double $dist = 0.0;
+       |    int $xo = $mm * $sub; int $co = ($mm * $k + $j) * $sub;
+       |    for (int $dd = 0; $dd < $sub; $dd++) {
+       |      double $diff = (double) $a.getFloat($xo + $dd)
+       |                   - (double) $cb.getFloat($co + $dd);
+       |      $dist += $diff * $diff;
+       |    }
+       |    if ($dist < $bestD) { $bestD = $dist; $best = $j; }
+       |  }
+       |  ${emitPerSubspace(mm, best)}
+       |}""".stripMargin
+  }
+
   case class VecPqEncode(left: Expression, right: Expression, m: Int, k: Int)
       extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[DataType] =
@@ -247,72 +327,18 @@ object VectorExpressions {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "vec_pq_encode"
 
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
-      val cb = b.asInstanceOf[ArrayData]
-      val sub = cb.numElements() / (m * k)
-      if (x.numElements() < m * sub)
-        throw new IllegalArgumentException(
-          s"vec_pq_encode: vector has ${x.numElements()} dims, codebook expects ${m * sub}")
-      val codes = new Array[Int](m)
-      var mm = 0
-      while (mm < m) {
-        var best = 0; var bestD = java.lang.Double.MAX_VALUE
-        var j = 0
-        while (j < k) {
-          var dist = 0.0
-          val xo = mm * sub; val co = (mm * k + j) * sub
-          var dd = 0
-          while (dd < sub) {
-            if (x.isNullAt(xo + dd))
-              throw new IllegalArgumentException(
-                s"vec_pq_encode: null element at index ${xo + dd} — embedding arrays must be dense")
-            val diff = x.getFloat(xo + dd).toDouble - cb.getFloat(co + dd).toDouble
-            dist += diff * diff
-            dd += 1
-          }
-          if (dist < bestD) { bestD = dist; best = j }
-          j += 1
-        }
-        codes(mm) = best
-        mm += 1
-      }
+    override def nullSafeEval(a: Any, b: Any): Any =
       org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-        .fromPrimitiveArray(codes)
-    }
+        .fromPrimitiveArray(pqEncodeCodes(a.asInstanceOf[ArrayData],
+          b.asInstanceOf[ArrayData], m, k, prettyName))
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, cb) => {
-        val sub = ctx.freshName("sub"); val codes = ctx.freshName("codes")
-        val mm = ctx.freshName("mm"); val j = ctx.freshName("j")
-        val dd = ctx.freshName("dd"); val dist = ctx.freshName("dist")
-        val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
-        val xo = ctx.freshName("xo"); val co = ctx.freshName("co")
-        val diff = ctx.freshName("diff")
-        s"""int $sub = $cb.numElements() / ${m * k};
-           |if ($a.numElements() < $m * $sub)
-           |  throw new IllegalArgumentException(
-           |    "vec_pq_encode: vector has " + $a.numElements() +
-           |    " dims, codebook expects " + ($m * $sub));
-           |int[] $codes = new int[$m];
-           |for (int $mm = 0; $mm < $m; $mm++) {
-           |  int $best = 0; double $bestD = java.lang.Double.MAX_VALUE;
-           |  for (int $j = 0; $j < $k; $j++) {
-           |    double $dist = 0.0;
-           |    int $xo = $mm * $sub; int $co = ($mm * $k + $j) * $sub;
-           |    for (int $dd = 0; $dd < $sub; $dd++) {
-           |      if ($a.isNullAt($xo + $dd))
-           |        throw new IllegalArgumentException(
-           |          "vec_pq_encode: null element at index " + ($xo + $dd) +
-           |          " — embedding arrays must be dense");
-           |      double $diff = (double) $a.getFloat($xo + $dd)
-           |                   - (double) $cb.getFloat($co + $dd);
-           |      $dist += $diff * $diff;
-           |    }
-           |    if ($dist < $bestD) { $bestD = $dist; $best = $j; }
-           |  }
-           |  $codes[$mm] = $best;
-           |}
+        val codes = ctx.freshName("codes")
+        s"""int[] $codes = new int[$m];
+           |${pqEncodeLoop(ctx, a, cb, m, k, prettyName) {
+                (mm, best) => s"$codes[$mm] = $best;"
+              }}
            |${ev.value} = org.apache.spark.sql.catalyst.expressions
            |  .UnsafeArrayData.fromPrimitiveArray($codes);""".stripMargin
       })
@@ -396,12 +422,12 @@ object VectorExpressions {
     override def prettyName: String = "vec_pq_encode_packed"
 
     override def nullSafeEval(a: Any, b: Any): Any = {
-      val codes = VecPqEncode(left, right, m, k)
-        .nullSafeEval(a, b).asInstanceOf[ArrayData]
+      val codes = pqEncodeCodes(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], m, k, prettyName)
       var packed = 0L
       var mm = 0
       while (mm < m) {
-        packed |= codes.getInt(mm).toLong << (mm * bits)
+        packed |= codes(mm).toLong << (mm * bits)
         mm += 1
       }
       packed
@@ -409,36 +435,11 @@ object VectorExpressions {
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, cb) => {
-        val sub = ctx.freshName("sub"); val packed = ctx.freshName("packed")
-        val mm = ctx.freshName("mm"); val j = ctx.freshName("j")
-        val dd = ctx.freshName("dd"); val dist = ctx.freshName("dist")
-        val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
-        val xo = ctx.freshName("xo"); val co = ctx.freshName("co")
-        val diff = ctx.freshName("diff")
-        s"""int $sub = $cb.numElements() / ${m * k};
-           |if ($a.numElements() < $m * $sub)
-           |  throw new IllegalArgumentException(
-           |    "vec_pq_encode_packed: vector has " + $a.numElements() +
-           |    " dims, codebook expects " + ($m * $sub));
-           |long $packed = 0L;
-           |for (int $mm = 0; $mm < $m; $mm++) {
-           |  int $best = 0; double $bestD = java.lang.Double.MAX_VALUE;
-           |  for (int $j = 0; $j < $k; $j++) {
-           |    double $dist = 0.0;
-           |    int $xo = $mm * $sub; int $co = ($mm * $k + $j) * $sub;
-           |    for (int $dd = 0; $dd < $sub; $dd++) {
-           |      if ($a.isNullAt($xo + $dd))
-           |        throw new IllegalArgumentException(
-           |          "vec_pq_encode_packed: null element at index " + ($xo + $dd) +
-           |          " — embedding arrays must be dense");
-           |      double $diff = (double) $a.getFloat($xo + $dd)
-           |                   - (double) $cb.getFloat($co + $dd);
-           |      $dist += $diff * $diff;
-           |    }
-           |    if ($dist < $bestD) { $bestD = $dist; $best = $j; }
-           |  }
-           |  $packed |= ((long) $best) << ($mm * $bits);
-           |}
+        val packed = ctx.freshName("packed")
+        s"""long $packed = 0L;
+           |${pqEncodeLoop(ctx, a, cb, m, k, prettyName) {
+                (mm, best) => s"$packed |= ((long) $best) << ($mm * $bits);"
+              }}
            |${ev.value} = $packed;""".stripMargin
       })
 
@@ -453,6 +454,10 @@ object VectorExpressions {
       extends BinaryExpression with ExpectsInputTypes {
     private val bits = 32 - java.lang.Integer.numberOfLeadingZeros(k - 1)
     private val mask = (1L << bits) - 1
+    // same guard as the packed encoder: shifting past bit 63 wraps in
+    // Java (`>>> 64` == `>>> 0`) and would silently re-read subspace 0
+    require(m * bits <= 64,
+      s"vec_pq_adc_packed: m=$m codes of $bits bits exceed one BIGINT")
     override def inputTypes: Seq[DataType] =
       Seq(LongType, ArrayType(DoubleType))
     override def dataType: DataType = DoubleType

@@ -187,6 +187,8 @@ object AnnQueries {
     val cbRows: Array[Array[Float]] = Tables.embeddings(s, d)
       .orderBy(col("vec_id")).limit(K)
       .select(col("embedding")).as[Array[Float]].collect()
+    require(cbRows.length >= K,
+      s"n06 codebook needs $K embedding rows, table has ${cbRows.length}")
     val sub = cbRows(0).length / M
     val flatCb = new Array[Float](M * K * sub)
     for (mm <- 0 until M; j <- 0 until K; dd <- 0 until sub)
