@@ -151,7 +151,49 @@ object Bench {
   def microDot(spark: SparkSession): Seq[(String, Double)] =
     microDotAt(spark, 200000, 64, "dot") ++
       microDotAt(spark, 25000, 512, "dot512") ++
-      microQDot(spark, 200000, 64)
+      microQDot(spark, 200000, 64) ++
+      microPqAdc(spark, 200000, 64)
+
+  /** PQ ADC scan vs exact fp32 dot over the SAME cached corpus: the
+    * packed-code column (8 B/row) is scored by m shift-mask + LUT adds
+    * where the fp32 path streams 256 B/row through multiply-adds. In
+    * cache both are cheap; the 100 TB claim is the 32× smaller scan
+    * footprint, and this micro pins that the per-row ADC compute is not
+    * slower than the dot it replaces. */
+  def microPqAdc(spark: SparkSession, rows: Int, dim: Int): Seq[(String, Double)] = {
+    import graft.vec.VectorOps
+    val m = 16; val k = 16
+    val q = Array.tabulate(dim)(i => ((i % 7) - 3) / 8.0f)
+    val corpus = spark.range(rows)
+      .selectExpr("id",
+        s"transform(sequence(0, ${dim - 1}), j -> CAST(sin(id * 1.7 + j) AS FLOAT)) AS embedding")
+      .cache()
+    corpus.count()
+    // deterministic pseudo-codebook (bench-only: timing is independent
+    // of codebook quality) + its query LUT
+    val flatCb = Array.tabulate(m * k * (dim / m))(i => ((i * 37 % 19) - 9) / 10.0f)
+    val lut = graft.ann.PqIndex.lut(flatCb, m, k, q)
+    val codesDf = corpus
+      .select(col("id"),
+        VectorOps.pqEncodePacked(col("embedding"), flatCb, m, k).as("code"))
+      .cache()
+    codesDf.count()
+    def time(df: org.apache.spark.sql.DataFrame): Double = {
+      spark.sparkContext.setJobDescription("micro-pq-adc")
+      val t0 = System.nanoTime()
+      df.head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val adc = codesDf.select(sum(VectorOps.pqAdcPacked(col("code"), lut, m, k)))
+    val fp32 = corpus.select(sum(VectorOps.dotQueryNative(col("embedding"), q)))
+    val out = Seq("pqadc_packed" -> adc, "pqadc_fp32dot" -> fp32).map {
+      case (name, df) =>
+        time(df)
+        name -> Seq(time(df), time(df), time(df)).min
+    }
+    codesDf.unpersist(); corpus.unpersist()
+    out
+  }
 
   /** Codegen vec_qdot vs an equivalent quantize-and-dot Scala UDF (the
     * v06/n05 coarse kernel before it was promoted to an expression). */

@@ -180,26 +180,87 @@ object AnnQueries {
     * and the persisted-artifact path are AnnPqSpec's PqIndex surface).
     * Plan: one narrow projection over the scan + TakeOrderedAndProject,
     * zero shuffle. */
-  val n06_pq_adc: Q = (s, d) => {
-    val q = VectorQueries.flagshipVec
-    val M = 8; val K = 16
+  /** Shared n06/n07 PQ setup: first-16-rows codebook (flattened to the
+    * kernel layout) + the query's ADC LUT. M=8 subspaces, K=16
+    * centroids — constants mirrored in [[pqOracleCtes]]. */
+  private val PQ_M = 8
+  private val PQ_K = 16
+  private def pqSetup(s: SparkSession, d: String): (Array[Float], Array[Double]) = {
     import s.implicits._
     val cbRows: Array[Array[Float]] = Tables.embeddings(s, d)
-      .orderBy(col("vec_id")).limit(K)
+      .orderBy(col("vec_id")).limit(PQ_K)
       .select(col("embedding")).as[Array[Float]].collect()
-    require(cbRows.length >= K,
-      s"n06 codebook needs $K embedding rows, table has ${cbRows.length}")
-    val sub = cbRows(0).length / M
-    val flatCb = new Array[Float](M * K * sub)
-    for (mm <- 0 until M; j <- 0 until K; dd <- 0 until sub)
-      flatCb((mm * K + j) * sub + dd) = cbRows(j)(mm * sub + dd)
-    val lut = graft.ann.PqIndex.lut(flatCb, M, K, q)
+    require(cbRows.length >= PQ_K,
+      s"PQ codebook needs $PQ_K embedding rows, table has ${cbRows.length}")
+    val sub = cbRows(0).length / PQ_M
+    val flatCb = new Array[Float](PQ_M * PQ_K * sub)
+    for (mm <- 0 until PQ_M; j <- 0 until PQ_K; dd <- 0 until sub)
+      flatCb((mm * PQ_K + j) * sub + dd) = cbRows(j)(mm * sub + dd)
+    (flatCb, graft.ann.PqIndex.lut(flatCb, PQ_M, PQ_K, VectorQueries.flagshipVec))
+  }
+
+  val n06_pq_adc: Q = (s, d) => {
+    val (flatCb, lut) = pqSetup(s, d)
     VectorOps.ensureRegistered(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"),
         (round(VectorOps.pqAdc(
-          VectorOps.pqEncode(col("embedding"), flatCb, M, K), lut, K), 4)
+          VectorOps.pqEncode(col("embedding"), flatCb, PQ_M, PQ_K), lut, PQ_K), 4)
           + lit(0.0)).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** n07: the FAISS-style IVF-PQ composition end-to-end — coarse cells
+    * prune the scan (n04's first-8 centroids; 2 of 8 probed), the
+    * survivors are scored by the PQ ADC kernel over codes (n06's
+    * codebook), and only the ADC top-50 get exact fp32 reranking via a
+    * broadcast re-join. At 100 TB each stage cuts the next one's input:
+    * cell pruning reads nprobe/cells of the corpus, the ADC pass reads
+    * 8-byte codes instead of raw vectors, and the rerank touches 50
+    * rows. Cell assignment is an argmax CASE chain over codegen
+    * vec_dot scores (ties → lowest cell, matching IvfIndex's strict->
+    * loop and the oracle's ORDER BY); every stage's arithmetic is
+    * bit-identical across engines, so the oracle reproduces the exact
+    * candidate sets, not just the final ranking. */
+  val n07_ivf_pq: Q = (s, d) => {
+    val q = VectorQueries.flagshipVec
+    val CELLS = 8; val NPROBE = 2; val COARSE = 50
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val cents: Array[Array[Float]] = emb
+      .orderBy(col("vec_id")).limit(CELLS)
+      .select(col("embedding")).as[Array[Float]].collect()
+    require(cents.length >= CELLS,
+      s"n07 needs $CELLS centroid rows, table has ${cents.length}")
+    val probed = cents.indices
+      .sortBy(c => (-VectorOps.dot(cents(c), q), c)).take(NPROBE)
+    val (flatCb, lut) = pqSetup(s, d)
+    VectorOps.ensureRegistered(s)
+    val withScores = emb.select(
+      col("vec_id") +: col("embedding") +:
+        cents.zipWithIndex.map { case (cvec, i) =>
+          VectorOps.dotQueryNative(col("embedding"), cvec).as(s"cs_$i")
+        }.toSeq: _*)
+    val cellCase = (0 until CELLS).map { i =>
+      val ge = (0 until CELLS).filter(_ != i)
+        .map(o => s"cs_$i >= cs_$o").mkString(" AND ")
+      s"WHEN $ge THEN $i"
+    }.mkString("CASE ", " ", " END")
+    val coarse = withScores
+      .withColumn("cell", expr(cellCase))
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"),
+        VectorOps.pqAdc(
+          VectorOps.pqEncode(col("embedding"), flatCb, PQ_M, PQ_K), lut, PQ_K)
+          .as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+      .limit(COARSE)
+      .select(col("vec_id"))
+    emb.join(broadcast(coarse), "vec_id")
+      .select(col("vec_id"),
+        (round(VectorOps.dotQueryNative(col("embedding"), q), 4) + lit(0.0))
+          .as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -210,7 +271,8 @@ object AnnQueries {
     "n03_ann_batch" -> n03_ann_batch,
     "n04_ivf_artifact" -> n04_ivf_artifact,
     "n05_quantized_rerank" -> n05_quantized_rerank,
-    "n06_pq_adc" -> n06_pq_adc)
+    "n06_pq_adc" -> n06_pq_adc,
+    "n07_ivf_pq" -> n07_ivf_pq)
 
   def oracleSql: Map[String, String] = {
     val qLit = VectorOps.sqlDoubleArray(VectorQueries.flagshipVec)
@@ -300,40 +362,79 @@ object AnnQueries {
       // the exact order the codegen kernels accumulate, so subspace
       // distances (hence every argmin CODE), the LUT, and the ADC score
       // are bit-identical across engines.
-      "n06_pq_adc" -> {
-        val pqDist = (1 to 8).map(dd =>
-          s"""(e.embedding[s.mm*8+$dd]::DOUBLE - c.embedding[s.mm*8+$dd]::DOUBLE)
-             | * (e.embedding[s.mm*8+$dd]::DOUBLE - c.embedding[s.mm*8+$dd]::DOUBLE)"""
-            .stripMargin.replace("\n", "")).mkString("\n         + ")
-        val pqPdot = (1 to 8).map(dd =>
-          s"($qLit)[s.mm*8+$dd] * c.embedding[s.mm*8+$dd]::DOUBLE")
-          .mkString("\n         + ")
-        val adcSum = (0 until 8).map(mm =>
-          s"max(CASE WHEN l.mm = $mm THEN l.pdot END)").mkString("\n         + ")
-        s"""WITH cb AS (
-           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding
-           |  FROM (SELECT vec_id, embedding FROM embeddings
-           |        ORDER BY vec_id LIMIT 16)),
-           |subsp AS (SELECT unnest(range(0, 8)) AS mm),
-           |dists AS (
-           |  SELECT e.vec_id, s.mm, c.j,
-           |         $pqDist AS dist
-           |  FROM embeddings e, subsp s, cb c),
-           |codes AS (
-           |  SELECT vec_id, mm, j AS code FROM dists
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id, mm
-           |                             ORDER BY dist ASC, j ASC) = 1),
-           |lut AS (
-           |  SELECT s.mm, c.j,
-           |         $pqPdot AS pdot
-           |  FROM subsp s, cb c),
-           |adc AS (
-           |  SELECT co.vec_id,
-           |         $adcSum AS score0
-           |  FROM codes co JOIN lut l ON l.mm = co.mm AND l.j = co.code
-           |  GROUP BY co.vec_id)
+      "n06_pq_adc" ->
+        s"""WITH ${pqOracleCtes(qLit, corpus = "embeddings")}
            |SELECT vec_id, round(score0, 4) + 0.0 AS score
-           |FROM adc ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
-      })
+           |FROM adc ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+      // n07: n04's cell-probe CTEs feeding n06's PQ CTEs (the pruned
+      // corpus replaces the full table), then an exact fp32 rerank of
+      // the ADC top-50 — the FAISS-style IVF-PQ composition end-to-end
+      // under the oracle.
+      "n07_ivf_pq" ->
+        s"""WITH cb8 AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           |         embedding AS cent
+           |  FROM (SELECT vec_id, embedding FROM embeddings
+           |        ORDER BY vec_id LIMIT 8)),
+           |probed AS (
+           |  SELECT cell FROM cb8
+           |  ORDER BY list_dot_product(cent::DOUBLE[], $qLit) DESC, cell ASC
+           |  LIMIT 2),
+           |pruned AS (
+           |  SELECT e.vec_id, e.embedding
+           |  FROM (SELECT vec_id, embedding,
+           |          (SELECT c.cell FROM cb8 c
+           |           ORDER BY list_dot_product(c.cent::DOUBLE[],
+           |                                     embedding::DOUBLE[]) DESC,
+           |                    c.cell ASC
+           |           LIMIT 1) AS cell
+           |        FROM embeddings) e
+           |  WHERE e.cell IN (SELECT cell FROM probed)),
+           |${pqOracleCtes(qLit, corpus = "pruned")},
+           |coarse AS (
+           |  SELECT vec_id FROM adc ORDER BY score0 DESC, vec_id ASC LIMIT 50)
+           |SELECT e.vec_id,
+           |       round(list_dot_product(e.embedding::DOUBLE[], $qLit), 4) + 0.0 AS score
+           |FROM embeddings e JOIN coarse USING (vec_id)
+           |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin)
+  }
+
+  /** The n06 PQ pipeline as reusable DuckDB CTEs (no WITH, ends at the
+    * `adc(vec_id, score0)` table) over `corpus` — shared verbatim by the
+    * n06 and n07 oracles so the PQ arithmetic cannot drift between them.
+    * The PQ codebook stays the first 16 rows of the FULL embeddings
+    * table in both uses (an artifact is trained once, not per-probe). */
+  private def pqOracleCtes(qLit: String, corpus: String): String = {
+    val pqDist = (1 to 8).map(dd =>
+      s"""(e.embedding[s.mm*8+$dd]::DOUBLE - c.embedding[s.mm*8+$dd]::DOUBLE)
+         | * (e.embedding[s.mm*8+$dd]::DOUBLE - c.embedding[s.mm*8+$dd]::DOUBLE)"""
+        .stripMargin.replace("\n", "")).mkString("\n       + ")
+    val pqPdot = (1 to 8).map(dd =>
+      s"($qLit)[s.mm*8+$dd] * c.embedding[s.mm*8+$dd]::DOUBLE")
+      .mkString("\n       + ")
+    val adcSum = (0 until 8).map(mm =>
+      s"max(CASE WHEN l.mm = $mm THEN l.pdot END)").mkString("\n       + ")
+    s"""cb AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        ORDER BY vec_id LIMIT 16)),
+       |subsp AS (SELECT unnest(range(0, 8)) AS mm),
+       |dists AS (
+       |  SELECT e.vec_id, s.mm, c.j,
+       |       $pqDist AS dist
+       |  FROM $corpus e, subsp s, cb c),
+       |codes AS (
+       |  SELECT vec_id, mm, j AS code FROM dists
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, mm
+       |                             ORDER BY dist ASC, j ASC) = 1),
+       |lut AS (
+       |  SELECT s.mm, c.j,
+       |       $pqPdot AS pdot
+       |  FROM subsp s, cb c),
+       |adc AS (
+       |  SELECT co.vec_id,
+       |       $adcSum AS score0
+       |  FROM codes co JOIN lut l ON l.mm = co.mm AND l.j = co.code
+       |  GROUP BY co.vec_id)""".stripMargin
   }
 }

@@ -213,6 +213,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange") && !p.contains("ScalaUDF"), p)
   }
 
+  test("n07 IVF-PQ: cell filter + ADC ride the scan into a coarse " +
+    "TakeOrdered, rerank is a broadcast join — the corpus never shuffles") {
+    val p = planOf(AnnQueries.n07_ivf_pq)
+    // coarse top-50 and final top-10 are both k-bounded merges
+    assert("TakeOrderedAndProject".r.findAllIn(p).length == 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ScalaUDF"), p)
+    // the only exchange is the 50-row broadcast — never a corpus shuffle
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("t09 PII scrub: pure narrow scan — regexes ride the projection, " +
     "only the presentation sort exchanges") {
     val p = planOf(TextQueries.t09_pii_redact)
