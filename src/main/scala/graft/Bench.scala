@@ -156,10 +156,12 @@ object Bench {
 
   /** PQ ADC scan vs exact fp32 dot over the SAME cached corpus: the
     * packed-code column (8 B/row) is scored by m shift-mask + LUT adds
-    * where the fp32 path streams 256 B/row through multiply-adds. In
-    * cache both are cheap; the 100 TB claim is the 32× smaller scan
-    * footprint, and this micro pins that the per-row ADC compute is not
-    * slower than the dot it replaces. */
+    * where the fp32 path streams 256 B/row through multiply-adds. With
+    * both inputs RAM-cached the per-row compute is comparable (measured
+    * ~10% apart at 200k×64 — cache-resident timing can't see the IO
+    * delta), so the micro pins that ADC costs ~the same per row; the
+    * 100 TB win is the 32× smaller scan footprint, which shows up as
+    * IO, shuffle, and memory-residency, not per-row arithmetic. */
   def microPqAdc(spark: SparkSession, rows: Int, dim: Int): Seq[(String, Double)] = {
     import graft.vec.VectorOps
     val m = 16; val k = 16
