@@ -106,6 +106,30 @@ object Bench {
     spark.stop()
   }
 
+  /** Shared micro fixtures: ONE corpus recipe and ONE warmup+best-of-3
+    * harness for every micro — a methodology or data change edits one
+    * place, not a copy per micro (a missed copy silently benchmarks
+    * different data). Best-of-3 because a single GC/JIT spike can land
+    * on two consecutive runs of one column (observed once:
+    * dot512_codegen recorded 3.9 s at a 0.2 s steady state). */
+  private def genEmbCorpus(spark: SparkSession, rows: Int,
+      dim: Int): org.apache.spark.sql.DataFrame = {
+    val corpus = spark.range(rows)
+      .selectExpr("id",
+        s"transform(sequence(0, ${dim - 1}), j -> CAST(sin(id * 1.7 + j) AS FLOAT)) AS embedding")
+      .cache()
+    corpus.count() // materialize
+    corpus
+  }
+
+  private def bestOf3(spark: SparkSession, desc: String)(job: () => Unit): Double = {
+    spark.sparkContext.setJobDescription(desc)
+    job() // warmup
+    Seq.fill(3) {
+      val t0 = System.nanoTime(); job(); (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
   /** Compiled-UDF vs interpreted-HOF rolling-hash fingerprint (t04's
     * rewrite, VERDICT r02 #3) over generated text: the HOF evaluates
     * ~8 interpreted lambda calls per character, the UDF one compiled
@@ -128,15 +152,8 @@ object Bench {
          |    CAST(0 AS BIGINT), (acc, x) -> (acc + x) % ${p}L)
          |ELSE CAST(0 AS BIGINT) END""".stripMargin)
     val udfCol = graft.ops.TextQueries.fpUdf(col("text"))
-    def time(c: org.apache.spark.sql.Column): Double = {
-      spark.sparkContext.setJobDescription("micro-fingerprint")
-      val t0 = System.nanoTime()
-      corpus.select(sum(c)).head()
-      (System.nanoTime() - t0) / 1e9
-    }
     val out = Seq("fp_udf" -> udfCol, "fp_hof" -> hof).map { case (name, c) =>
-      time(c)
-      name -> Seq(time(c), time(c), time(c)).min
+      name -> bestOf3(spark, "micro-fingerprint")(() => { corpus.select(sum(c)).head(); () })
     }
     corpus.unpersist()
     out
@@ -166,11 +183,7 @@ object Bench {
     import graft.vec.VectorOps
     val m = 16; val k = 16
     val q = Array.tabulate(dim)(i => ((i % 7) - 3) / 8.0f)
-    val corpus = spark.range(rows)
-      .selectExpr("id",
-        s"transform(sequence(0, ${dim - 1}), j -> CAST(sin(id * 1.7 + j) AS FLOAT)) AS embedding")
-      .cache()
-    corpus.count()
+    val corpus = genEmbCorpus(spark, rows, dim)
     // deterministic pseudo-codebook (bench-only: timing is independent
     // of codebook quality) + its query LUT
     val flatCb = Array.tabulate(m * k * (dim / m))(i => ((i * 37 % 19) - 9) / 10.0f)
@@ -180,18 +193,11 @@ object Bench {
         VectorOps.pqEncodePacked(col("embedding"), flatCb, m, k).as("code"))
       .cache()
     codesDf.count()
-    def time(df: org.apache.spark.sql.DataFrame): Double = {
-      spark.sparkContext.setJobDescription("micro-pq-adc")
-      val t0 = System.nanoTime()
-      df.head()
-      (System.nanoTime() - t0) / 1e9
-    }
     val adc = codesDf.select(sum(VectorOps.pqAdcPacked(col("code"), lut, m, k)))
     val fp32 = corpus.select(sum(VectorOps.dotQueryNative(col("embedding"), q)))
     val out = Seq("pqadc_packed" -> adc, "pqadc_fp32dot" -> fp32).map {
       case (name, df) =>
-        time(df)
-        name -> Seq(time(df), time(df), time(df)).min
+        name -> bestOf3(spark, "micro-pq-adc")(() => { df.head(); () })
     }
     codesDf.unpersist(); corpus.unpersist()
     out
@@ -202,11 +208,7 @@ object Bench {
   def microQDot(spark: SparkSession, rows: Int, dim: Int): Seq[(String, Double)] = {
     import graft.vec.VectorOps
     val qq = Array.tabulate(dim)(i => (i % 255).toLong - 127L)
-    val corpus = spark.range(rows)
-      .selectExpr("id",
-        s"transform(sequence(0, ${dim - 1}), j -> CAST(sin(id * 1.7 + j) AS FLOAT)) AS embedding")
-      .cache()
-    corpus.count()
+    val corpus = genEmbCorpus(spark, rows, dim)
     val codegen = VectorOps.qdotQueryNative(col("embedding"), qq)
     val udfCol = udf { (v: Seq[Float]) =>
       if (v == null) null
@@ -225,16 +227,9 @@ object Bench {
         }
       }
     }.apply(col("embedding"))
-    def time(c: org.apache.spark.sql.Column): Double = {
-      spark.sparkContext.setJobDescription("micro-qdot")
-      val t0 = System.nanoTime()
-      corpus.select(sum(c)).head()
-      (System.nanoTime() - t0) / 1e9
-    }
     val out = Seq("qdot_codegen" -> codegen, "qdot_udf" -> udfCol).map {
       case (name, c) =>
-        time(c)
-        name -> Seq(time(c), time(c), time(c)).min
+        name -> bestOf3(spark, "micro-qdot")(() => { corpus.select(sum(c)).head(); () })
     }
     corpus.unpersist()
     out
@@ -244,11 +239,7 @@ object Bench {
       prefix: String): Seq[(String, Double)] = {
     import graft.vec.VectorOps
     val q = Array.tabulate(dim)(i => ((i % 7) - 3) / 8.0f)
-    val corpus = spark.range(rows)
-      .selectExpr("id",
-        s"transform(sequence(0, ${dim - 1}), j -> CAST(sin(id * 1.7 + j) AS FLOAT)) AS embedding")
-      .cache()
-    corpus.count() // materialize
+    val corpus = genEmbCorpus(spark, rows, dim)
 
     val codegen = VectorOps.dotQueryNative(col("embedding"), q)
     val udfCol = VectorOps.dotQuery(col("embedding"), q)
@@ -256,21 +247,10 @@ object Bench {
     val hof = expr(
       s"aggregate(zip_with(embedding, $qLit, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)")
 
-    def time(c: org.apache.spark.sql.Column): Double = {
-      spark.sparkContext.setJobDescription("micro-dot")
-      val t0 = System.nanoTime()
-      corpus.select(sum(c)).head()
-      (System.nanoTime() - t0) / 1e9
-    }
-    // warmup each, then best of 3 — a single GC/JIT spike can land on
-    // two consecutive runs of one column (observed once: dot512_codegen
-    // recorded 3.9s when its steady state is 0.2s), and the micro's
-    // whole point is the steady-state ordering
     val out = Seq(s"${prefix}_codegen" -> codegen, s"${prefix}_udf" -> udfCol,
       s"${prefix}_hof" -> hof).map {
       case (name, c) =>
-        time(c)
-        name -> Seq(time(c), time(c), time(c)).min
+        name -> bestOf3(spark, "micro-dot")(() => { corpus.select(sum(c)).head(); () })
     }
     corpus.unpersist()
     out

@@ -185,12 +185,19 @@ object PqIndex {
   }
 
   /** Reload a saved artifact in a fresh session (the sidecar carries
-    * m, k, the codebook, and the id column — fully self-describing). */
+    * m, k, the codebook, and the id column — fully self-describing).
+    * Artifacts written before the sidecar carried `id_col` load with
+    * the historical default ("vec_id") instead of failing to resolve
+    * a missing column. */
   def load(spark: SparkSession, path: String): PqIndex = {
     VectorOps.ensureRegistered(spark)
     import spark.implicits._
-    val (m, k, flat, idCol) = spark.read.parquet(s"$path/codebook")
-      .select(col("m"), col("k"), col("flat_codebook"), col("id_col"))
+    val sidecar = spark.read.parquet(s"$path/codebook")
+    val idColExpr =
+      if (sidecar.columns.contains("id_col")) col("id_col")
+      else lit("vec_id")
+    val (m, k, flat, idCol) = sidecar
+      .select(col("m"), col("k"), col("flat_codebook"), idColExpr)
       .as[(Int, Int, Seq[Float], String)].head()
     new PqIndex(m, k, flat.toArray, spark.read.parquet(s"$path/codes"), idCol)
   }

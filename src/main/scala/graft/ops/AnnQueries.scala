@@ -180,18 +180,23 @@ object AnnQueries {
     * and the persisted-artifact path are AnnPqSpec's PqIndex surface).
     * Plan: one narrow projection over the scan + TakeOrderedAndProject,
     * zero shuffle. */
-  /** Shared n06/n07 PQ setup: first-16-rows codebook (flattened to the
-    * kernel layout) + the query's ADC LUT. M=8 subspaces, K=16
-    * centroids — constants mirrored in [[pqOracleCtes]]. */
+  /** Shared n06/n07 PQ setup. M=8 subspaces, K=16 centroids — constants
+    * mirrored in [[pqOracleCtes]]. ONE driver collect fetches the
+    * first-16-rows prefix; n07 slices its 8 IVF centroids from the same
+    * array rather than launching a second prefix job (each bench
+    * invocation would otherwise pay a redundant job launch). */
   private val PQ_M = 8
   private val PQ_K = 16
-  private def pqSetup(s: SparkSession, d: String): (Array[Float], Array[Double]) = {
+  private def firstRows(s: SparkSession, d: String, n: Int): Array[Array[Float]] = {
     import s.implicits._
-    val cbRows: Array[Array[Float]] = Tables.embeddings(s, d)
-      .orderBy(col("vec_id")).limit(PQ_K)
+    val rows: Array[Array[Float]] = Tables.embeddings(s, d)
+      .orderBy(col("vec_id")).limit(n)
       .select(col("embedding")).as[Array[Float]].collect()
-    require(cbRows.length >= PQ_K,
-      s"PQ codebook needs $PQ_K embedding rows, table has ${cbRows.length}")
+    require(rows.length >= n,
+      s"PQ/IVF setup needs $n embedding rows, table has ${rows.length}")
+    rows
+  }
+  private def pqSetup(cbRows: Array[Array[Float]]): (Array[Float], Array[Double]) = {
     val sub = cbRows(0).length / PQ_M
     val flatCb = new Array[Float](PQ_M * PQ_K * sub)
     for (mm <- 0 until PQ_M; j <- 0 until PQ_K; dd <- 0 until sub)
@@ -200,7 +205,7 @@ object AnnQueries {
   }
 
   val n06_pq_adc: Q = (s, d) => {
-    val (flatCb, lut) = pqSetup(s, d)
+    val (flatCb, lut) = pqSetup(firstRows(s, d, PQ_K))
     VectorOps.ensureRegistered(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"),
@@ -226,16 +231,12 @@ object AnnQueries {
   val n07_ivf_pq: Q = (s, d) => {
     val q = VectorQueries.flagshipVec
     val CELLS = 8; val NPROBE = 2; val COARSE = 50
-    import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val cents: Array[Array[Float]] = emb
-      .orderBy(col("vec_id")).limit(CELLS)
-      .select(col("embedding")).as[Array[Float]].collect()
-    require(cents.length >= CELLS,
-      s"n07 needs $CELLS centroid rows, table has ${cents.length}")
+    val prefix = firstRows(s, d, PQ_K) // one collect serves both codebooks
+    val cents = prefix.take(CELLS)
     val probed = cents.indices
       .sortBy(c => (-VectorOps.dot(cents(c), q), c)).take(NPROBE)
-    val (flatCb, lut) = pqSetup(s, d)
+    val (flatCb, lut) = pqSetup(prefix)
     VectorOps.ensureRegistered(s)
     val withScores = emb.select(
       col("vec_id") +: col("embedding") +:
@@ -307,23 +308,7 @@ object AnnQueries {
            |WHERE $lshCond
            |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
       "n04_ivf_artifact" ->
-        s"""WITH cb AS (
-           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-           |         embedding AS cent
-           |  FROM (SELECT vec_id, embedding FROM embeddings
-           |        ORDER BY vec_id LIMIT 8)),
-           |probed AS (
-           |  SELECT cell FROM cb
-           |  ORDER BY list_dot_product(cent::DOUBLE[], $qLit) DESC, cell ASC
-           |  LIMIT 2),
-           |assigned AS (
-           |  SELECT e.vec_id, e.embedding,
-           |         (SELECT c.cell FROM cb c
-           |          ORDER BY list_dot_product(c.cent::DOUBLE[],
-           |                                    e.embedding::DOUBLE[]) DESC,
-           |                   c.cell ASC
-           |          LIMIT 1) AS cell
-           |  FROM embeddings e)
+        s"""WITH ${ivfOracleCtes(qLit)}
            |SELECT vec_id,
            |       round(list_dot_product(embedding::DOUBLE[], $qLit), 4) + 0.0 AS score
            |FROM assigned
@@ -371,25 +356,10 @@ object AnnQueries {
       // the ADC top-50 — the FAISS-style IVF-PQ composition end-to-end
       // under the oracle.
       "n07_ivf_pq" ->
-        s"""WITH cb8 AS (
-           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-           |         embedding AS cent
-           |  FROM (SELECT vec_id, embedding FROM embeddings
-           |        ORDER BY vec_id LIMIT 8)),
-           |probed AS (
-           |  SELECT cell FROM cb8
-           |  ORDER BY list_dot_product(cent::DOUBLE[], $qLit) DESC, cell ASC
-           |  LIMIT 2),
+        s"""WITH ${ivfOracleCtes(qLit)},
            |pruned AS (
-           |  SELECT e.vec_id, e.embedding
-           |  FROM (SELECT vec_id, embedding,
-           |          (SELECT c.cell FROM cb8 c
-           |           ORDER BY list_dot_product(c.cent::DOUBLE[],
-           |                                     embedding::DOUBLE[]) DESC,
-           |                    c.cell ASC
-           |           LIMIT 1) AS cell
-           |        FROM embeddings) e
-           |  WHERE e.cell IN (SELECT cell FROM probed)),
+           |  SELECT vec_id, embedding FROM assigned
+           |  WHERE cell IN (SELECT cell FROM probed)),
            |${pqOracleCtes(qLit, corpus = "pruned")},
            |coarse AS (
            |  SELECT vec_id FROM adc ORDER BY score0 DESC, vec_id ASC LIMIT 50)
@@ -398,6 +368,29 @@ object AnnQueries {
            |FROM embeddings e JOIN coarse USING (vec_id)
            |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin)
   }
+
+  /** The n04/n07 shared IVF-probe CTEs (no WITH): first-8 centroids in
+    * id order, 2 probed, every row assigned — ends at `probed(cell)` +
+    * `assigned(vec_id, embedding, cell)`. One definition so a tie-break
+    * or cast fix cannot desynchronize the two oracles' candidate sets. */
+  private def ivfOracleCtes(qLit: String): String =
+    s"""ivfcb AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |         embedding AS cent
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        ORDER BY vec_id LIMIT 8)),
+       |probed AS (
+       |  SELECT cell FROM ivfcb
+       |  ORDER BY list_dot_product(cent::DOUBLE[], $qLit) DESC, cell ASC
+       |  LIMIT 2),
+       |assigned AS (
+       |  SELECT e.vec_id, e.embedding,
+       |         (SELECT c.cell FROM ivfcb c
+       |          ORDER BY list_dot_product(c.cent::DOUBLE[],
+       |                                    e.embedding::DOUBLE[]) DESC,
+       |                   c.cell ASC
+       |          LIMIT 1) AS cell
+       |  FROM embeddings e)""".stripMargin
 
   /** The n06 PQ pipeline as reusable DuckDB CTEs (no WITH, ends at the
     * `adc(vec_id, score0)` table) over `corpus` — shared verbatim by the
