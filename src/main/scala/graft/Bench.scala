@@ -101,8 +101,19 @@ object Bench {
     val envJson =
       s"""{"load_start":$loadStart,"load_end":$loadEnd,""" +
         s""""other_java_start":$javaStart,"other_java_end":$javaEnd}"""
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"micro":$mJson,"env":$envJson,"sf":"$sfDir"}""")
+    val record =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"micro":$mJson,"env":$envJson,"sf":"$sfDir"}"""
+    println(record)
+    // self-record to a file too (VERDICT r03 #2: BENCH_r03's stdout tail
+    // was truncated mid-record, losing the total and 30 per-query rows —
+    // the file copy makes driver-side capture loss unable to destroy the
+    // measurement). Overwritten per run; committed records snapshot it.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (record + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 

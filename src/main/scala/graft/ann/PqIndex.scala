@@ -60,11 +60,14 @@ final class PqIndex(
   def lutOf(q: Array[Float]): Array[Double] =
     PqIndex.lut(flatCodebook, m, k, q)
 
-  /** ADC top-k: one packed-code-column scan, zero shuffle. */
+  /** ADC top-k: one packed-code-column scan, zero shuffle. `+ 0.0`
+    * normalizes -0.0 → 0.0 so tie ordering near zero matches the
+    * engine's oracle-normalized score convention (n05/n06/n07). */
   def search(q: Array[Float], topk: Int): DataFrame =
     codes
       .select(col(idCol),
-        round(VectorOps.pqAdcPacked(col("code"), lutOf(q), m, k), 4).as("score"))
+        (round(VectorOps.pqAdcPacked(col("code"), lutOf(q), m, k), 4) + lit(0.0))
+          .as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(topk)
 
@@ -186,18 +189,16 @@ object PqIndex {
 
   /** Reload a saved artifact in a fresh session (the sidecar carries
     * m, k, the codebook, and the id column — fully self-describing).
-    * Artifacts written before the sidecar carried `id_col` load with
-    * the historical default ("vec_id") instead of failing to resolve
-    * a missing column. */
+    * A sidecar missing `id_col` is treated as corrupt and fails loudly:
+    * every save() has written it, so no legacy artifacts exist. */
   def load(spark: SparkSession, path: String): PqIndex = {
     VectorOps.ensureRegistered(spark)
     import spark.implicits._
     val sidecar = spark.read.parquet(s"$path/codebook")
-    val idColExpr =
-      if (sidecar.columns.contains("id_col")) col("id_col")
-      else lit("vec_id")
+    require(sidecar.columns.contains("id_col"),
+      s"PqIndex.load: sidecar at $path/codebook has no id_col — corrupt or truncated artifact")
     val (m, k, flat, idCol) = sidecar
-      .select(col("m"), col("k"), col("flat_codebook"), idColExpr)
+      .select(col("m"), col("k"), col("flat_codebook"), col("id_col"))
       .as[(Int, Int, Seq[Float], String)].head()
     new PqIndex(m, k, flat.toArray, spark.read.parquet(s"$path/codes"), idCol)
   }

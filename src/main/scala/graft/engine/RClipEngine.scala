@@ -44,7 +44,8 @@ final class RClipEngine(
     vecCol: String = "embedding",
     censorKey: Option[String] = None,
     seed: Long = 42L,
-    pathLike: Option[String] = None) extends StoredVectors {
+    pathLike: Option[String] = None,
+    wordMapMax: Long = RClipEngine.WordMapMax) extends StoredVectors {
 
   import spark.implicits._
 
@@ -102,9 +103,40 @@ final class RClipEngine(
     wordsSource.getOrElse(
       WordTable.labelCentroids(activeDf, vecCol = vecCol))).cache()
 
-  private lazy val wordVectors: Map[String, Array[Float]] =
-    words.select(col("word"), col("vector"))
-      .as[(String, Array[Float])].collect().toMap
+  /** Bounded driver word map (VERDICT r03 #3): the reference keeps its
+    * whole word matrix in RAM (`rclip_server.py:306-308`) and a
+    * vocabulary-sized table fits a driver Map fine — but "vocabulary-
+    * sized" is an assumption, not a law, so the collect is capped like
+    * every other driver-side materialization here (c05's SPAN_HOT_MAX,
+    * d05's require). Over the cap: `None`, and [[lookupWordVectors]]
+    * switches to a per-query filtered lookup against the cached words
+    * table — bounded by the query's token count, never the vocabulary —
+    * so `tableEmbedder` (and the TermResolver LRU above it) survive a
+    * 100× words table instead of OOMing the driver. */
+  private lazy val wordVectors: Option[Map[String, Array[Float]]] =
+    if (words.count() <= wordMapMax)
+      Some(words.select(col("word"), col("vector"))
+        .as[(String, Array[Float])].collect().toMap)
+    else {
+      org.slf4j.LoggerFactory.getLogger(classOf[RClipEngine]).warn(
+        s"words table exceeds wordMapMax=$wordMapMax rows — " +
+          "falling back to per-query word lookups instead of a driver map")
+      None
+    }
+
+  /** Token → vector lookups, multiplicity- and order-preserving on both
+    * paths (duplicate query tokens contribute their vector twice, exactly
+    * like the driver-map path — the phrase estimate depends on it). */
+  private def lookupWordVectors(toks: Array[String]): Array[Array[Float]] =
+    wordVectors match {
+      case Some(m) => toks.flatMap(m.get)
+      case None =>
+        val found = words
+          .filter(col("word").isin(toks.distinct.toSeq: _*))
+          .select(col("word"), col("vector"))
+          .as[(String, Array[Float])].collect().toMap
+        toks.flatMap(found.get)
+    }
 
   /** Embedder that resolves via the word table first (the reference's own
     * precomputed-words mode), falling back to the base embedder. */
@@ -112,7 +144,7 @@ final class RClipEngine(
     val dim: Int = embedder.dim
     def embedText(text: String): Array[Float] = {
       val toks = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
-      val known = toks.flatMap(wordVectors.get)
+      val known = lookupWordVectors(toks)
       if (known.isEmpty) embedder.embedText(text)
       else VectorOps.normalize(known.reduce(VectorOps.add))
     }
@@ -357,6 +389,14 @@ final class RClipEngine(
     store.write(merged)
     reload()
   }
+}
+
+object RClipEngine {
+  /** Default driver word-map bound: 2²⁰ words ≈ 300 MB of 64-dim fp32
+    * entries as JVM map state — comfortably vocabulary-sized (the
+    * reference's word list is ~10⁴–10⁵), loudly past it a words table
+    * is corpus-shaped data and gets per-query lookups instead. */
+  val WordMapMax: Long = 1L << 20
 }
 
 /** Monotone colormap: normalized [0,1] → hex color. The reference uses

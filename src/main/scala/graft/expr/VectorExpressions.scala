@@ -247,9 +247,9 @@ object VectorExpressions {
   private[expr] def pqEncodeCodes(x: ArrayData, cb: ArrayData,
       m: Int, k: Int, name: String): Array[Int] = {
     val sub = cb.numElements() / (m * k)
-    if (x.numElements() < m * sub)
+    if (x.numElements() != m * sub)
       throw new IllegalArgumentException(
-        s"$name: vector has ${x.numElements()} dims, codebook expects ${m * sub}")
+        s"$name: vector has ${x.numElements()} dims, codebook expects exactly ${m * sub}")
     var i = 0
     while (i < m * sub) {
       if (x.isNullAt(i))
@@ -294,10 +294,10 @@ object VectorExpressions {
     val xo = ctx.freshName("xo"); val co = ctx.freshName("co")
     val diff = ctx.freshName("diff")
     s"""int $sub = $cb.numElements() / ${m * k};
-       |if ($a.numElements() < $m * $sub)
+       |if ($a.numElements() != $m * $sub)
        |  throw new IllegalArgumentException(
        |    "$name: vector has " + $a.numElements() +
-       |    " dims, codebook expects " + ($m * $sub));
+       |    " dims, codebook expects exactly " + ($m * $sub));
        |for (int $nc = 0; $nc < $m * $sub; $nc++) {
        |  if ($a.isNullAt($nc))
        |    throw new IllegalArgumentException(
@@ -369,6 +369,9 @@ object VectorExpressions {
       var acc = 0.0
       var mm = 0
       while (mm < n) {
+        if (codes.isNullAt(mm))
+          throw new IllegalArgumentException(
+            s"vec_pq_adc: null code at subspace $mm — code arrays must be dense")
         val c = codes.getInt(mm)
         val idx = mm * k + c
         if (c < 0 || c >= k || idx >= lut.numElements())
@@ -388,6 +391,10 @@ object VectorExpressions {
         s"""int $n = $a.numElements();
            |double $acc = 0.0;
            |for (int $mm = 0; $mm < $n; $mm++) {
+           |  if ($a.isNullAt($mm))
+           |    throw new IllegalArgumentException(
+           |      "vec_pq_adc: null code at subspace " + $mm +
+           |      " — code arrays must be dense");
            |  int $c = $a.getInt($mm);
            |  int $idx = $mm * $k + $c;
            |  if ($c < 0 || $c >= $k || $idx >= $b.numElements())

@@ -54,11 +54,20 @@ object CurationQueries {
       .orderBy(col("lang"), col("rk"))
   }
 
-  /** c02: near-dup CLUSTER resolution — connected components over d02's
-    * pair output, labeling every involved doc with the min doc_id of its
-    * component. Pair lists aren't actionable by themselves: a curation
-    * job keeps one canonical doc per transitive cluster, and transitivity
-    * is exactly what the pairwise output lacks.
+  /** Near-dup CLUSTER resolution as a standalone operator: connected
+    * components over a PAIR SET (columns doc_a, doc_b), labeling every
+    * involved doc with the min doc_id of its component. Pair lists
+    * aren't actionable by themselves: a curation job keeps one canonical
+    * doc per transitive cluster, and transitivity is exactly what the
+    * pairwise output lacks.
+    *
+    * Takes the pairs as a DataFrame rather than recomputing them — in
+    * production the pair set is an ARTIFACT produced once by whichever
+    * near-dup pass ran (d02/d03/d04/d06), exactly like n04's saved-index
+    * discipline; at 100 TB re-deriving MinHash signatures inside the
+    * clustering job would double the most expensive dedup stage
+    * (VERDICT r03 #1). The oracled c02 entry below is a thin wrapper
+    * that materializes d02's pairs once and calls this.
     *
     * Iterative min-label propagation with POINTER DOUBLING: each round a
     * node takes the min of its own label, its neighbors' labels, and its
@@ -68,17 +77,17 @@ object CurationQueries {
     * compares the (monotonically decreasing) label-sum fixpoint, so this
     * is a distributed iterative algorithm, not a driver-side data loop.
     * Measured on this corpus: largest component 156 nodes / diameter ≈14
-    * at sf0.1 → 5-6 rounds. The oracle computes the same fixpoint as a
-    * recursive min-reachability CTE over the identical d02 CTE chain. */
-  val c02_dedup_clusters: Q = (s, d) => {
-    val pairs = DedupQueries.d02_minhash_lsh(s, d)
-      .select(col("doc_a"), col("doc_b"))
+    * at sf0.1 → 5-6 rounds. */
+  def clusterPairs(pairs: DataFrame): DataFrame = {
     // localCheckpoint (eager) TRUNCATES LINEAGE — mandatory in iterative
     // plans: without it every round embeds the previous round's logical
     // plan (×3: self ∪ neighbor ∪ jump), so the tree Catalyst re-analyzes
     // per action grows as 3^rounds — observed minutes of pure planning by
     // round ~8. With it, each round's plan starts from a materialized RDD.
-    val edges = pairs
+    // NOTE: the symmetrizing union references `pairs` twice — callers
+    // must pass a MATERIALIZED pair set (cache/localCheckpoint/loaded
+    // artifact) or its pipeline runs twice before the first checkpoint.
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .localCheckpoint(true)
@@ -110,6 +119,18 @@ object CurationQueries {
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id"))
+  }
+
+  /** c02 (oracled entry): thin wrapper — materialize d02's pair set ONCE
+    * (localCheckpoint, the in-session stand-in for a saved pair
+    * artifact), then resolve clusters with [[clusterPairs]]. The oracle
+    * computes the same fixpoint as a recursive min-reachability CTE over
+    * the identical d02 CTE chain. */
+  val c02_dedup_clusters: Q = (s, d) => {
+    val pairs = DedupQueries.d02_minhash_lsh(s, d)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    clusterPairs(pairs)
   }
 
   /** c03: rule-gauntlet quality filter — the C4/Gopher-style hard-rule

@@ -32,7 +32,10 @@ class AnnPqSpec extends SparkSpec {
   test("packed encode and packed ADC match a driver-side reference " +
     "recompute exactly (every unpacked code AND the score, bit-exact)") {
     import spark.implicits._
-    val m = 8; val k = 16; val bits = 4
+    val m = 8; val k = 16
+    // derive bits = ceil(log2 k) exactly as VecPqEncodePacked does, so a
+    // future k change can't silently desync the unpack below
+    val bits = 32 - Integer.numberOfLeadingZeros(k - 1)
     val idx = PqIndex.build(emb, m = m, k = k, iters = 3)
     val vecs = emb.orderBy(col("vec_id"))
       .select(col("vec_id"), col("embedding"))
@@ -58,8 +61,10 @@ class AnnPqSpec extends SparkSpec {
 
   test("build is deterministic, and the packed word agrees nibble-for-" +
     "nibble with the unpacked vec_pq_encode in one projection") {
-    val a = PqIndex.build(emb, m = 8, k = 16, iters = 3)
-    val b = PqIndex.build(emb, m = 8, k = 16, iters = 3)
+    val m = 8; val k = 16
+    val bits = 32 - Integer.numberOfLeadingZeros(k - 1)
+    val a = PqIndex.build(emb, m = m, k = k, iters = 3)
+    val b = PqIndex.build(emb, m = m, k = k, iters = 3)
     // training is entirely driver-side sequential arithmetic over a
     // deterministic sample — bitwise equality, unlike the distributed
     // vecSum caveat IvfIndex documents
@@ -68,11 +73,11 @@ class AnnPqSpec extends SparkSpec {
     // freshName discipline: two 3-level generated loops in one function)
     val mismatches = emb
       .select(
-        VectorOps.pqEncodePacked(col("embedding"), a.flatCodebook, 8, 16).as("w"),
-        VectorOps.pqEncode(col("embedding"), a.flatCodebook, 8, 16).as("cs"))
+        VectorOps.pqEncodePacked(col("embedding"), a.flatCodebook, m, k).as("w"),
+        VectorOps.pqEncode(col("embedding"), a.flatCodebook, m, k).as("cs"))
       .filter(expr(
-        "aggregate(zip_with(cs, sequence(0, 7)," +
-          " (c, i) -> shiftleft(CAST(c AS BIGINT), 4 * i)), 0L," +
+        s"aggregate(zip_with(cs, sequence(0, ${m - 1})," +
+          s" (c, i) -> shiftleft(CAST(c AS BIGINT), $bits * i)), 0L," +
           " (acc, x) -> acc + x) != w"))
       .count()
     assert(mismatches == 0)

@@ -120,6 +120,31 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("wordMapMax over-cap: per-query lookup path returns bit-identical " +
+    "embeddings to the driver-map path (VERDICT r03 #3 fallback)") {
+    import spark.implicits._
+    val emb = new DeterministicEmbedder(64)
+    val wordsDf = Seq("alpha", "beta", "gamma", "delta")
+      .map(w => (w, emb.embedText(w))).toDF("word", "vector")
+    val dir = java.nio.file.Files.createTempDirectory("graft-wcap").toString
+    val store = new SnapshotStore(dir)
+    store.initFrom(spark, s"$sf/embeddings.parquet")
+    val mapped = new RClipEngine(spark, store, emb, wordsSource = Some(wordsDf))
+    val capped = new RClipEngine(spark, store, emb, wordsSource = Some(wordsDf),
+      wordMapMax = 0L) // vocabulary > 0 rows → forced onto the lookup path
+    // known words (duplicate token included — multiplicity must survive),
+    // mixed known/unknown, and fully-unknown (base-embedder fallback)
+    Seq("alpha beta", "beta beta gamma", "alpha nosuchword", "nosuchword")
+      .foreach { q =>
+        assert(capped.textEmbedding(q).sameElements(mapped.textEmbedding(q)),
+          s"lookup-path embedding diverged for '$q'")
+      }
+    // the search surface above the embedder is unaffected
+    val a = mapped.search("alpha", num = 5).collect().map(_.toString)
+    val b = capped.search("alpha", num = 5).collect().map(_.toString)
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
   test("S1 pathLike: parameterized filepath LIKE restricts the scan") {
     // ingested-style store → filepath column exists (rclip_server.py:206-212)
     val dir = java.nio.file.Files.createTempDirectory("graft-pathlike").toString

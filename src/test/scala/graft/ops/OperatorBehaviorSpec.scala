@@ -9,6 +9,26 @@ import org.apache.spark.sql.functions._
   * fidelity), one per operator family. */
 class OperatorBehaviorSpec extends SparkSpec {
 
+  test("clusterPairs: resolves components of an arbitrary pair set " +
+    "(chain, triangle+bridge, singleton pair) to min-id labels, and a " +
+    "long chain converges under pointer doubling") {
+    import spark.implicits._
+    // chain 1-2-3-4, triangle 10-11-12 bridged to 13, pair 20-21, plus a
+    // 64-node path (diameter 63 → needs the doubling join, not 40 plain
+    // rounds would be enough anyway but log2(63)≈6 is what it takes)
+    val chain = (100L until 163L).map(i => (i, i + 1))
+    val pairs = (Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (12L, 13L), (20L, 21L)) ++ chain)
+      .toDF("doc_a", "doc_b").localCheckpoint(true)
+    val got = CurationQueries.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 4L).foreach(n => assert(got(n) == 1L, s"node $n"))
+    Seq(10L, 11L, 12L, 13L).foreach(n => assert(got(n) == 10L, s"node $n"))
+    Seq(20L, 21L).foreach(n => assert(got(n) == 20L, s"node $n"))
+    (100L to 163L).foreach(n => assert(got(n) == 100L, s"chain node $n"))
+    assert(got.size == 4 + 4 + 2 + 64) // exactly the involved nodes
+  }
+
   test("e07: every matched prior view is at-or-before its purchase, " +
     "same user, and is the latest such view") {
     // through Tables.events, NOT a raw parquet read: the query compares
