@@ -1,0 +1,153 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.vec.VectorOps
+
+/** The composed IVF-PQ production artifact (VERDICT r03 next-round #2):
+  * ONE self-describing index holding cell-partitioned PACKED PQ codes
+  * plus both codebooks, so a search is
+  *
+  *   partition-pruned code scan (nprobe/cells of the corpus)
+  *     → packed ADC scoring (8 B/row instead of raw fp32)
+  *       → exact fp32 rerank of the top-`coarseK` against the raw store
+  *
+  * — the standard deployment shape of large-scale ANN systems (coarse
+  * quantizer + product codes + optional exact refine), which n07 proves
+  * in-query; this class is the persisted form. [[IvfIndex]] saves
+  * cell-partitioned RAW vectors (nprobe pruning, full scan cost inside
+  * probed cells) and [[PqIndex]] saves packed codes WITHOUT cell layout
+  * (32× smaller scan, but every row scored); composing them multiplies
+  * the two savings: at 100 TB with 1024 cells / nprobe 8, the ADC pass
+  * reads 8/1024 of 1/32 of the corpus bytes.
+  *
+  * Composition choices, pinned so the artifact is spec-assertable
+  * against n07's in-query math:
+  *  - PQ encodes RAW vectors, not residuals (v − centroid). Residual
+  *    PQ recovers some precision but makes the codes cell-dependent;
+  *    raw-vector PQ keeps encode a single narrow pass and matches the
+  *    n06/n07 oracle arithmetic bit-for-bit. The exact rerank is what
+  *    buys the precision back (AnnPqSpec's coarse→rerank contract).
+  *  - Coarse assignment is [[IvfIndex.nearestCell]] (max-dot, strict `>`
+  *    so ties take the lowest cell — n07's CASE chain agrees).
+  *  - Candidate ordering uses the UNROUNDED ADC score (n07's coarse
+  *    stage); only the reranked output is rounded (+ 0.0 normalized).
+  *
+  * The raw-vector store for the rerank stays OUTSIDE the artifact: at
+  * corpus scale the raw table already exists (it is the corpus), and
+  * duplicating it inside every index would multiply storage by the
+  * number of indexes. `search` takes it as a parameter; the candidate
+  * list is `coarseK` rows, so the rerank is a broadcast join — point
+  * lookups against the id-keyed store, never a corpus shuffle.
+  */
+final class IvfPqIndex(
+    val centroids: Array[Array[Float]],
+    val m: Int,
+    val k: Int,
+    val flatCodebook: Array[Float],
+    val codes: DataFrame,
+    val idCol: String) {
+
+  require(flatCodebook.length % (m * k) == 0,
+    s"flat codebook length ${flatCodebook.length} is not a multiple of m·k = ${m * k}")
+  require(centroids.nonEmpty, "IVF-PQ index needs at least one coarse centroid")
+
+  /** Cells ranked by query closeness, first `nprobe` (driver-side: the
+    * codebook is cells × dim floats — tiny at any corpus scale). */
+  def probeCells(q: Array[Float], nprobe: Int): Seq[Int] =
+    centroids.indices
+      .sortBy(c => (-VectorOps.dot(centroids(c), q), c))
+      .take(math.min(nprobe, centroids.length))
+
+  /** ADC candidates inside the probed cells: the `cell IN (...)`
+    * predicate prunes partitions of a loaded artifact at the source
+    * (PlanSpec-asserted), then the packed kernel scores 8-byte codes.
+    * Unrounded scores — this is the coarse stage, its ordering feeds
+    * the rerank; round only at an output surface. */
+  def searchAdc(q: Array[Float], topk: Int, nprobe: Int): DataFrame = {
+    val cells = probeCells(q, nprobe)
+    codes
+      .filter(col("cell").isin(cells: _*))
+      .select(col(idCol),
+        VectorOps.pqAdcPacked(col("code"), PqIndex.lut(flatCodebook, m, k, q), m, k)
+          .as("adc"))
+      .orderBy(col("adc").desc, col(idCol).asc)
+      .limit(topk)
+  }
+
+  /** Full IVF-PQ search: pruned ADC top-`coarseK` → exact fp32 rerank
+    * against `raw` (the id-keyed raw-vector store, typically the corpus
+    * table itself) → top-`topk`. Output convention matches the engine's
+    * query surfaces: round(…, 4) + 0.0. */
+  def search(q: Array[Float], topk: Int, nprobe: Int, coarseK: Int,
+      raw: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val cand = searchAdc(q, topk = coarseK, nprobe = nprobe).select(col(idCol))
+    raw.join(broadcast(cand), idCol)
+      .select(col(idCol),
+        (round(VectorOps.dotQueryNative(col(vecCol), q), 4) + lit(0.0)).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topk)
+  }
+
+  /** Persist: cell-partitioned packed codes + coarse-centroid table +
+    * PQ sidecar. Everything a fresh session needs to probe is inside. */
+  def save(path: String): Unit = {
+    codes.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/ivfcb")
+    Seq((m, k, flatCodebook.toSeq, idCol))
+      .toDF("m", "k", "flat_codebook", "id_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pqcb")
+  }
+}
+
+object IvfPqIndex {
+
+  /** Build: coarse spherical k-means (via [[IvfIndex.build]] — iters=0
+    * keeps the deterministic first-`cells`-rows codebook, the n04/n07
+    * discipline) assigns every row a cell; driver-side Lloyd
+    * ([[PqIndex.train]], bounded sample) fits the PQ codebook; ONE
+    * distributed encode pass emits (id, cell, packed code). The interim
+    * raw-vector assignment is unpersisted once the 16-byte rows are
+    * materialized — the artifact never retains raw vectors. */
+  def build(df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      cells: Int = 8, ivfIters: Int = 0,
+      m: Int = 8, k: Int = 16, pqIters: Int = 0,
+      sampleN: Int = 2048): IvfPqIndex = {
+    val spark = df.sparkSession
+    VectorOps.ensureRegistered(spark)
+    val base = df.select(col(idCol), col(vecCol))
+    val ivf = IvfIndex.build(base, idCol, vecCol, cells, ivfIters)
+    val flat = PqIndex.train(base, m, k, pqIters, sampleN, idCol, vecCol)
+    val codes = ivf.indexed
+      .select(col(idCol), col("cell"),
+        VectorOps.pqEncodePacked(col(vecCol), flat, m, k).as("code"))
+      .cache()
+    codes.count() // materialize before dropping the raw-vector interim
+    ivf.indexed.unpersist()
+    new IvfPqIndex(ivf.codebook, m, k, flat, codes, idCol)
+  }
+
+  /** Reload in a fresh session. The artifact's STORED assignments and
+    * codes are authoritative — search never re-assigns or re-encodes
+    * (the bitwise-stability caveat [[IvfIndex]] documents applies to
+    * rebuilds, not loads). Missing sidecar fields fail loudly. */
+  def load(spark: SparkSession, path: String): IvfPqIndex = {
+    VectorOps.ensureRegistered(spark)
+    import spark.implicits._
+    val sidecar = spark.read.parquet(s"$path/pqcb")
+    require(sidecar.columns.contains("id_col"),
+      s"IvfPqIndex.load: sidecar at $path/pqcb has no id_col — corrupt or truncated artifact")
+    val (m, k, flat, idCol) = sidecar
+      .select(col("m"), col("k"), col("flat_codebook"), col("id_col"))
+      .as[(Int, Int, Seq[Float], String)].head()
+    val cb = spark.read.parquet(s"$path/ivfcb")
+      .select(col("cell"), col("centroid")).as[(Int, Array[Float])]
+      .collect().sortBy(_._1).map(_._2)
+    new IvfPqIndex(cb, m, k, flat.toArray,
+      spark.read.parquet(s"$path/codes"), idCol)
+  }
+}

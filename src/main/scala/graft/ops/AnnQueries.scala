@@ -266,6 +266,29 @@ object AnnQueries {
       .limit(10)
   }
 
+  /** n08: the composed [[graft.ann.IvfPqIndex]] ARTIFACT on the verified
+    * path (n04's discipline applied to the IVF-PQ composition): build →
+    * save (cell-partitioned packed codes + both codebooks) → load in a
+    * fresh reader → partition-pruned packed-ADC probe → exact rerank
+    * against the raw store. With ivfIters=0 / pqIters=0 the codebooks
+    * are the first-8 / first-16 rows in id order — the identical setup
+    * n07 derives in-query — so the oracle is n07's SQL verbatim: one
+    * answer, proven twice (in-query math and persisted artifact). */
+  val n08_ivfpq_artifact: Q = (s, d) => {
+    val q = VectorQueries.flagshipVec
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val idx = graft.ann.IvfPqIndex.build(emb,
+      cells = 8, ivfIters = 0, m = PQ_M, k = PQ_K, pqIters = 0)
+    // same stable per-(dataset, JVM) overwrite path as n04 (see comment
+    // there): within-process reuse, no cross-process aliasing
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-n08-ivfpq-" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + s"-${ProcessHandle.current().pid()}"
+    idx.save(tmp)
+    idx.codes.unpersist()
+    val loaded = graft.ann.IvfPqIndex.load(s, tmp)
+    loaded.search(q, topk = 10, nprobe = 2, coarseK = 50, raw = emb)
+  }
+
   def queries: Map[String, Q] = Map(
     "n01_ann_ivf" -> n01_ann_ivf,
     "n02_ann_lsh_topk" -> n02_ann_lsh_topk,
@@ -273,7 +296,8 @@ object AnnQueries {
     "n04_ivf_artifact" -> n04_ivf_artifact,
     "n05_quantized_rerank" -> n05_quantized_rerank,
     "n06_pq_adc" -> n06_pq_adc,
-    "n07_ivf_pq" -> n07_ivf_pq)
+    "n07_ivf_pq" -> n07_ivf_pq,
+    "n08_ivfpq_artifact" -> n08_ivfpq_artifact)
 
   def oracleSql: Map[String, String] = {
     val qLit = VectorOps.sqlDoubleArray(VectorQueries.flagshipVec)
@@ -355,19 +379,28 @@ object AnnQueries {
       // corpus replaces the full table), then an exact fp32 rerank of
       // the ADC top-50 — the FAISS-style IVF-PQ composition end-to-end
       // under the oracle.
-      "n07_ivf_pq" ->
-        s"""WITH ${ivfOracleCtes(qLit)},
-           |pruned AS (
-           |  SELECT vec_id, embedding FROM assigned
-           |  WHERE cell IN (SELECT cell FROM probed)),
-           |${pqOracleCtes(qLit, corpus = "pruned")},
-           |coarse AS (
-           |  SELECT vec_id FROM adc ORDER BY score0 DESC, vec_id ASC LIMIT 50)
-           |SELECT e.vec_id,
-           |       round(list_dot_product(e.embedding::DOUBLE[], $qLit), 4) + 0.0 AS score
-           |FROM embeddings e JOIN coarse USING (vec_id)
-           |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin)
+      "n07_ivf_pq" -> ivfPqOracle(qLit),
+      // n08: the persisted IvfPqIndex artifact computes the SAME answer
+      // as n07's in-query math (iters=0 codebooks on both sides), so
+      // the oracle is shared verbatim — any drift between the artifact
+      // path and the in-query path shows up as an n08 hash mismatch.
+      "n08_ivfpq_artifact" -> ivfPqOracle(qLit))
   }
+
+  /** The IVF-PQ oracle (n07 ∧ n08): probe → prune → PQ ADC → exact
+    * rerank, every Double in kernel accumulation order. */
+  private def ivfPqOracle(qLit: String): String =
+    s"""WITH ${ivfOracleCtes(qLit)},
+       |pruned AS (
+       |  SELECT vec_id, embedding FROM assigned
+       |  WHERE cell IN (SELECT cell FROM probed)),
+       |${pqOracleCtes(qLit, corpus = "pruned")},
+       |coarse AS (
+       |  SELECT vec_id FROM adc ORDER BY score0 DESC, vec_id ASC LIMIT 50)
+       |SELECT e.vec_id,
+       |       round(list_dot_product(e.embedding::DOUBLE[], $qLit), 4) + 0.0 AS score
+       |FROM embeddings e JOIN coarse USING (vec_id)
+       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
 
   /** The n04/n07 shared IVF-probe CTEs (no WITH): first-8 centroids in
     * id order, 2 probed, every row assigned — ends at `probed(cell)` +

@@ -70,6 +70,36 @@ class AnnIndexSpec extends SparkSpec {
     assert(recalls.last == 1.0)
   }
 
+  test("a loaded artifact's stored cell assignments are authoritative: " +
+    "search never re-assigns rows from the codebook (rebuild-divergence " +
+    "guard, VERDICT r03 #4)") {
+    val idx = IvfIndex.build(emb, cells = 8, iters = 3)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-auth").toString
+    idx.save(path)
+    val loaded = IvfIndex.load(spark, path)
+    val want = loaded.search(q, 10, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // adversarial codebook copy: keeps the SAME two probe cells in the
+    // same order (a along q, b half-aligned, the rest anti-aligned) but
+    // would sweep nearly every positive-dot row into cell `a` if search
+    // re-derived assignments — in which case nprobe=2 would return the
+    // brute-force top-10 (recall 1.0) instead of the pruned answer
+    // (recall ≈0.5 on this corpus, per the recall test above)
+    val Seq(a, b) = loaded.probeCells(q, 2)
+    val qn = VectorOps.normalize(q)
+    val evil = Array.tabulate(loaded.codebook.length) { c =>
+      if (c == a) qn
+      else if (c == b) qn.map(x => x * 0.5f)
+      else qn.map(x => -x)
+    }
+    val evilIdx = new IvfIndex(evil, loaded.indexed, "vec_id", "embedding")
+    assert(evilIdx.probeCells(q, 2) == Seq(a, b)) // same cells probed
+    val got = evilIdx.search(q, 10, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.sameElements(want),
+      "search results changed under a mutated codebook — assignments were recomputed")
+  }
+
   test("save/load: probe prunes cell partitions at the source") {
     val idx = IvfIndex.build(emb, cells = 8, iters = 3)
     val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
