@@ -187,6 +187,94 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("restart recovery: dedupedListing resumes offsets AND " +
+    "dropDuplicatesWithinWatermark state from the checkpoint — a key " +
+    "duplicated across the restart is dropped, pre-restart rows are " +
+    "not replayed") {
+    import org.apache.spark.sql.streaming.Trigger
+    val inDir = Files.createTempDirectory("restart-dedup-in").toString
+    val ckpt = Files.createTempDirectory("restart-dedup-ckpt").toString
+    val outDir = Files.createTempDirectory("restart-dedup-out").toString + "/rows"
+    def rec(i: Int, size: Int): String =
+      s"""{"descr_url": "https://w/D$i", "url": "https://up/f$i.jpg", "size": $size, "event_ts": "2024-01-01T00:0$i:00.000Z"}"""
+    def runOnce(): Unit = {
+      val q = StreamingOps.dedupedListing(spark, inDir).writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+      q.awaitTermination(120000)
+    }
+    Files.writeString(java.nio.file.Paths.get(inDir, "a.ndjson"),
+      Seq(rec(1, 1), rec(2, 2)).mkString("\n"))
+    runOnce() // first run: D1, D2 pass, then the query stops (the "kill")
+    // across the restart: D2 again (same key, DIFFERENT size — if the
+    // dedup state store were lost, this row would sail through) + D3
+    Files.writeString(java.nio.file.Paths.get(inDir, "b.ndjson"),
+      Seq(rec(2, 99), rec(3, 3)).mkString("\n"))
+    runOnce() // restart from the same checkpoint
+    val got = spark.read.parquet(outDir)
+      .select("descr_url", "size").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq(("https://w/D1", 1L), ("https://w/D2", 2L),
+      ("https://w/D3", 3L)),
+      s"expected D1,D2(pre-restart size),D3 exactly once each; got $got")
+  }
+
+  test("restart recovery: asofEnrich resumes flatMapGroupsWithState " +
+    "state from the checkpoint — post-restart purchases still see " +
+    "pre-restart views, and the split run equals an uninterrupted run") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val s = spark
+    val inDir = Files.createTempDirectory("restart-asof-in").toString + "/in"
+    val ckpt = Files.createTempDirectory("restart-asof-ckpt").toString
+    val outDir = Files.createTempDirectory("restart-asof-out").toString + "/rows"
+    def t(m: Int) = new Timestamp(1704067200000L + m * 60000L)
+    def runOnce(out: String, checkpoint: String): Unit = {
+      val streamIn = spark.readStream
+        .schema(Seq.empty[StreamingOps.AsofEv].toDS().schema)
+        .parquet(inDir).as[StreamingOps.AsofEv]
+      val q = StreamingOps.asofEnrich(streamIn).writeStream
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[StreamingOps.AsofOut], _: Long) =>
+            b.toDF().write.mode("append").parquet(out); ()
+        }
+        .start()
+      q.awaitTermination(120000)
+    }
+    Seq(
+      StreamingOps.AsofEv(1, t(0), 10, is_view = true),
+      StreamingOps.AsofEv(1, t(5), 11, is_view = false), // prior = 10
+      StreamingOps.AsofEv(2, t(1), 20, is_view = true))  // state only
+      .toDS().write.mode("append").parquet(inDir)
+    runOnce(outDir, ckpt) // run 1, then the query stops (the "kill")
+    Seq(
+      StreamingOps.AsofEv(1, t(7), 12, is_view = false), // prior = 10 (recovered)
+      StreamingOps.AsofEv(2, t(8), 21, is_view = false)) // prior = 20 (recovered)
+      .toDS().write.mode("append").parquet(inDir)
+    runOnce(outDir, ckpt) // restart from the same checkpoint
+    def read(out: String) = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val got = read(outDir)
+    // 12 and 21 enrich ONLY if the per-user view state survived the kill
+    assert(got == Set((11L, Some(10L)), (12L, Some(10L)), (21L, Some(20L))),
+      s"state not recovered across restart: $got")
+    // uninterrupted control: a fresh checkpoint over the SAME input dir
+    // (both batches present) must produce the identical output set
+    val ckpt2 = Files.createTempDirectory("restart-asof-ckpt2").toString
+    val outDir2 = Files.createTempDirectory("restart-asof-out2").toString + "/rows"
+    runOnce(outDir2, ckpt2)
+    assert(read(outDir2) == got)
+  }
+
   test("mapGroupsWithState sessionization counts per-user events") {
     import spark.implicits._
     implicit val s = spark
