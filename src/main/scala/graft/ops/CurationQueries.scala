@@ -78,22 +78,38 @@ object CurationQueries {
     * is a distributed iterative algorithm, not a driver-side data loop.
     * Measured on this corpus: largest component 156 nodes / diameter ≈14
     * at sf0.1 → 5-6 rounds. */
+  /** Flat per-round materialization for iterative plans: an RDD[Row]
+    * round-trip + createDataFrame yields a LogicalRDD with NO reference
+    * to the producing plan. `Dataset.localCheckpoint(true)` truncates
+    * EXECUTION lineage but (observed at the 10× stress gate) each
+    * checkpointed Dataset still chains origin STATS estimation — with
+    * enough rounds the driver sat 100% in `statsEstimation` for tens of
+    * minutes while executors idled. The RDD detour is immune: stats
+    * fall back to size defaults, exactly right for a label table that
+    * is thin by construction. RDD-level localCheckpoint still cuts the
+    * RDD lineage (the re-execution fault story); count() keeps the
+    * eager-materialization semantics the round loop assumes. */
+  private def materializeFlat(df: DataFrame): DataFrame = {
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    val out = df.sparkSession.createDataFrame(rdd, df.schema)
+    out.count()
+    out
+  }
+
   def clusterPairs(pairs: DataFrame): DataFrame = {
-    // localCheckpoint (eager) TRUNCATES LINEAGE — mandatory in iterative
-    // plans: without it every round embeds the previous round's logical
-    // plan (×3: self ∪ neighbor ∪ jump), so the tree Catalyst re-analyzes
-    // per action grows as 3^rounds — observed minutes of pure planning by
-    // round ~8. With it, each round's plan starts from a materialized RDD.
+    // per-round materialization is mandatory in iterative plans: without
+    // it every round embeds the previous round's logical plan (×3: self
+    // ∪ neighbor ∪ jump), so the tree Catalyst re-analyzes per action
+    // grows as 3^rounds — observed minutes of pure planning by round ~8.
     // NOTE: the symmetrizing union references `pairs` twice — callers
     // must pass a MATERIALIZED pair set (cache/localCheckpoint/loaded
     // artifact) or its pipeline runs twice before the first checkpoint.
-    val edges = pairs.select(col("doc_a"), col("doc_b"))
+    val edges = materializeFlat(pairs.select(col("doc_a"), col("doc_b"))
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
+      .toDF("src", "dst"))
+    var labels = materializeFlat(edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")))
     // no pairs → no clusters: skip the loop rather than aggregating
     // sum(lbl) over zero rows (NULL → getLong NPE)
     if (!labels.isEmpty) {
@@ -106,9 +122,8 @@ object CurationQueries {
         val jump = labels.as("a")
           .join(labels.as("b"), col("a.lbl") === col("b.node"))
           .select(col("a.node").as("node"), col("b.lbl").as("lbl"))
-        val next = labels.unionByName(nbr).unionByName(jump)
-          .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint(true)
+        val next = materializeFlat(labels.unionByName(nbr).unionByName(jump)
+          .groupBy(col("node")).agg(min(col("lbl")).as("lbl")))
         val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
         labels = next
         converged = nextSum == prevSum // labels only ever decrease
