@@ -59,7 +59,12 @@ object Bench {
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional comma-separated subset (local stress iteration — e.g. time
+    // only the cap-bound queries at 10× without the O(N²) d05 baseline);
+    // the driver's per-round call sets no filter = full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
 
     // warmup pass (also surfaces failures before timing); queries are
     // independent, so drop their internal caches between runs — leaked
@@ -92,7 +97,11 @@ object Bench {
 
     val results = qs.map { case (name, fn) => name -> timeBest(fn) }
 
-    val micro = microDot(spark) ++ microFingerprint(spark)
+    // micros only on full runs — a subset run is a targeted measurement,
+    // and the kernel micros would just add a minute of co-tenant noise
+    val micro =
+      if (only.isDefined) Seq.empty
+      else microDot(spark) ++ microFingerprint(spark)
 
     val qJson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val mJson = micro.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -45,9 +45,7 @@ final class IvfIndex(
 
   /** Cells ranked by closeness to `q`, first `nprobe`. */
   def probeCells(q: Array[Float], nprobe: Int): Seq[Int] =
-    codebook.indices
-      .sortBy(c => (-VectorOps.dot(codebook(c), q), c))
-      .take(math.min(nprobe, codebook.length))
+    IvfIndex.probeCells(codebook, q, nprobe)
 
   /** Exact top-k inside the `nprobe` closest cells. */
   def search(q: Array[Float], k: Int, nprobe: Int): DataFrame = {
@@ -72,6 +70,16 @@ final class IvfIndex(
 }
 
 object IvfIndex {
+
+  /** ONE probe-order definition for every coarse quantizer ([[IvfIndex]]
+    * and [[IvfPqIndex]] both delegate here): max-dot ranking, ties →
+    * lowest cell. A tie-break fix lands in both artifacts at once —
+    * n08's n07 parity depends on the two never drifting. */
+  private[ann] def probeCells(codebook: Array[Array[Float]],
+      q: Array[Float], nprobe: Int): Seq[Int] =
+    codebook.indices
+      .sortBy(c => (-VectorOps.dot(codebook(c), q), c))
+      .take(math.min(nprobe, codebook.length))
 
   private[ann] def nearestCell(codebook: Array[Array[Float]], v: Array[Float]): Int = {
     var best = 0

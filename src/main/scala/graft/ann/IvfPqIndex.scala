@@ -53,11 +53,10 @@ final class IvfPqIndex(
   require(centroids.nonEmpty, "IVF-PQ index needs at least one coarse centroid")
 
   /** Cells ranked by query closeness, first `nprobe` (driver-side: the
-    * codebook is cells × dim floats — tiny at any corpus scale). */
+    * codebook is cells × dim floats — tiny at any corpus scale). Shared
+    * with [[IvfIndex]] so the two artifacts' probe orders cannot drift. */
   def probeCells(q: Array[Float], nprobe: Int): Seq[Int] =
-    centroids.indices
-      .sortBy(c => (-VectorOps.dot(centroids(c), q), c))
-      .take(math.min(nprobe, centroids.length))
+    IvfIndex.probeCells(centroids, q, nprobe)
 
   /** ADC candidates inside the probed cells: the `cell IN (...)`
     * predicate prunes partitions of a loaded artifact at the source

@@ -102,11 +102,12 @@ object CurationQueries {
     // it every round embeds the previous round's logical plan (×3: self
     // ∪ neighbor ∪ jump), so the tree Catalyst re-analyzes per action
     // grows as 3^rounds — observed minutes of pure planning by round ~8.
-    // NOTE: the symmetrizing union references `pairs` twice — callers
-    // must pass a MATERIALIZED pair set (cache/localCheckpoint/loaded
-    // artifact) or its pipeline runs twice before the first checkpoint.
-    val edges = materializeFlat(pairs.select(col("doc_a"), col("doc_b"))
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // Materialize `pairs` FIRST: the symmetrizing union references it
+    // twice, and an unmaterialized caller pipeline (a full d02 run, say)
+    // would otherwise execute twice before the loop even starts.
+    val p = materializeFlat(pairs.select(col("doc_a"), col("doc_b")))
+    val edges = materializeFlat(p
+      .unionByName(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst"))
     var labels = materializeFlat(edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")))
@@ -136,17 +137,14 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** c02 (oracled entry): thin wrapper — materialize d02's pair set ONCE
-    * (localCheckpoint, the in-session stand-in for a saved pair
-    * artifact), then resolve clusters with [[clusterPairs]]. The oracle
-    * computes the same fixpoint as a recursive min-reachability CTE over
-    * the identical d02 CTE chain. */
-  val c02_dedup_clusters: Q = (s, d) => {
-    val pairs = DedupQueries.d02_minhash_lsh(s, d)
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
-    clusterPairs(pairs)
-  }
+  /** c02 (oracled entry): thin wrapper — [[clusterPairs]] over d02's
+    * pair set (materialized once inside the operator, the in-session
+    * stand-in for a saved pair artifact). The oracle computes the same
+    * fixpoint as a recursive min-reachability CTE over the identical
+    * d02 CTE chain. */
+  val c02_dedup_clusters: Q = (s, d) =>
+    clusterPairs(DedupQueries.d02_minhash_lsh(s, d)
+      .select(col("doc_a"), col("doc_b")))
 
   /** c03: rule-gauntlet quality filter — the C4/Gopher-style hard-rule
     * pass a corpus runs BEFORE model-based scoring: word-count bounds,

@@ -30,6 +30,10 @@ PLAIN = ["region", "nation"]
 
 # table -> {column -> stride symbol}; the symbol's stride is
 # max(owning key)+1 so remapped ranges never collide
+# documents.doc_id and embeddings.vec_id share ONE stride symbol: the
+# doc_id = vec_id identity is load-bearing (j01 joins on it), so the
+# two tables must shift in lockstep or shard-k embeddings would join
+# shard-0's unrelated documents
 REMAP = {
     "customer":   {"c_custkey": "C"},
     "supplier":   {"s_suppkey": "S"},
@@ -38,13 +42,13 @@ REMAP = {
     "lineitem":   {"l_orderkey": "O", "l_partkey": "P", "l_suppkey": "S"},
     "events":     {"event_id": "E", "user_id": "U"},
     "documents":  {"doc_id": "D"},
-    "embeddings": {"vec_id": "V"},
+    "embeddings": {"vec_id": "D"},
 }
 STRIDE_OWNER = {
-    "C": ("customer", "c_custkey"), "S": ("supplier", "s_suppkey"),
-    "P": ("part", "p_partkey"), "O": ("orders", "o_orderkey"),
-    "E": ("events", "event_id"), "U": ("events", "user_id"),
-    "D": ("documents", "doc_id"), "V": ("embeddings", "vec_id"),
+    "C": [("customer", "c_custkey")], "S": [("supplier", "s_suppkey")],
+    "P": [("part", "p_partkey")], "O": [("orders", "o_orderkey")],
+    "E": [("events", "event_id")], "U": [("events", "user_id")],
+    "D": [("documents", "doc_id"), ("embeddings", "vec_id")],
 }
 
 
@@ -53,8 +57,8 @@ def main(src, dst, factor):
     os.makedirs(dst, exist_ok=True)
     base = {t: pq.read_table(f"{src}/{t}.parquet")
             for t in PLAIN + sorted(REMAP)}
-    stride = {sym: pc.max(base[t][col]).as_py() + 1
-              for sym, (t, col) in STRIDE_OWNER.items()}
+    stride = {sym: max(pc.max(base[t][col]).as_py() for t, col in owners) + 1
+              for sym, owners in STRIDE_OWNER.items()}
     print("strides:", stride)
 
     for t in PLAIN:
