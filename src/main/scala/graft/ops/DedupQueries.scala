@@ -62,7 +62,8 @@ object DedupQueries {
 
   /** Seeded hyperplanes: 6 LSH tables × 3 planes × 64 dims (shared with
     * the ANN queries via [[graft.vec.Lsh]]). */
-  private val planes: Seq[Seq[Array[Double]]] = graft.vec.Lsh.planes
+  // (d06 now draws its tiered plane prefixes from Lsh.planesMax; the
+  // fixed 3-bit Lsh.planes family remains the n02 query-probe surface)
 
   // ------------------------------------------------------------------
   // shared SQL fragments (spark dialect / duckdb dialect)
@@ -386,27 +387,39 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** d06: embedding-cosine near-dup via hyperplane LSH — 6 tables × 3
-    * sign bits; candidates = same (table, bucket); exact cosine re-check.
-    * ≈80% recall of d05 at a fraction of the pairs — the scale path.
-    * The 3-bit bucket width is sized for this corpus: at scale the bit
-    * count must grow as log₂(N/B) or the candidate join is quadratic in
-    * N — see [[graft.vec.Lsh.planesFor]] and DedupStressSpec, which pins
-    * the rule empirically at 20× corpus. */
+  /** d06: embedding-cosine near-dup via hyperplane LSH — 6 tables ×
+    * CORPUS-SIZED sign bits; candidates = same (table, bucket); exact
+    * cosine re-check. ≈80% recall of d05 at a fraction of the pairs —
+    * the scale path. The bucket width applies [[graft.vec.Lsh
+    * .bitsForCount]]'s integer ladder (smallest k with 250·2ᵏ ≥ n), so
+    * mean bucket size stays ≤ 250 and the candidate join stays
+    * O(n·bucket) instead of quadratic — the 10× stress gate measured
+    * the fixed-3-bit version at 137× growth (1.5 s → 201 s) before
+    * this; DedupStressSpec pins the rule at 20× corpus. More bits cost
+    * per-bit recall (the OR-amplification trade): production buys it
+    * back with more tables, the oracled demo documents it. */
   val d06_cosine_lsh: Q = (s, d) => {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val bucketStructs = planes.zipWithIndex.map { case (tbl, t) =>
-      val bits = tbl.zipWithIndex.map { case (pl, i) =>
-        val dot = graft.vec.VectorOps.dotQueryNative(col("embedding"), pl.map(_.toFloat))
-        when(dot > 0, 1 << i).otherwise(0)
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), bits.as("bucket"))
-    }
     // candidate join on (tbl, bucket, id) only: the 256-byte embedding
     // must not ride the shuffle once per LSH table — re-join embeddings
     // by id on the deduped pair set for the exact cosine re-check
     val embC = emb.cache()
-    embC.count() // shared by the bucketing pass and the two re-joins
+    val n = embC.count() // shared by the bucketing pass and the two re-joins
+    // the comment below the planes val was always the rule — now the
+    // oracled query APPLIES it (found by the 10× stress gate: fixed
+    // 3-bit buckets made the candidate join quadratic, 1.5 s → 201 s
+    // at 10×): bucket width grows with the corpus so mean bucket size
+    // stays ≤ 250 and the join stays O(n·bucket). Integer threshold
+    // ladder, mirrored verbatim in the oracle's bitsel CTE.
+    val bits = graft.vec.Lsh.bitsForCount(n)
+    val bucketStructs = graft.vec.Lsh.planesMax.map(_.take(bits))
+      .zipWithIndex.map { case (tbl, t) =>
+        val b = tbl.zipWithIndex.map { case (pl, i) =>
+          val dot = graft.vec.VectorOps.dotQueryNative(col("embedding"), pl.map(_.toFloat))
+          when(dot > 0, 1 << i).otherwise(0)
+        }.reduce(_ + _)
+        struct(lit(t).as("tbl"), b.as("bucket"))
+      }
     val bucketed = embC
       .withColumn("tb", explode(array(bucketStructs: _*)))
       .select(col("vec_id"),
@@ -576,13 +589,6 @@ object DedupQueries {
     val simBits = (for (s <- 0 until 4; b <- 0 until 15) yield
       s"(CASE WHEN list_sum(list_transform(th$s, h -> CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << (15 * s + b)} ELSE 0 END)"
     ).mkString(" + ")
-    val planeBuckets = planes.zipWithIndex.map { case (tbl, t) =>
-      val bits = tbl.zipWithIndex.map { case (pl, i) =>
-        val lit = pl.map(x => x.toFloat.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
-        s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $lit) > 0 THEN ${1 << i} ELSE 0 END)"
-      }.mkString(" + ")
-      s"SELECT vec_id, embedding, $t AS tbl, ($bits) AS bucket FROM embeddings"
-    }.mkString("\n  UNION ALL\n  ")
     Map(
       "d01_exact_dedup" ->
         """WITH doubled AS (
@@ -691,9 +697,19 @@ object DedupQueries {
           |WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
           |                                   y.embedding::DOUBLE[]), 4) >= 0.4
           |ORDER BY id_a, id_b""".stripMargin,
+      // d06: bucket width from the SAME integer threshold ladder as
+      // Lsh.bitsForCount (bitsel CTE — no floating log2, see the
+      // Scaladoc there); plane (t, i) literals are tier-independent
+      // (planesMax prefix property) and CASE-gated on i < bits.
       "d06_cosine_lsh" ->
-        s"""WITH bucketed AS (
-           |  $planeBuckets)
+        s"""WITH nrows AS (SELECT count(*) AS n FROM embeddings),
+           |bitsel AS (
+           |  SELECT coalesce(min(k), ${graft.vec.Lsh.MAX_BITS})::INT AS bits
+           |  FROM (SELECT unnest(range(${graft.vec.Lsh.BITS},
+           |                            ${graft.vec.Lsh.MAX_BITS + 1})) AS k), nrows
+           |  WHERE 250 * (1::BIGINT << k) >= n),
+           |bucketed AS (
+           |  $d06PlaneBuckets)
            |SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
            |       round(list_cosine_similarity(x.embedding::DOUBLE[],
            |                                    y.embedding::DOUBLE[]), 4) AS cos
@@ -703,4 +719,16 @@ object DedupQueries {
            |                                   y.embedding::DOUBLE[]), 4) >= 0.4
            |ORDER BY id_a, id_b""".stripMargin)
   }
+
+  /** d06's oracle bucket expressions over the FULL planesMax family,
+    * each plane CASE-gated on `i < b.bits` so the static SQL realizes
+    * whichever tier bitsel selects for the corpus at hand. */
+  private def d06PlaneBuckets: String =
+    graft.vec.Lsh.planesMax.zipWithIndex.map { case (tbl, t) =>
+      val bitsExpr = tbl.zipWithIndex.map { case (pl, i) =>
+        val lit = pl.map(x => x.toFloat.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
+        s"(CASE WHEN $i < b.bits AND list_dot_product(embedding::DOUBLE[], $lit) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("\n   + ")
+      s"SELECT vec_id, embedding, $t AS tbl,\n  ($bitsExpr) AS bucket\n  FROM embeddings, bitsel b"
+    }.mkString("\n  UNION ALL\n  ")
 }

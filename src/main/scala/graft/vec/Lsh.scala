@@ -20,6 +20,28 @@ object Lsh {
   /** Seeded hyperplanes: table → plane → 64 dims. */
   val planes: Seq[Seq[Array[Double]]] = planesFor(NUM_TABLES, BITS, DIM)
 
+  /** Ceiling for the TIERED bucket width (d06's corpus-sized variant):
+    * plane literals are provisioned once up to MAX_BITS and a bits-b
+    * tier uses the FIRST b planes of each table, so plane (t, i) is
+    * identical across tiers — the property the oracle's CASE-gated
+    * literals require (a per-tier planesFor draw would shift every
+    * table's stream offset). 12 bits ≈ a 1M-row corpus at target
+    * bucket 250; past that the ORACLED demo saturates and production
+    * uses [[planesFor]] directly with however many bits the corpus
+    * needs. */
+  val MAX_BITS = 12
+  lazy val planesMax: Seq[Seq[Array[Double]]] = planesFor(NUM_TABLES, MAX_BITS)
+
+  /** The sizing rule as an integer threshold ladder — smallest
+    * k ∈ [BITS, MAX_BITS] with target·2ᵏ ≥ n (i.e. mean bucket ≤
+    * target) — NOT a floating log: `ceil(log(n/B)/log 2)` computed as a
+    * double ratio can land 10⁻¹⁶ above an integer on one engine and
+    * exactly on it on the other, flipping the tier at exact powers of
+    * two. Pure integer compares are bit-identical everywhere; the
+    * DuckDB oracle mirrors this same ladder with range(3,13). */
+  def bitsForCount(n: Long, target: Long = 250L): Int =
+    (BITS to MAX_BITS).find(k => target * (1L << k) >= n).getOrElse(MAX_BITS)
+
   /** Seeded planes for an arbitrary (tables × bits) config.
     *
     * SIZING RULE (the d06 scale knob): bits must grow with the corpus —
