@@ -60,10 +60,8 @@ object DedupQueries {
       rnd.nextInt(P.toInt).toLong))
   }
 
-  /** Seeded hyperplanes: 6 LSH tables × 3 planes × 64 dims (shared with
-    * the ANN queries via [[graft.vec.Lsh]]). */
-  // (d06 now draws its tiered plane prefixes from Lsh.planesMax; the
-  // fixed 3-bit Lsh.planes family remains the n02 query-probe surface)
+  // d06 draws its tiered plane prefixes from Lsh.planesMax; the fixed
+  // 3-bit Lsh.planes family remains the n02 query-probe surface.
 
   // ------------------------------------------------------------------
   // shared SQL fragments (spark dialect / duckdb dialect)
@@ -707,7 +705,7 @@ object DedupQueries {
            |  SELECT coalesce(min(k), ${graft.vec.Lsh.MAX_BITS})::INT AS bits
            |  FROM (SELECT unnest(range(${graft.vec.Lsh.BITS},
            |                            ${graft.vec.Lsh.MAX_BITS + 1})) AS k), nrows
-           |  WHERE 250 * (1::BIGINT << k) >= n),
+           |  WHERE ${graft.vec.Lsh.TARGET_BUCKET} * (1::BIGINT << k) >= n),
            |bucketed AS (
            |  $d06PlaneBuckets)
            |SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,

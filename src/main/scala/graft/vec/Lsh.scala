@@ -32,6 +32,12 @@ object Lsh {
   val MAX_BITS = 12
   lazy val planesMax: Seq[Seq[Array[Double]]] = planesFor(NUM_TABLES, MAX_BITS)
 
+  /** Target mean bucket size for the ladder — ONE constant shared by
+    * [[bitsForCount]]'s default and the d06 oracle's bitsel CTE
+    * (DedupQueries interpolates it), so the two engines' tiers can
+    * never be retuned apart. */
+  val TARGET_BUCKET = 250L
+
   /** The sizing rule as an integer threshold ladder — smallest
     * k ∈ [BITS, MAX_BITS] with target·2ᵏ ≥ n (i.e. mean bucket ≤
     * target) — NOT a floating log: `ceil(log(n/B)/log 2)` computed as a
@@ -39,7 +45,7 @@ object Lsh {
     * exactly on it on the other, flipping the tier at exact powers of
     * two. Pure integer compares are bit-identical everywhere; the
     * DuckDB oracle mirrors this same ladder with range(3,13). */
-  def bitsForCount(n: Long, target: Long = 250L): Int =
+  def bitsForCount(n: Long, target: Long = TARGET_BUCKET): Int =
     (BITS to MAX_BITS).find(k => target * (1L << k) >= n).getOrElse(MAX_BITS)
 
   /** Seeded planes for an arbitrary (tables × bits) config.

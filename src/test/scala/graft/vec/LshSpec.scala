@@ -38,25 +38,40 @@ class LshSpec extends AnyFunSuite {
   }
 
   test("bitsForCount: custom target shifts every rung proportionally") {
-    assert(Lsh.bitsForCount(4000L, target = 500L) == 3)
-    assert(Lsh.bitsForCount(4001L, target = 500L) == 4)
+    assert(Lsh.bitsForCount(2 * Lsh.TARGET_BUCKET * 8, target = 2 * Lsh.TARGET_BUCKET) == 3)
+    assert(Lsh.bitsForCount(2 * Lsh.TARGET_BUCKET * 8 + 1, target = 2 * Lsh.TARGET_BUCKET) == 4)
   }
 
-  test("planesMax: a bits-b tier is a prefix — plane (t,i) identical across tiers") {
-    // d06's tier selection takes the FIRST b planes of each planesMax
-    // table, so the same (table, plane) literal appears in every tier that
-    // includes it; a per-tier planesFor draw would shift stream offsets.
-    val perTier = Seq(3, 7, 12).map(b => Lsh.planesMax.map(_.take(b)))
-    for (Seq(small, large) <- perTier.sliding(2)) {
-      small.zip(large).foreach { case (s, l) =>
-        s.zip(l).foreach { case (ps, pl) => assert(ps.sameElements(pl)) }
-      }
+  test("planesMax is the seeded family the d06 oracle embeds, CASE-gated per tier") {
+    // Independent re-derivation of the draw order (seed 11, per-table
+    // MAX_BITS×DIM gaussians): a seed, shape, or draw-order change in
+    // planesFor shifts every value and fails here.
+    val rnd = new java.util.Random(11L)
+    val expected = Seq.fill(Lsh.NUM_TABLES)(
+      Seq.fill(Lsh.MAX_BITS)(Array.fill(Lsh.DIM)(rnd.nextGaussian())))
+    Lsh.planesMax.zip(expected).foreach { case (got, exp) =>
+      got.zip(exp).foreach { case (g, e) => assert(g.sameElements(e)) }
     }
-    // and planesFor does NOT have the prefix property across bit widths —
-    // the reason planesMax exists (documented at Lsh.scala:23-31).
-    val f3 = Lsh.planesFor(2, 3)
-    val f4 = Lsh.planesFor(2, 4)
-    assert(!f3(1).head.sameElements(f4(1).head))
+    // Table 0's 3-bit prefix IS the fixed Lsh.planes family (same seed,
+    // table-0 draws come first) — the overlap n02's probe surface shares.
+    Lsh.planes(0).zip(Lsh.planesMax(0).take(3)).foreach { case (p, q) =>
+      assert(p.sameElements(q))
+    }
+    // ...but planesFor itself has NO cross-width prefix property past
+    // table 0 (stream offsets shift) — the reason planesMax exists.
+    assert(!Lsh.planes(1).head.sameElements(Lsh.planesMax(1).head))
+
+    // The static d06 oracle embeds every planesMax plane as a literal
+    // gated on `i < b.bits` — including the top rung of the last table —
+    // so one SQL string realizes whichever tier bitsel picks. A revert
+    // to per-tier plane draws cannot produce these literals.
+    val sql = graft.SparkEntry.oracleSql("d06_cosine_lsh")
+    def duckLit(pl: Array[Double]): String =
+      pl.map(x => x.toFloat.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
+    assert(sql.contains(duckLit(Lsh.planesMax(0).head)))
+    assert(sql.contains(duckLit(Lsh.planesMax.last.last)))
+    assert(sql.contains(s"${Lsh.MAX_BITS - 1} < b.bits"))
+    assert(sql.contains(s"${Lsh.TARGET_BUCKET} * (1::BIGINT << k)"))
   }
 
   test("planesMax dims and default planes are consistent with the constants") {
