@@ -289,6 +289,51 @@ object AnnQueries {
     loaded.search(q, topk = 10, nprobe = 2, coarseK = 50, raw = emb)
   }
 
+  /** n09: k-NN GRAPH construction — every vector's top-3 approximate
+    * neighbors, the building block embedding pipelines actually persist
+    * (semantic-dedup clustering, diversity sampling, graph-based label
+    * propagation all start from a k-NN graph, not from single-query
+    * search). Candidates come from d06's corpus-sized tiered LSH buckets
+    * ([[graft.vec.Lsh.tieredBucketStructs]]: 6 tables, bits from the
+    * bitsForCount ladder), then ONE ranking window per source id —
+    * never an all-pairs score. Ranking is on the ROUNDED cosine with an
+    * id tiebreak, so rank boundaries are engine-exact even for the
+    * identical-embedding twins the stress corpus plants.
+    *
+    * Scale shape: cost is the d06 candidate join (O(n·bucket), cap-
+    * bounded) plus a (src)-keyed window over ~n·bucket thin rows; the
+    * 256-byte embedding never rides a shuffle (id-only candidate pairs,
+    * embeddings re-joined by id). A vector with no bucket-mate simply
+    * has no rows — isolated nodes are the caller's outer-join. */
+  val n09_knn_graph: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val embC = emb.cache()
+    val n = embC.count()
+    val bits = Lsh.bitsForCount(n)
+    val bucketed = embC
+      .withColumn("tb", explode(array(Lsh.tieredBucketStructs(col("embedding"), bits): _*)))
+      .select(col("vec_id"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .cache()
+    bucketed.count() // thin (id, tbl, bucket) rows; both join sides reuse
+    val cand = bucketed.as("x").join(bucketed.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src"), col("y.vec_id").as("nbr"))
+      .distinct()
+    val scored = cand
+      .join(embC.select(col("vec_id").as("src"), col("embedding").as("ea")), "src")
+      .join(embC.select(col("vec_id").as("nbr"), col("embedding").as("eb")), "nbr")
+      .select(col("src"), col("nbr"),
+        (round(VectorOps.cosineColsNative(col("ea"), col("eb")), 4) + lit(0.0))
+          .as("cos"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("src"), col("rn"), col("nbr"), col("cos"))
+      .orderBy(col("src"), col("rn"))
+  }
+
   def queries: Map[String, Q] = Map(
     "n01_ann_ivf" -> n01_ann_ivf,
     "n02_ann_lsh_topk" -> n02_ann_lsh_topk,
@@ -297,7 +342,8 @@ object AnnQueries {
     "n05_quantized_rerank" -> n05_quantized_rerank,
     "n06_pq_adc" -> n06_pq_adc,
     "n07_ivf_pq" -> n07_ivf_pq,
-    "n08_ivfpq_artifact" -> n08_ivfpq_artifact)
+    "n08_ivfpq_artifact" -> n08_ivfpq_artifact,
+    "n09_knn_graph" -> n09_knn_graph)
 
   def oracleSql: Map[String, String] = {
     val qLit = VectorOps.sqlDoubleArray(VectorQueries.flagshipVec)
@@ -384,7 +430,33 @@ object AnnQueries {
       // as n07's in-query math (iters=0 codebooks on both sides), so
       // the oracle is shared verbatim — any drift between the artifact
       // path and the in-query path shows up as an n08 hash mismatch.
-      "n08_ivfpq_artifact" -> ivfPqOracle(qLit))
+      "n08_ivfpq_artifact" -> ivfPqOracle(qLit),
+      // n09: d06's tiered-bucket CTEs (same bitsel ladder + planesMax
+      // literals), then a per-source ranking window over the DISTINCT
+      // directed candidate pairs — ranked on the ROUNDED cosine so rank
+      // boundaries agree across engines.
+      "n09_knn_graph" ->
+        s"""WITH nrows AS (SELECT count(*) AS n FROM embeddings),
+           |${Lsh.duckBitselCte},
+           |bucketed AS (
+           |  ${Lsh.duckTieredBucketsSql}),
+           |cand AS (
+           |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS nbr
+           |  FROM bucketed x JOIN bucketed y
+           |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+           |scored AS (
+           |  SELECT src, nbr,
+           |         round(list_cosine_similarity(a.embedding::DOUBLE[],
+           |                                      b.embedding::DOUBLE[]), 4) + 0.0 AS cos
+           |  FROM cand JOIN embeddings a ON a.vec_id = cand.src
+           |            JOIN embeddings b ON b.vec_id = cand.nbr),
+           |ranked AS (
+           |  SELECT src, nbr, cos,
+           |         row_number() OVER (PARTITION BY src
+           |                            ORDER BY cos DESC, nbr ASC) AS rn
+           |  FROM scored)
+           |SELECT src, rn::INT AS rn, nbr, cos
+           |FROM ranked WHERE rn <= 3 ORDER BY src, rn""".stripMargin)
   }
 
   /** The IVF-PQ oracle (n07 ∧ n08): probe → prune → PQ ADC → exact

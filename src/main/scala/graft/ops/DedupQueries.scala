@@ -410,14 +410,7 @@ object DedupQueries {
     // stays ≤ 250 and the join stays O(n·bucket). Integer threshold
     // ladder, mirrored verbatim in the oracle's bitsel CTE.
     val bits = graft.vec.Lsh.bitsForCount(n)
-    val bucketStructs = graft.vec.Lsh.planesMax.map(_.take(bits))
-      .zipWithIndex.map { case (tbl, t) =>
-        val b = tbl.zipWithIndex.map { case (pl, i) =>
-          val dot = graft.vec.VectorOps.dotQueryNative(col("embedding"), pl.map(_.toFloat))
-          when(dot > 0, 1 << i).otherwise(0)
-        }.reduce(_ + _)
-        struct(lit(t).as("tbl"), b.as("bucket"))
-      }
+    val bucketStructs = graft.vec.Lsh.tieredBucketStructs(col("embedding"), bits)
     val bucketed = embC
       .withColumn("tb", explode(array(bucketStructs: _*)))
       .select(col("vec_id"),
@@ -701,13 +694,9 @@ object DedupQueries {
       // (planesMax prefix property) and CASE-gated on i < bits.
       "d06_cosine_lsh" ->
         s"""WITH nrows AS (SELECT count(*) AS n FROM embeddings),
-           |bitsel AS (
-           |  SELECT coalesce(min(k), ${graft.vec.Lsh.MAX_BITS})::INT AS bits
-           |  FROM (SELECT unnest(range(${graft.vec.Lsh.BITS},
-           |                            ${graft.vec.Lsh.MAX_BITS + 1})) AS k), nrows
-           |  WHERE ${graft.vec.Lsh.TARGET_BUCKET} * (1::BIGINT << k) >= n),
+           |${graft.vec.Lsh.duckBitselCte},
            |bucketed AS (
-           |  $d06PlaneBuckets)
+           |  ${graft.vec.Lsh.duckTieredBucketsSql})
            |SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
            |       round(list_cosine_similarity(x.embedding::DOUBLE[],
            |                                    y.embedding::DOUBLE[]), 4) AS cos
@@ -718,15 +707,4 @@ object DedupQueries {
            |ORDER BY id_a, id_b""".stripMargin)
   }
 
-  /** d06's oracle bucket expressions over the FULL planesMax family,
-    * each plane CASE-gated on `i < b.bits` so the static SQL realizes
-    * whichever tier bitsel selects for the corpus at hand. */
-  private def d06PlaneBuckets: String =
-    graft.vec.Lsh.planesMax.zipWithIndex.map { case (tbl, t) =>
-      val bitsExpr = tbl.zipWithIndex.map { case (pl, i) =>
-        val lit = pl.map(x => x.toFloat.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
-        s"(CASE WHEN $i < b.bits AND list_dot_product(embedding::DOUBLE[], $lit) > 0 THEN ${1 << i} ELSE 0 END)"
-      }.mkString("\n   + ")
-      s"SELECT vec_id, embedding, $t AS tbl,\n  ($bitsExpr) AS bucket\n  FROM embeddings, bitsel b"
-    }.mkString("\n  UNION ALL\n  ")
 }

@@ -90,4 +90,43 @@ object Lsh {
       val lit = pl.map(x => x.toFloat.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
       s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $lit) > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
+
+  // ------------------------------------------------------------------
+  // Corpus-sized TIERED bucketing, shared by d06 (near-dup pairs) and
+  // n09 (k-NN graph): bits from the bitsForCount ladder, planes =
+  // planesMax prefixes so one static oracle realizes every tier.
+  // ------------------------------------------------------------------
+
+  /** Spark side: one (tbl, bucket) struct per table over the first
+    * `bits` planesMax planes — explode over these to bucket a corpus.
+    * Same float-widening dot arithmetic as the oracle literals. */
+  def tieredBucketStructs(vec: Column, bits: Int): Seq[Column] =
+    planesMax.map(_.take(bits)).zipWithIndex.map { case (tbl, t) =>
+      val b = tbl.zipWithIndex.map { case (pl, i) =>
+        when(VectorOps.dotQueryNative(vec, pl.map(_.toFloat)) > 0, 1 << i).otherwise(0)
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), b.as("bucket"))
+    }
+
+  /** DuckDB `bitsel` CTE body: the bitsForCount ladder as pure integer
+    * compares (expects an `nrows(n)` CTE in scope). */
+  def duckBitselCte: String =
+    s"""bitsel AS (
+       |  SELECT coalesce(min(k), $MAX_BITS)::INT AS bits
+       |  FROM (SELECT unnest(range($BITS,
+       |                            ${MAX_BITS + 1})) AS k), nrows
+       |  WHERE $TARGET_BUCKET * (1::BIGINT << k) >= n)""".stripMargin
+
+  /** DuckDB bucket expressions over the FULL planesMax family, each
+    * plane CASE-gated on `i < b.bits` so the static SQL realizes
+    * whichever tier bitsel selects for the corpus at hand (expects the
+    * `bitsel` CTE in scope as `b`). */
+  def duckTieredBucketsSql: String =
+    planesMax.zipWithIndex.map { case (tbl, t) =>
+      val bitsExpr = tbl.zipWithIndex.map { case (pl, i) =>
+        val lit = pl.map(x => x.toFloat.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
+        s"(CASE WHEN $i < b.bits AND list_dot_product(embedding::DOUBLE[], $lit) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("\n   + ")
+      s"SELECT vec_id, embedding, $t AS tbl,\n  ($bitsExpr) AS bucket\n  FROM embeddings, bitsel b"
+    }.mkString("\n  UNION ALL\n  ")
 }

@@ -526,4 +526,51 @@ class OperatorBehaviorSpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("n09: k-NN graph matches a driver-side re-derivation of the " +
+    "tiered-LSH candidates and their rounded-cosine top-3 ranking") {
+    import graft.vec.Lsh
+    val got = AnnQueries.n09_knn_graph(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+
+    // independent re-derivation (plain Scala, no Spark expressions)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val bits = Lsh.bitsForCount(emb.size.toLong)
+    def bucket(v: Array[Float], t: Int): Int =
+      Lsh.planesMax(t).take(bits).zipWithIndex.map { case (pl, i) =>
+        var s = 0.0; var j = 0
+        val m = math.min(v.length, pl.length)
+        while (j < m) { s += v(j).toDouble * pl(j).toFloat.toDouble; j += 1 }
+        if (s > 0) 1 << i else 0
+      }.sum
+    val byBucket = emb.toSeq.flatMap { case (id, v) =>
+      (0 until Lsh.NUM_TABLES).map(t => (t, bucket(v, t)) -> id)
+    }.groupMap(_._1)(_._2)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val candPairs: Set[(Long, Long)] = byBucket.values.flatMap(ids =>
+      for (a <- ids; b <- ids if a != b) yield (a, b)).toSet
+    val expected = candPairs
+      .groupBy(_._1).toSeq.flatMap { case (src, ps) =>
+        ps.toSeq
+          .map { case (_, nbr) =>
+            val c = BigDecimal(cos(emb(src), emb(nbr)))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+            (nbr, c)
+          }
+          .sortBy { case (nbr, c) => (-c, nbr) }
+          .take(3).zipWithIndex
+          .map { case ((nbr, c), i) => (src, i + 1, nbr, c) }
+      }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == expected)
+  }
 }
