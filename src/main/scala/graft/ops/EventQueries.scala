@@ -196,6 +196,34 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** e11: event-type TRANSITION matrix (first-order Markov edges) — the
+    * path-analysis primitive behind "what do users do after X": each
+    * user's consecutive event pairs via ONE lead() window, then a
+    * (from, to) count plus the per-source transition share. The share
+    * is integer half-up permille of n/tot (e03's exact-arithmetic
+    * discipline), so no float division can diverge across engines.
+    *
+    * Scale shape: one user_id-keyed shuffle for the lead (e01's shape —
+    * thin (user, type, ts, id) rows), then a types²-sized aggregate
+    * that map-side combines to the transition vocabulary before its
+    * shuffle; the window sum for `tot` runs over that tiny aggregate,
+    * never the corpus. */
+  val e11_transitions: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cnt = Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    cnt
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .selectExpr("from_type", "to_type", "n",
+        "CAST((2000 * n + tot) div (2 * tot) AS BIGINT) AS permille")
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   def queries: Map[String, Q] = Map(
     "e01_sessionize" -> e01_sessionize,
     "e02_json_props" -> e02_json_props,
@@ -206,7 +234,8 @@ object EventQueries {
     "e07_asof_join" -> e07_asof_join,
     "e08_funnel" -> e08_funnel,
     "e09_cohort_retention" -> e09_cohort_retention,
-    "e10_sliding_window" -> e10_sliding_window)
+    "e10_sliding_window" -> e10_sliding_window,
+    "e11_transitions" -> e11_transitions)
 
   def oracleSql: Map[String, String] = Map(
     "e10_sliding_window" ->
@@ -292,6 +321,20 @@ object EventQueries {
         |             WHEN t1 IS NOT NULL THEN 1
         |             ELSE 0 END)::INT AS stage
         |FROM s3 ORDER BY user_id""".stripMargin,
+    "e11_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL
+        |  GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |       ((2000 * n + tot) // (2 * tot))::BIGINT AS permille
+        |FROM (SELECT cnt.*, sum(n) OVER (PARTITION BY from_type) AS tot FROM cnt)
+        |ORDER BY from_type, to_type""".stripMargin,
     "e09_cohort_retention" ->
       """WITH weekly AS (
         |  SELECT user_id, date_trunc('week', ts) AS wk,

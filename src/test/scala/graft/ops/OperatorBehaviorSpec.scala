@@ -527,6 +527,37 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("e11: transition counts match a driver-side re-derivation and " +
+    "per-source permille shares sum to ~1000") {
+    val got = EventQueries.e11_transitions(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // independent re-derivation: sort each user's events, pair consecutive
+    val expected = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "event_type", "CAST(ts AS DOUBLE) es", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1).values.flatMap { evs =>
+        evs.sortBy(e => (e._3, e._4)).sliding(2).collect {
+          case Array(a, b) => (a._2, b._2)
+        }
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, n) => assert(got(k)._1 == n, k) }
+    // permille: exact half-up of n/tot per source; sums to 1000 up to
+    // the per-cell rounding slack (±1 per destination type)
+    got.keys.toSeq.groupBy(_._1).foreach { case (from, ks) =>
+      // (toSeq: a Set.map over the n values would collapse equal counts)
+      val tot = ks.map(got(_)._1).sum
+      ks.foreach { k =>
+        assert(got(k)._2 == (2000L * got(k)._1 + tot) / (2 * tot), k)
+      }
+      val pSum = ks.map(got(_)._2).sum
+      assert(math.abs(pSum - 1000L) <= ks.size, from)
+    }
+  }
+
   test("n09: k-NN graph matches a driver-side re-derivation of the " +
     "tiered-LSH candidates and their rounded-cosine top-3 ranking") {
     import graft.vec.Lsh
