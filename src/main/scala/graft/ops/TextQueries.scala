@@ -378,6 +378,56 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t10: BPE-style adjacent-pair census — ONE merge round of byte-pair
+    * encoding tokenizer training (the count-and-argmax step Sennrich-BPE
+    * iterates): top-20 adjacent character pairs over the corpus,
+    * weighted by word frequency. Simplification vs full BPE, documented:
+    * no end-of-word marker symbol and a single round (the full trainer
+    * re-runs this census after each merge against a driver-held merge
+    * table).
+    *
+    * Scale shape — the reason BPE training is feasible at 100 TB: the
+    * corpus collapses to its VOCABULARY in the first aggregate
+    * (map-side combine on `w`, shuffle carries (word, count) only);
+    * the pair explode then runs over the vocab, which saturates at
+    * ~10⁵-10⁶ rows regardless of corpus size, and the final shuffle is
+    * the pair alphabet (≤ |chars|²). Every later BPE round is vocab-
+    * sized, never corpus-sized. */
+  val t10_bpe_pairs: Q = (s, d) => {
+    val wf = Tables.documents(s, d)
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .filter(length(col("w")) >= 2) // 1-char words have no pairs; also
+      // keeps sequence() strictly ascending (Spark sequence(1,0)=[1,0])
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    wf
+      .selectExpr(
+        "explode(transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))) AS pair",
+        "cnt")
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(20)
+  }
+
+  /** t11: readability profile — sentence/word/syllable-proxy counts and
+    * their exact ratios (Flesch-style inputs without the float formula):
+    * words (split-on-space, the corpus convention), sentence breaks
+    * ([.!?]+ runs, floored at 1 so punctuation-free docs stay defined),
+    * vowel-group runs as the classic syllable proxy. Ratios are integer
+    * half-up CENTI units (e03's exact-arithmetic discipline) — no float
+    * division to diverge across engines. One narrow scan, no shuffle;
+    * the regexes ride the projection like t09's. */
+  val t11_readability: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_words"),
+        expr("CAST(greatest(regexp_count(text, '[.!?]+'), 1) AS BIGINT)").as("n_sents"),
+        expr("CAST(regexp_count(text, '[aeiou]+') AS BIGINT)").as("n_vowelgrp"))
+      .selectExpr("doc_id", "n_words", "n_sents", "n_vowelgrp",
+        "CAST((200 * n_words + n_sents) div (2 * n_sents) AS BIGINT) AS wps_centi",
+        "CAST((200 * n_vowelgrp + n_words) div (2 * n_words) AS BIGINT) AS vpw_centi")
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
     "t02_quality_score" -> t02_quality_score,
@@ -387,7 +437,9 @@ object TextQueries {
     "t06_repetition" -> t06_repetition,
     "t07_vocab_coverage" -> t07_vocab_coverage,
     "t08_profile" -> t08_profile,
-    "t09_pii_redact" -> t09_pii_redact)
+    "t09_pii_redact" -> t09_pii_redact,
+    "t10_bpe_pairs" -> t10_bpe_pairs,
+    "t11_readability" -> t11_readability)
 
   def oracleSql: Map[String, String] = {
     val duckScore = scoreCols(duckHitExpr).mkString(",\n        ")
@@ -511,6 +563,29 @@ object TextQueries {
            |       len(regexp_extract_all(after_ip, '$PHONE_RE'))::BIGINT AS n_phone,
            |       sha256(regexp_replace(after_ip, '$PHONE_RE', '<PHONE>', 'g')) AS red_sha
            |FROM st2 ORDER BY doc_id""".stripMargin,
+      "t10_bpe_pairs" ->
+        """WITH words AS (
+          |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+          |wf AS (
+          |  SELECT w, count(*) AS cnt FROM words
+          |  WHERE length(w) >= 2 GROUP BY w),
+          |pairs AS (
+          |  SELECT substring(w, i, 2) AS pair, cnt
+          |  FROM wf, unnest(range(1, length(w))) AS t(i))
+          |SELECT pair, sum(cnt)::BIGINT AS n
+          |FROM pairs GROUP BY pair
+          |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+      "t11_readability" ->
+        """WITH c AS (
+          |  SELECT doc_id,
+          |    len(string_split(text, ' '))::BIGINT AS n_words,
+          |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS n_sents,
+          |    len(regexp_extract_all(text, '[aeiou]+'))::BIGINT AS n_vowelgrp
+          |  FROM documents)
+          |SELECT doc_id, n_words, n_sents, n_vowelgrp,
+          |       ((200 * n_words + n_sents) // (2 * n_sents))::BIGINT AS wps_centi,
+          |       ((200 * n_vowelgrp + n_words) // (2 * n_words))::BIGINT AS vpw_centi
+          |FROM c ORDER BY doc_id""".stripMargin,
       "t05_salient_terms" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

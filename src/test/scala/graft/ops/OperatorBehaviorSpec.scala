@@ -527,6 +527,45 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("t10: BPE pair census matches a driver-side re-derivation " +
+    "(word-frequency-weighted, top-20 with deterministic tiebreak)") {
+    val got = TextQueries.t10_bpe_pairs(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val wf = texts.flatMap(_.split(" ", -1)).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, v) => w -> v.size.toLong }
+    val pairCounts = wf.toSeq.flatMap { case (w, cnt) =>
+      (0 until w.length - 1).map(i => w.substring(i, i + 2) -> cnt)
+    }.groupBy(_._1).map { case (p, v) => p -> v.map(_._2).sum }
+    val expected = pairCounts.toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got == expected)
+  }
+
+  test("t11: readability counts match a driver-side regex re-derivation " +
+    "and ratios are exact half-up centi units") {
+    val got = TextQueries.t11_readability(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.length == got.size)
+    val sentRe = "[.!?]+".r
+    val vowelRe = "[aeiou]+".r
+    docs.foreach { case (id, text) =>
+      val w = text.split(" ", -1).length.toLong
+      val sn = math.max(sentRe.findAllIn(text).size.toLong, 1L)
+      val v = vowelRe.findAllIn(text).size.toLong
+      val wps = (200 * w + sn) / (2 * sn)
+      val vpw = (200 * v + w) / (2 * w)
+      assert(got(id) == ((w, sn, v, wps, vpw)), s"doc $id")
+    }
+  }
+
   test("e11: transition counts match a driver-side re-derivation and " +
     "per-source permille shares sum to ~1000") {
     val got = EventQueries.e11_transitions(spark, sf)
