@@ -146,6 +146,45 @@ object CurationQueries {
     clusterPairs(DedupQueries.d02_minhash_lsh(s, d)
       .select(col("doc_a"), col("doc_b")))
 
+  /** c06: cluster REPRESENTATIVE selection — the production near-dup
+    * output: one canonical doc per transitive cluster chosen by QUALITY
+    * (t02's formula, tie → min doc_id), not by min id. c01 collapses
+    * only exact duplicates and c02 stops at cluster labels; this is the
+    * step that actually decides which near-dup survives, and choosing
+    * the best-quality member (instead of an arbitrary id) is measurably
+    * what corpus pipelines do before training. Unclustered docs are
+    * their own singleton cluster and always survive.
+    *
+    * Scale shape: labels ride [[clusterPairs]] (thin iterative joins);
+    * quality is a narrow projection; the selection itself is ONE
+    * cluster_id-keyed window over (doc_id, cluster, quality) rows —
+    * the corpus body never shuffles. A pathologically giant cluster
+    * would hot-spot the window partition, but cluster size is bounded
+    * upstream by d02's BUCKET_CAP pair discipline. */
+  val c06_cluster_reps: Q = (s, d) => {
+    val labels = clusterPairs(DedupQueries.d02_minhash_lsh(s, d)
+      .select(col("doc_a"), col("doc_b")))
+      .withColumnRenamed("cluster_id", "lbl")
+    val quality = Tables.documents(s, d)
+      .selectExpr(
+        "doc_id", "lang", "text",
+        "size(split(text, ' ')) AS n_words",
+        s"${TextQueries.hitExpr(TextQueries.markers.head._2)} AS sw_hits",
+        "size(array_distinct(split(text, ' '))) AS n_distinct")
+      .selectExpr("doc_id", s"${TextQueries.qualityExpr} AS quality")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    quality
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+      .drop("lbl")
+      .withColumn("rep_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster_id"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).cast("int").as("kept"),
+        col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** c03: rule-gauntlet quality filter — the C4/Gopher-style hard-rule
     * pass a corpus runs BEFORE model-based scoring: word-count bounds,
     * mean-word-length bounds, a stopword-presence requirement (English
@@ -374,7 +413,8 @@ object CurationQueries {
     "c02_dedup_clusters" -> c02_dedup_clusters,
     "c03_quality_filter" -> c03_quality_filter,
     "c04_corpus_pipeline" -> c04_corpus_pipeline,
-    "c05_boilerplate_spans" -> c05_boilerplate_spans)
+    "c05_boilerplate_spans" -> c05_boilerplate_spans,
+    "c06_cluster_reps" -> c06_cluster_reps)
 
   def oracleSql: Map[String, String] = Map(
     "c01_curation_pipeline" ->
@@ -503,6 +543,42 @@ object CurationQueries {
          |  SELECT e.a, rc.r FROM edges e JOIN reach rc ON rc.node = e.b)
          |SELECT node AS doc_id, min(r)::BIGINT AS cluster_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // c06: c02's recursive-reachability cluster CTE + c01's quality CTE,
+    // then one first_value window per cluster (default frame starts at
+    // the partition head on both engines, so rep_id is the global best).
+    "c06_cluster_reps" ->
+      s"""WITH RECURSIVE ${DedupQueries.d02OracleCtes},
+         |near AS (${DedupQueries.d02OraclePairSelect}),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM near
+         |  UNION
+         |  SELECT doc_b, doc_a FROM near),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, rc.r FROM edges e JOIN reach rc ON rc.node = e.b),
+         |clusters AS (
+         |  SELECT node AS doc_id, min(r)::BIGINT AS lbl
+         |  FROM reach GROUP BY node),
+         |scored AS (
+         |  SELECT doc_id, lang, text,
+         |         len(string_split(text, ' ')) AS n_words,
+         |         ${TextQueries.duckHitExpr(TextQueries.markers.head._2)} AS sw_hits,
+         |         len(list_distinct(string_split(text, ' '))) AS n_distinct
+         |  FROM documents),
+         |quality AS (
+         |  SELECT doc_id, ${TextQueries.qualityExprDuck} AS quality
+         |  FROM scored),
+         |labeled AS (
+         |  SELECT q.doc_id, coalesce(c.lbl, q.doc_id) AS cluster_id, q.quality
+         |  FROM quality q LEFT JOIN clusters c USING (doc_id))
+         |SELECT doc_id, cluster_id,
+         |       first_value(doc_id) OVER (PARTITION BY cluster_id
+         |                                 ORDER BY quality DESC, doc_id ASC) AS rep_id,
+         |       (doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
+         |                                           ORDER BY quality DESC, doc_id ASC))::INT AS kept,
+         |       quality
+         |FROM labeled ORDER BY doc_id""".stripMargin,
     "c05_boilerplate_spans" ->
       s"""WITH docs AS (
          |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -527,6 +527,31 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("c06: one representative per cluster, chosen by max quality then " +
+    "min id, with labels consistent with c02") {
+    val rows = CurationQueries.c06_cluster_reps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      val reps = members.map(_._3).distinct
+      assert(reps.length == 1, s"cluster $cid has ${reps.length} rep_ids")
+      val rep = reps.head
+      assert(members.count(_._4 == 1) == 1, s"cluster $cid kept != 1")
+      assert(members.find(_._4 == 1).get._1 == rep)
+      // rep is the (quality DESC, doc_id ASC) argmax over the members
+      val best = members.sortBy(m => (-m._5, m._1)).head._1
+      assert(rep == best, s"cluster $cid rep $rep != best $best")
+      assert(members.exists(_._1 == cid), s"label $cid not a member id")
+    }
+    // label agreement with c02: clustered docs carry the c02 label,
+    // unclustered docs are their own singleton
+    val c02 = CurationQueries.c02_dedup_clusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, cid, _, _, _) =>
+      assert(cid == c02.getOrElse(id, id), s"doc $id label $cid")
+    }
+  }
+
   test("t10: BPE pair census matches a driver-side re-derivation " +
     "(word-frequency-weighted, top-20 with deterministic tiebreak)") {
     val got = TextQueries.t10_bpe_pairs(spark, sf)
