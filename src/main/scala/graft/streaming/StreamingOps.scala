@@ -183,6 +183,44 @@ object StreamingOps {
   final case class SessionState(count: Long, lastTs: Long)
   final case class SessionOut(user_id: Long, events: Long, closed: Boolean)
 
+  final case class TransEv(user_id: Long, event_type: String,
+    tsMicros: Long, event_id: Long)
+  final case class TransState(lastType: String, lastTs: Long, lastId: Long)
+  final case class TransOut(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming twin of the batch transition matrix (EventQueries.e11's
+    * edge stream): per-user consecutive event-type pairs via
+    * flatMapGroupsWithState, CONSTANT state per user (only the last
+    * event survives a batch). Within a batch events sort by (ts, id) —
+    * e11's exact window order — and cross-batch continuity comes from
+    * the stored last event, so the emitted edge multiset equals the
+    * batch operator's when arrival respects per-user event-time order
+    * across batches (within-batch disorder is tolerated; production
+    * fronts this with a watermark-buffered reorder stage, the
+    * asofEnrich discipline). Downstream the counts/permille are a
+    * plain streaming groupBy in update mode — mergeable increments,
+    * the IncrementalAgg shape. */
+  def transitions(events: Dataset[TransEv])(
+      implicit spark: SparkSession): Dataset[TransOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[TransEv], state: GroupState[TransState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          val carried = state.getOption
+            .map(s => TransEv(uid, s.lastType, s.lastTs, s.lastId)).toSeq
+          val chain = carried ++ sorted
+          val outs = chain.sliding(2).collect {
+            case Seq(a, b) => TransOut(uid, a.event_type, b.event_type)
+          }.toSeq
+          sorted.lastOption.foreach(e =>
+            state.update(TransState(e.event_type, e.tsMicros, e.event_id)))
+          outs.iterator
+      }
+  }
+
   /** Custom stateful sessionization via mapGroupsWithState: a session
     * closes after 30 min of inactivity (processing-time timeout; pass
     * `withTimeout = false` for deterministic tests — with a timeout the

@@ -295,4 +295,30 @@ class StreamingSpec extends SparkSpec {
     assert(byUser.contains((2L, 1L)))
     query.stop()
   }
+
+  test("stream/batch unification: streaming transitions == batch e11 " +
+    "edge counts across micro-batches") {
+    import spark.implicits._
+    implicit val s = spark
+    val evs = graft.model.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type",
+        "unix_micros(ts) AS tsMicros", "event_id")
+      .as[StreamingOps.TransEv].collect()
+      .sortBy(e => (e.tsMicros, e.event_id)) // global event-time order
+      // preserves per-user order across the micro-batch splits below
+    val mem = MemoryStream[StreamingOps.TransEv](spark)
+    val query = StreamingOps.transitions(mem.toDS()).writeStream
+      .format("memory").queryName("trans").outputMode("append").start()
+    evs.grouped(300).foreach { chunk =>
+      mem.addData(chunk.toSeq)
+      query.processAllAvailable() // state must carry edges ACROSS batches
+    }
+    val streamed = spark.table("trans").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val batch = graft.ops.EventQueries.e11_transitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    query.stop()
+  }
 }
