@@ -334,6 +334,52 @@ object AnnQueries {
       .orderBy(col("src"), col("rn"))
   }
 
+  /** n10: ANN RECALL evaluation — recall@10 of the LSH-bucketed
+    * candidate search (n02's scan-predicate shape) against the exact
+    * fp32 top-10, per label-centroid query (n03's query block). This is
+    * the measurement loop an ANN deployment runs continuously: approx
+    * indexes silently lose recall as the corpus drifts, and the check
+    * is itself a distributed query (exact side = one corpus pass, never
+    * a per-query rescan). Both rankings use the ROUNDED score with an
+    * id tiebreak, so the compared top-10 SETS are engine-exact; recall
+    * lands as hits (0-10) and exact permille.
+    *
+    * Scale shape: ONE broadcast of the 10-centroid query block scores
+    * the corpus a single time; both the exact and candidate rankings
+    * are windows over that same scored pass; hit counting joins two
+    * 10-row-per-query sets. Evaluation cost ≈ one n03. */
+  val n10_ann_recall: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val centroids = emb
+      .groupBy(col("label").as("qlabel"))
+      .agg(VectorAggregators.vecSum(col("embedding")).as("vsum"))
+    val toUnitF = udf { (v: Array[Double]) =>
+      if (v == null) null
+      else VectorOps.normalize(v.map(_.toFloat))
+    }
+    val qs = broadcast(centroids.select(col("qlabel"), toUnitF(col("vsum")).as("qvec")))
+    val scored = emb.crossJoin(qs)
+      .select(col("qlabel"), col("vec_id"), col("embedding"), col("qvec"),
+        round(VectorOps.dotColsNative(col("embedding"), col("qvec")), 4).as("score"))
+    val w = Window.partitionBy(col("qlabel"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val exact = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select(col("qlabel"), col("vec_id"))
+    val bucketMatch = (0 until Lsh.NUM_TABLES)
+      .map(t => Lsh.bucketCol(col("embedding"), t) === Lsh.bucketCol(col("qvec"), t))
+      .reduce(_ || _)
+    val approx = scored.filter(bucketMatch)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select(col("qlabel"), col("vec_id"))
+    val hits = exact.join(approx, Seq("qlabel", "vec_id"), "leftsemi")
+      .groupBy(col("qlabel")).agg(count(lit(1)).as("h"))
+    qs.select(col("qlabel")).join(hits, Seq("qlabel"), "left")
+      .selectExpr("CAST(qlabel AS BIGINT) AS qlabel",
+        "CAST(coalesce(h, 0) AS BIGINT) AS hits",
+        "CAST(coalesce(h, 0) * 100 AS BIGINT) AS recall_permille")
+      .orderBy(col("qlabel"))
+  }
+
   def queries: Map[String, Q] = Map(
     "n01_ann_ivf" -> n01_ann_ivf,
     "n02_ann_lsh_topk" -> n02_ann_lsh_topk,
@@ -343,7 +389,8 @@ object AnnQueries {
     "n06_pq_adc" -> n06_pq_adc,
     "n07_ivf_pq" -> n07_ivf_pq,
     "n08_ivfpq_artifact" -> n08_ivfpq_artifact,
-    "n09_knn_graph" -> n09_knn_graph)
+    "n09_knn_graph" -> n09_knn_graph,
+    "n10_ann_recall" -> n10_ann_recall)
 
   def oracleSql: Map[String, String] = {
     val qLit = VectorOps.sqlDoubleArray(VectorQueries.flagshipVec)
@@ -358,6 +405,17 @@ object AnnQueries {
     val lshCond = (0 until Lsh.NUM_TABLES)
       .map(t => s"(${Lsh.duckBucketExpr(t)}) = ${Lsh.bucketOf(VectorQueries.flagshipVec, t)}")
       .mkString("(", "\n   OR ", ")")
+    val qsCte =
+      """qs AS (
+        |  SELECT label AS qlabel,
+        |         list_transform(
+        |           list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))),
+        |           x -> x::FLOAT::DOUBLE) AS qvec
+        |  FROM vecs)""".stripMargin
+    // n10: the row bucket vs the DERIVED query-vector bucket, per table
+    val recallCond = (0 until Lsh.NUM_TABLES)
+      .map(t => s"(${Lsh.duckBucketExpr(t)}) = (${Lsh.duckBucketExpr(t, "qvec")})")
+      .mkString("(", "\n       OR ", ")")
     Map(
       "n01_ann_ivf" ->
         s"""WITH $centroidCte,
@@ -386,12 +444,7 @@ object AnnQueries {
            |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
       "n03_ann_batch" ->
         s"""WITH $centroidCte,
-           |qs AS (
-           |  SELECT label AS qlabel,
-           |         list_transform(
-           |           list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))),
-           |           x -> x::FLOAT::DOUBLE) AS qvec
-           |  FROM vecs),
+           |$qsCte,
            |scored AS (
            |  SELECT qlabel, vec_id,
            |         round(list_dot_product(embedding::DOUBLE[], qvec), 4) AS score
@@ -431,6 +484,38 @@ object AnnQueries {
       // the oracle is shared verbatim — any drift between the artifact
       // path and the in-query path shows up as an n08 hash mismatch.
       "n08_ivfpq_artifact" -> ivfPqOracle(qLit),
+      // n10: one scored corpus pass (rowq) feeds BOTH rankings; the
+      // candidate filter compares the row bucket against the bucket of
+      // the in-SQL-derived centroid qvec — same plane literals, same
+      // float-widening arithmetic as the Spark side.
+      "n10_ann_recall" ->
+        s"""WITH $centroidCte,
+           |$qsCte,
+           |rowq AS (
+           |  SELECT qlabel, vec_id, embedding, qvec,
+           |         round(list_dot_product(embedding::DOUBLE[], qvec), 4) AS score
+           |  FROM embeddings CROSS JOIN qs),
+           |exact AS (
+           |  SELECT qlabel, vec_id FROM (
+           |    SELECT qlabel, vec_id,
+           |           row_number() OVER (PARTITION BY qlabel
+           |                              ORDER BY score DESC, vec_id ASC) AS rn
+           |    FROM rowq) WHERE rn <= 10),
+           |approx AS (
+           |  SELECT qlabel, vec_id FROM (
+           |    SELECT qlabel, vec_id,
+           |           row_number() OVER (PARTITION BY qlabel
+           |                              ORDER BY score DESC, vec_id ASC) AS rn
+           |    FROM rowq
+           |    WHERE $recallCond) WHERE rn <= 10),
+           |inter AS (
+           |  SELECT e.qlabel, e.vec_id
+           |  FROM exact e JOIN approx a ON a.qlabel = e.qlabel AND a.vec_id = e.vec_id)
+           |SELECT q.qlabel::BIGINT AS qlabel,
+           |       count(i.vec_id)::BIGINT AS hits,
+           |       (count(i.vec_id) * 100)::BIGINT AS recall_permille
+           |FROM qs q LEFT JOIN inter i ON i.qlabel = q.qlabel
+           |GROUP BY q.qlabel ORDER BY qlabel""".stripMargin,
       // n09: d06's tiered-bucket CTEs (same bitsel ladder + planesMax
       // literals), then a per-source ranking window over the DISTINCT
       // directed candidate pairs — ranked on the ROUNDED cosine so rank

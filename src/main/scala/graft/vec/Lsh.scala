@@ -84,11 +84,12 @@ object Lsh {
       if (s > 0) 1 << i else 0
     }.sum
 
-  /** DuckDB expression for the bucket of `embedding` in table `t`. */
-  def duckBucketExpr(t: Int): String =
+  /** DuckDB expression for the bucket of vector column `vcol` (already
+    * DOUBLE[] unless it is the raw `embedding`) in table `t`. */
+  def duckBucketExpr(t: Int, vcol: String = "embedding::DOUBLE[]"): String =
     planes(t).zipWithIndex.map { case (pl, i) =>
       val lit = pl.map(x => x.toFloat.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
-      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $lit) > 0 THEN ${1 << i} ELSE 0 END)"
+      s"(CASE WHEN list_dot_product($vcol, $lit) > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
 
   // ------------------------------------------------------------------

@@ -527,6 +527,21 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("n10: recall eval is bounded, permille-consistent, and the LSH " +
+    "path keeps a usable recall floor on the test corpus") {
+    val rows = AnnQueries.n10_ann_recall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 10) // one per label centroid
+    rows.foreach { case (q, h, p) =>
+      assert(h >= 0 && h <= 10, s"label $q hits $h")
+      assert(p == h * 100, s"label $q permille $p")
+    }
+    // the 6x3-bit OR-amplified family is documented at ~0.8 recall on
+    // this corpus (AnnQueries scaladoc); assert a floor with slack
+    val mean = rows.map(_._3).sum / 10.0
+    assert(mean >= 500.0, s"mean recall permille $mean")
+  }
+
   test("c06: one representative per cluster, chosen by max quality then " +
     "min id, with labels consistent with c02") {
     val rows = CurationQueries.c06_cluster_reps(spark, sf).collect()
