@@ -371,9 +371,10 @@ object AnnQueries {
     val approx = scored.filter(bucketMatch)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10).select(col("qlabel"), col("vec_id"))
-    val hits = exact.join(approx, Seq("qlabel", "vec_id"), "leftsemi")
+    // both sides are k-per-query sets (≤ 10·|queries| rows): broadcast
+    val hits = exact.join(broadcast(approx), Seq("qlabel", "vec_id"), "leftsemi")
       .groupBy(col("qlabel")).agg(count(lit(1)).as("h"))
-    qs.select(col("qlabel")).join(hits, Seq("qlabel"), "left")
+    qs.select(col("qlabel")).join(broadcast(hits), Seq("qlabel"), "left")
       .selectExpr("CAST(qlabel AS BIGINT) AS qlabel",
         "CAST(coalesce(h, 0) AS BIGINT) AS hits",
         "CAST(coalesce(h, 0) * 100 AS BIGINT) AS recall_permille")

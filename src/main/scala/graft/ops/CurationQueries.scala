@@ -175,7 +175,11 @@ object CurationQueries {
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality").desc, col("doc_id").asc)
     quality
-      .join(labels, Seq("doc_id"), "left")
+      // clusterPairs returns a stats-less LogicalRDD (materializeFlat),
+      // so Catalyst would fall back to SortMergeJoin; force the hash
+      // dispatch (c04's id-join discipline — labels are corpus-sized at
+      // scale, so shuffle-hash, not broadcast)
+      .join(labels.hint("shuffle_hash"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
       .drop("lbl")
       .withColumn("rep_id", first(col("doc_id")).over(w))

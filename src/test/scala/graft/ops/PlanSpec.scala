@@ -98,7 +98,8 @@ class PlanSpec extends SparkSpec {
     // O(N²) baseline; n03's 10-row broadcast block), and never a
     // SortMergeJoin (every join is broadcast- or hash-dispatched at the
     // oracle scales; a SMJ here means a broadcast threshold regressed)
-    val allowedCartesian = Set("d05_cosine_brute", "n03_ann_batch")
+    // n10 shares n03's documented 10-row broadcast query block
+    val allowedCartesian = Set("d05_cosine_brute", "n03_ann_batch", "n10_ann_recall")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       spark.catalog.clearCache()
