@@ -161,17 +161,14 @@ object CurationQueries {
     * the corpus body never shuffles. A pathologically giant cluster
     * would hot-spot the window partition, but cluster size is bounded
     * upstream by d02's BUCKET_CAP pair discipline. */
-  val c06_cluster_reps: Q = (s, d) => {
-    val labels = clusterPairs(DedupQueries.d02_minhash_lsh(s, d)
-      .select(col("doc_a"), col("doc_b")))
-      .withColumnRenamed("cluster_id", "lbl")
-    val quality = Tables.documents(s, d)
-      .selectExpr(
-        "doc_id", "lang", "text",
-        "size(split(text, ' ')) AS n_words",
-        s"${TextQueries.hitExpr(TextQueries.markers.head._2)} AS sw_hits",
-        "size(array_distinct(split(text, ' '))) AS n_distinct")
-      .selectExpr("doc_id", s"${TextQueries.qualityExpr} AS quality")
+  /** The operator proper: representative selection over EXISTING
+    * (doc_id, cluster_id) labels and (doc_id, quality) scores — both
+    * ARTIFACTS in production (the pair set and the quality table are
+    * produced once; re-deriving either inside the selection job would
+    * repeat the most expensive dedup stage — clusterPairs' discipline,
+    * VERDICT r03 #1). The oracled c06 entry below is the thin
+    * self-contained wrapper that derives both in-session. */
+  def clusterReps(labels: DataFrame, quality: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality").desc, col("doc_id").asc)
     quality
@@ -179,7 +176,8 @@ object CurationQueries {
       // so Catalyst would fall back to SortMergeJoin; force the hash
       // dispatch (c04's id-join discipline — labels are corpus-sized at
       // scale, so shuffle-hash, not broadcast)
-      .join(labels.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(labels.select(col("doc_id"), col("cluster_id").as("lbl"))
+        .hint("shuffle_hash"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
       .drop("lbl")
       .withColumn("rep_id", first(col("doc_id")).over(w))
@@ -188,6 +186,18 @@ object CurationQueries {
         col("quality"))
       .orderBy(col("doc_id"))
   }
+
+  val c06_cluster_reps: Q = (s, d) =>
+    clusterReps(
+      clusterPairs(DedupQueries.d02_minhash_lsh(s, d)
+        .select(col("doc_a"), col("doc_b"))),
+      Tables.documents(s, d)
+        .selectExpr(
+          "doc_id", "lang", "text",
+          "size(split(text, ' ')) AS n_words",
+          s"${TextQueries.hitExpr(TextQueries.markers.head._2)} AS sw_hits",
+          "size(array_distinct(split(text, ' '))) AS n_distinct")
+        .selectExpr("doc_id", s"${TextQueries.qualityExpr} AS quality"))
 
   /** c03: rule-gauntlet quality filter — the C4/Gopher-style hard-rule
     * pass a corpus runs BEFORE model-based scoring: word-count bounds,

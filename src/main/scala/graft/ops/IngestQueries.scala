@@ -31,9 +31,76 @@ object IngestQueries {
       .orderBy(col("doc_id"))
   }
 
-  def queries: Map[String, Q] = Map("i01_url_pipeline" -> i01_url_pipeline)
+  /** i02: URL CANONICALIZATION + dedup — the CommonCrawl-style ingest
+    * stage that collapses scheme/www/query-string/fragment/trailing-slash
+    * variants of one page before any content is fetched (fetch-once is
+    * the cheapest dedup there is). URLs are derived deterministically
+    * from doc_id so every 5-id block plants 4 colliding variants plus
+    * one unique URL. Canonicalization = strip fragment → strip query →
+    * strip scheme → strip leading www. → strip trailing slash →
+    * lowercase; every regex is RE2-safe (t09's discipline) and shared
+    * verbatim with the oracle. Simplifications vs production are
+    * documented in place: the whole query string is dropped (production
+    * keeps a param allowlist) and the full URL is lowercased (production
+    * lowercases only the authority; the synthetic paths are lowercase).
+    *
+    * Scale shape: a narrow per-row derive, then ONE canon-keyed window
+    * shuffle carrying (doc_id, canon, url) — the keep decision is
+    * rn=1 by doc_id inside each canonical group, d08's
+    * globally-first-occurrence semantics applied to URLs. */
+  val i02_url_canonical_dedup: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val urls = Tables.documents(s, d)
+      .selectExpr("doc_id",
+        """CASE CAST(doc_id % 5 AS INT)
+          |  WHEN 0 THEN concat('http://Example.com/page_', doc_id div 5)
+          |  WHEN 1 THEN concat('https://example.com/page_', doc_id div 5, '/')
+          |  WHEN 2 THEN concat('https://www.example.com/page_', doc_id div 5,
+          |                     '?utm_source=x&utm_medium=y')
+          |  WHEN 3 THEN concat('http://EXAMPLE.com/page_', doc_id div 5, '#frag')
+          |  ELSE concat('https://example.com/other_', doc_id)
+          |END AS url""".stripMargin)
+    urls
+      .withColumn("canon", lower(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          col("url"), "#.*$", ""), "\\?.*$", ""), "^https?://", ""),
+          "^www\\.", ""), "/$", "")))
+      .withColumn("keep",
+        (row_number().over(
+          Window.partitionBy(col("canon")).orderBy(col("doc_id"))) === 1)
+          .cast("int"))
+      .select(col("doc_id"), col("url"), col("canon"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "i01_url_pipeline" -> i01_url_pipeline,
+    "i02_url_canonical_dedup" -> i02_url_canonical_dedup)
 
   def oracleSql: Map[String, String] = Map(
+    "i02_url_canonical_dedup" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |         CASE (doc_id % 5)::INT
+        |           WHEN 0 THEN 'http://Example.com/page_' || (doc_id // 5)
+        |           WHEN 1 THEN 'https://example.com/page_' || (doc_id // 5) || '/'
+        |           WHEN 2 THEN 'https://www.example.com/page_' || (doc_id // 5)
+        |                       || '?utm_source=x&utm_medium=y'
+        |           WHEN 3 THEN 'http://EXAMPLE.com/page_' || (doc_id // 5) || '#frag'
+        |           ELSE 'https://example.com/other_' || doc_id
+        |         END AS url
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id, url,
+        |         lower(
+        |           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |             regexp_replace(url, '#.*$', ''), '\?.*$', ''),
+        |             '^https?://', ''), '^www\.', ''), '/$', '')) AS canon
+        |  FROM urls)
+        |SELECT doc_id, url, canon,
+        |       (row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1)::INT
+        |         AS keep
+        |FROM canon ORDER BY doc_id""".stripMargin,
     "i01_url_pipeline" ->
       """WITH urls AS (
         |  SELECT doc_id,

@@ -527,6 +527,20 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("clusterReps: best-quality member wins (tie -> min id) over an " +
+    "arbitrary label set; unlabeled docs pass through as singletons") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (10L, 0.1),
+      (11L, 0.2), (99L, 0.7)).toDF("doc_id", "quality")
+    val got = CurationQueries.clusterReps(labels, quality).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L, 0), (2L, 1L, 2L, 1), (3L, 1L, 2L, 0),
+      (10L, 10L, 11L, 0), (11L, 10L, 11L, 1), (99L, 99L, 99L, 1)))
+  }
+
   test("n10: recall eval is bounded, permille-consistent, and the LSH " +
     "path keeps a usable recall floor on the test corpus") {
     val rows = AnnQueries.n10_ann_recall(spark, sf).collect()
