@@ -61,8 +61,18 @@ object Bench {
 
     // optional comma-separated subset (local stress iteration — e.g. time
     // only the cap-bound queries at 10× without the O(N²) d05 baseline);
-    // the driver's per-round call sets no filter = full suite
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    // the driver's per-round call sets no filter = full suite. Blank /
+    // all-whitespace values collapse to None (review pass: an empty env
+    // var used to yield Set("") and silently bench ZERO queries), and
+    // names that match nothing fail loudly rather than vanish.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
@@ -110,8 +120,13 @@ object Bench {
     val envJson =
       s"""{"load_start":$loadStart,"load_end":$loadEnd,""" +
         s""""other_java_start":$javaStart,"other_java_end":$javaEnd}"""
+    // a subset run stamps its active filter into the record so a partial
+    // bench_out.json can never masquerade as a full-suite measurement
+    val filterJson = only
+      .map(_.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]"))
+      .getOrElse("null")
     val record =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"micro":$mJson,"env":$envJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"micro":$mJson,"env":$envJson,"filter":$filterJson,"sf":"$sfDir"}"""
     println(record)
     // self-record to a file too (VERDICT r03 #2: BENCH_r03's stdout tail
     // was truncated mid-record, losing the total and 30 per-query rows —

@@ -82,21 +82,39 @@ object AnnQueries {
       .limit(10)
   }
 
+  /** The label-centroid query block shared by n03 and n10 — the Spark
+    * twin of the oracle's `qsCte`, factored so a centroid-derivation
+    * tweak can never desync the two queries that reference the single
+    * shared oracle text. Mirrors the CTE's arithmetic ORDER exactly:
+    * normalize the double sums in DOUBLE, then cast each component to
+    * FLOAT (`x::FLOAT::DOUBLE`). The previous shape (cast to float,
+    * then normalize) agreed with the oracle only to ~1 ulp — absorbed
+    * by round(dot, 4) consumers like n03, but n10 feeds qvec into an
+    * LSH bucket SIGN test where a 1-ulp drift near a hyperplane flips
+    * the bucket and diverges the whole candidate set. */
+  private def qsDf(s: SparkSession, d: String): DataFrame = {
+    val centroids = Tables.embeddings(s, d)
+      .groupBy(col("label").as("qlabel"))
+      .agg(VectorAggregators.vecSum(col("embedding")).as("vsum"))
+    val toUnitF = udf { (v: Array[Double]) =>
+      if (v == null) null
+      else {
+        var ss = 0.0; var i = 0
+        while (i < v.length) { ss += v(i) * v(i); i += 1 }
+        val n = math.sqrt(ss)
+        if (n == 0.0) v.map(_.toFloat) else v.map(x => (x / n).toFloat)
+      }
+    }
+    broadcast(centroids.select(col("qlabel"), toUnitF(col("vsum")).as("qvec")))
+  }
+
   /** n03: batched ANN — top-3 corpus neighbors for each label centroid.
     * Centroids (10 rows) broadcast against the corpus scan; ranking
     * window partitioned per query. At 100 TB: block the query side and
     * reuse one corpus pass per block. */
   val n03_ann_batch: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val centroids = emb
-      .groupBy(col("label").as("qlabel"))
-      .agg(VectorAggregators.vecSum(col("embedding")).as("vsum"))
-    val toUnitF = udf { (v: Array[Double]) =>
-      if (v == null) null
-      else VectorOps.normalize(v.map(_.toFloat))
-    }
-    val scored = emb.crossJoin(
-        broadcast(centroids.select(col("qlabel"), toUnitF(col("vsum")).as("qvec"))))
+    val scored = emb.crossJoin(qsDf(s, d))
       .select(col("qlabel"), col("vec_id"),
         round(VectorOps.dotColsNative(col("embedding"), col("qvec")), 4).as("score"))
     val w = Window.partitionBy(col("qlabel"))
@@ -350,14 +368,7 @@ object AnnQueries {
     * 10-row-per-query sets. Evaluation cost ≈ one n03. */
   val n10_ann_recall: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val centroids = emb
-      .groupBy(col("label").as("qlabel"))
-      .agg(VectorAggregators.vecSum(col("embedding")).as("vsum"))
-    val toUnitF = udf { (v: Array[Double]) =>
-      if (v == null) null
-      else VectorOps.normalize(v.map(_.toFloat))
-    }
-    val qs = broadcast(centroids.select(col("qlabel"), toUnitF(col("vsum")).as("qvec")))
+    val qs = qsDf(s, d)
     val scored = emb.crossJoin(qs)
       .select(col("qlabel"), col("vec_id"), col("embedding"), col("qvec"),
         round(VectorOps.dotColsNative(col("embedding"), col("qvec")), 4).as("score"))

@@ -175,7 +175,19 @@ object CurationQueries {
       // clusterPairs returns a stats-less LogicalRDD (materializeFlat),
       // so Catalyst would fall back to SortMergeJoin; force the hash
       // dispatch (c04's id-join discipline — labels are corpus-sized at
-      // scale, so shuffle-hash, not broadcast)
+      // scale, so shuffle-hash, not broadcast).
+      //
+      // UNIVERSE CONTRACT (left join is load-bearing): `quality` defines
+      // the corpus — every corpus doc must have a quality row, and a
+      // label node with no quality row is treated as NON-CORPUS and
+      // excluded. That asymmetry is required: d02-style pair sets carry
+      // synthetic variant nodes (doc_id + 100000 planted mutations)
+      // that must not surface as output rows, so the operator cannot
+      // distinguish "synthetic node" from "corpus doc someone forgot to
+      // score". Callers passing a FILTERED quality table (e.g. only c03
+      // survivors) therefore get reps chosen among survivors only —
+      // pass the full corpus scoring if every cluster member must
+      // compete (pinned by OperatorBehaviorSpec's universe test).
       .join(labels.select(col("doc_id"), col("cluster_id").as("lbl"))
         .hint("shuffle_hash"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))

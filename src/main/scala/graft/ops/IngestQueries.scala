@@ -36,9 +36,12 @@ object IngestQueries {
     * variants of one page before any content is fetched (fetch-once is
     * the cheapest dedup there is). URLs are derived deterministically
     * from doc_id so every 5-id block plants 4 colliding variants plus
-    * one unique URL. Canonicalization = strip fragment → strip query →
-    * strip scheme → strip leading www. → strip trailing slash →
-    * lowercase; every regex is RE2-safe (t09's discipline) and shared
+    * one unique URL. Canonicalization = lowercase → strip fragment →
+    * strip query → strip scheme → strip leading www. → strip trailing
+    * slash; lowercasing comes FIRST so the case-sensitive scheme/www
+    * anchors match 'HTTP://…' and 'WWW.…' variants too (review pass:
+    * stripping before lowering silently left uppercase-scheme URLs
+    * uncollapsed). Every regex is RE2-safe (t09's discipline) and shared
     * verbatim with the oracle. Simplifications vs production are
     * documented in place: the whole query string is dropped (production
     * keeps a param allowlist) and the full URL is lowercased (production
@@ -61,10 +64,10 @@ object IngestQueries {
           |  ELSE concat('https://example.com/other_', doc_id)
           |END AS url""".stripMargin)
     urls
-      .withColumn("canon", lower(
+      .withColumn("canon",
         regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          col("url"), "#.*$", ""), "\\?.*$", ""), "^https?://", ""),
-          "^www\\.", ""), "/$", "")))
+          lower(col("url")), "#.*$", ""), "\\?.*$", ""), "^https?://", ""),
+          "^www\\.", ""), "/$", ""))
       .withColumn("keep",
         (row_number().over(
           Window.partitionBy(col("canon")).orderBy(col("doc_id"))) === 1)
@@ -92,10 +95,9 @@ object IngestQueries {
         |  FROM documents),
         |canon AS (
         |  SELECT doc_id, url,
-        |         lower(
-        |           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |             regexp_replace(url, '#.*$', ''), '\?.*$', ''),
-        |             '^https?://', ''), '^www\.', ''), '/$', '')) AS canon
+        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |           regexp_replace(lower(url), '#.*$', ''), '\?.*$', ''),
+        |           '^https?://', ''), '^www\.', ''), '/$', '') AS canon
         |  FROM urls)
         |SELECT doc_id, url, canon,
         |       (row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1)::INT

@@ -541,6 +541,23 @@ class OperatorBehaviorSpec extends SparkSpec {
       (10L, 10L, 11L, 0), (11L, 10L, 11L, 1), (99L, 99L, 99L, 1)))
   }
 
+  test("clusterReps universe contract: quality defines the corpus — a " +
+    "label node with no quality row is excluded (d02's synthetic " +
+    "+100000 variant nodes must not surface), never given a null score") {
+    import spark.implicits._
+    // cluster 1 = corpus doc 1 + synthetic variant node 100001 (planted
+    // by a d02-style pair set, absent from the corpus quality frame)
+    val labels = Seq((1L, 1L), (100001L, 1L)).toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 0.1), (5L, 0.9)).toDF("doc_id", "quality")
+    val got = CurationQueries.clusterReps(labels, quality).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    // node 100001 excluded; doc 1 represents its cluster among corpus
+    // members; unlabeled corpus doc 5 passes through as a singleton
+    assert(got == Seq((1L, 1L, 1L, 1), (5L, 5L, 5L, 1)))
+    assert(CurationQueries.clusterReps(labels, quality)
+      .filter(col("quality").isNull).count() == 0)
+  }
+
   test("n10: recall eval is bounded, permille-consistent, and the LSH " +
     "path keeps a usable recall floor on the test corpus") {
     val rows = AnnQueries.n10_ann_recall(spark, sf).collect()
