@@ -1,6 +1,6 @@
 package graft.vec
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Random-hyperplane LSH for cosine similarity (sign-random-projection):
@@ -38,15 +38,60 @@ object Lsh {
     * never be retuned apart. */
   val TARGET_BUCKET = 250L
 
+  /** Hard per-(table, bucket) population cap for the tiered candidate
+    * join (d06/n09). The [[bitsForCount]] ladder bounds the MEAN bucket
+    * at [[TARGET_BUCKET]], but identical (or near-identical) vectors
+    * collide in EVERY table at ANY bit width — more bits cannot spread
+    * them, so a crawl-shaped corpus with 10⁴ copies of one embedding
+    * would put ~10⁸ pairs into one bucket of one partition (VERDICT r04
+    * #1). The census + anti-join in [[capTieredBuckets]] drops such
+    * buckets entirely (d02's BUCKET_CAP discipline): identical-copy
+    * clusters are exact dedup's job (d01), not the near-dup join's.
+    * 4× the target mean, so ordinary statistical tail buckets are
+    * untouched and only degenerate collision clusters bind. */
+  val TIER_BUCKET_CAP: Long = 4 * TARGET_BUCKET
+
   /** The sizing rule as an integer threshold ladder — smallest
     * k ∈ [BITS, MAX_BITS] with target·2ᵏ ≥ n (i.e. mean bucket ≤
     * target) — NOT a floating log: `ceil(log(n/B)/log 2)` computed as a
     * double ratio can land 10⁻¹⁶ above an integer on one engine and
     * exactly on it on the other, flipping the tier at exact powers of
     * two. Pure integer compares are bit-identical everywhere; the
-    * DuckDB oracle mirrors this same ladder with range(3,13). */
+    * DuckDB oracle mirrors this same ladder with range(3,13).
+    *
+    * Saturation is LOUD (ADVICE r04): past n = target·2^MAX_BITS
+    * (~1.02 M rows) the ladder pins at MAX_BITS and mean bucket size
+    * grows linearly with n again — the oracled demo's documented edge.
+    * Production corpora past that range must use [[planesFor]] with
+    * corpus-sized bits directly; the warning makes a silent regression
+    * toward the quadratic join impossible to miss in logs. */
   def bitsForCount(n: Long, target: Long = TARGET_BUCKET): Int =
-    (BITS to MAX_BITS).find(k => target * (1L << k) >= n).getOrElse(MAX_BITS)
+    (BITS to MAX_BITS).find(k => target * (1L << k) >= n).getOrElse {
+      log.warn(
+        s"Lsh.bitsForCount saturated at MAX_BITS=$MAX_BITS for n=$n " +
+          s"(target bucket $target supports n <= ${target * (1L << MAX_BITS)}): " +
+          "mean bucket size now grows linearly with n — use planesFor with " +
+          "corpus-sized bits for corpora past the oracled range")
+      MAX_BITS
+    }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** d02's census discipline applied to the tiered buckets (VERDICT r04
+    * #1): aggregate the (tbl, bucket) populations over [[TIER_BUCKET_CAP]]
+    * (a tiny table — only degenerate collision clusters exceed 4× the
+    * ladder's mean) and anti-join them away before the candidate
+    * self-join. Keeps the join O(n·cap) instead of O(hottest-bucket²)
+    * no matter how many identical vectors a corpus plants; costs one
+    * partial-agg pass + an (AQE-broadcast) anti-join. Callers cache the
+    * result before self-joining (both sides + no build race). */
+  def capTieredBuckets(bucketed: DataFrame, cap: Long = TIER_BUCKET_CAP): DataFrame = {
+    val hot = bucketed.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > cap)
+      .select(col("tbl"), col("bucket"))
+    bucketed.join(hot, Seq("tbl", "bucket"), "left_anti")
+  }
 
   /** Seeded planes for an arbitrary (tables × bits) config.
     *
@@ -130,4 +175,17 @@ object Lsh {
       }.mkString("\n   + ")
       s"SELECT vec_id, embedding, $t AS tbl,\n  ($bitsExpr) AS bucket\n  FROM embeddings, bitsel b"
     }.mkString("\n  UNION ALL\n  ")
+
+  /** The tiered bucket CTEs WITH the [[TIER_BUCKET_CAP]] census applied
+    * (no leading WITH; ends at `bucketed`) — the oracle twin of
+    * [[capTieredBuckets]]: the QUALIFY window drops every row of a
+    * (tbl, bucket) group over the cap, exactly like the engine's
+    * anti-join. d06 and n09 both interpolate this ONE definition, so
+    * the cap can never be retuned on one engine only. */
+  def duckTieredCappedCtes: String =
+    s"""bucketed_raw AS (
+       |  $duckTieredBucketsSql),
+       |bucketed AS (
+       |  SELECT vec_id, embedding, tbl, bucket FROM bucketed_raw
+       |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= $TIER_BUCKET_CAP)""".stripMargin
 }
