@@ -117,9 +117,20 @@ object Bench {
     val mJson = micro.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val (loadEnd, javaEnd) = machineState()
+    // machine-readable idle gate (VERDICT r04 #6 / r05 #3): a record is a
+    // valid round number ONLY when the machine was idle at start and no
+    // co-tenant JVM appeared during the run — load_end is excluded
+    // because this bench itself drives it. The r05 3.2× "regression" was
+    // exactly a non-idle run with no flag to prove it.
+    val idle = loadStart >= 0 && loadStart < 1.0 && javaStart == 0 && javaEnd == 0
+    if (!idle)
+      System.err.println(
+        s"[bench] NOT IDLE (load_start=$loadStart, other_java=$javaStart/$javaEnd)" +
+          " — this record must not become the round number")
     val envJson =
       s"""{"load_start":$loadStart,"load_end":$loadEnd,""" +
-        s""""other_java_start":$javaStart,"other_java_end":$javaEnd}"""
+        s""""other_java_start":$javaStart,"other_java_end":$javaEnd,""" +
+        s""""idle":$idle}"""
     // a subset run stamps its active filter into the record so a partial
     // bench_out.json can never masquerade as a full-suite measurement
     val filterJson = only

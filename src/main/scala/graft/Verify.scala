@@ -17,7 +17,14 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // loud failure marker (VERDICT r05 #4): without it a throwing
+        // query just VANISHES from the driver's correctness JSON —
+        // "missing" reads as "not declared" instead of "broken"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val head = (s"${e.getClass.getName}: ${e.getMessage}" +:
+          e.getStackTrace.take(8).map("  at " + _)).mkString("\n")
+        try Files.writeString(Paths.get(s"$outDir/$name.err"), head + "\n")
+        catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -36,20 +36,29 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark's vectorized reader rejects. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[graft.Sessions]]),
-    * the nanos arrive as LongType, and this loader restores a proper
-    * TimestampType column (integer `div` — a double division would lose
-    * precision above 2^53 nanos). Sub-microsecond truncation is accepted
-    * and documented (Spark timestamps are micros). */
+  /** The events loader normalizes `ts` to TimestampType whatever parquet
+    * encoding a testdata generation used — downstream operators assume a
+    * tz-aware timestamp (they `cast("double")` for epoch seconds, set
+    * watermarks, call `unix_micros`; all illegal or rejected on NTZ):
+    *
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; Sessions
+    *    set `spark.sql.legacy.parquet.nanosAsLong=true`, the nanos arrive
+    *    as LongType, and integer `div` restores micros (a double division
+    *    would lose precision above 2^53 nanos; sub-µs truncation is
+    *    accepted — Spark timestamps are micros).
+    *  - timestamp[us] with no tz: Spark 4 reads TIMESTAMP_NTZ; the cast
+    *    to TimestampType re-interprets the wall-clock in the session tz,
+    *    which [[graft.Sessions]] pins to UTC — the exact epoch DuckDB's
+    *    naive-timestamp read assigns, so oracle parity is unchanged. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types.LongType
-    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.functions.{col, expr}
     val raw = load(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

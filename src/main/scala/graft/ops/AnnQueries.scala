@@ -328,12 +328,15 @@ object AnnQueries {
     val embC = emb.cache()
     val n = embC.count()
     val bits = Lsh.bitsForCount(n)
-    val bucketed = embC
+    val rawBucketed = embC
       .withColumn("tb", explode(array(Lsh.tieredBucketStructs(col("embedding"), bits): _*)))
       .select(col("vec_id"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
       .cache()
-    bucketed.count() // thin (id, tbl, bucket) rows; both join sides reuse
+    rawBucketed.count() // thin (id, tbl, bucket) rows; both join sides reuse
+    // d06's hot-bucket cap (VERDICT r04 #1): drop degenerate collision
+    // buckets before the self-join; oracle twin = duckTieredCappedCtes
+    val bucketed = Lsh.capTieredBuckets(rawBucketed)
     val cand = bucketed.as("x").join(bucketed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") =!= col("y.vec_id"))
@@ -529,14 +532,14 @@ object AnnQueries {
            |FROM qs q LEFT JOIN inter i ON i.qlabel = q.qlabel
            |GROUP BY q.qlabel ORDER BY qlabel""".stripMargin,
       // n09: d06's tiered-bucket CTEs (same bitsel ladder + planesMax
-      // literals), then a per-source ranking window over the DISTINCT
-      // directed candidate pairs — ranked on the ROUNDED cosine so rank
-      // boundaries agree across engines.
+      // literals + the shared hot-bucket cap QUALIFY), then a per-source
+      // ranking window over the DISTINCT directed candidate pairs —
+      // ranked on the ROUNDED cosine so rank boundaries agree across
+      // engines.
       "n09_knn_graph" ->
         s"""WITH nrows AS (SELECT count(*) AS n FROM embeddings),
            |${Lsh.duckBitselCte},
-           |bucketed AS (
-           |  ${Lsh.duckTieredBucketsSql}),
+           |${Lsh.duckTieredCappedCtes},
            |cand AS (
            |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS nbr
            |  FROM bucketed x JOIN bucketed y

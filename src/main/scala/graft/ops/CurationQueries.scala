@@ -77,7 +77,12 @@ object CurationQueries {
     * compares the (monotonically decreasing) label-sum fixpoint, so this
     * is a distributed iterative algorithm, not a driver-side data loop.
     * Measured on this corpus: largest component 156 nodes / diameter ≈14
-    * at sf0.1 → 5-6 rounds. */
+    * at sf0.1 → 5-6 rounds. The loop's hard stop of 40 rounds is not a
+    * tuning knob: with pointer doubling the label radius reached grows
+    * as 2^rounds, so 40 rounds covers any component of diameter ≤ 2⁴⁰ —
+    * beyond any physical corpus — and hitting it means a non-converging
+    * plan bug, which the `require(converged)` below turns into a loud
+    * failure instead of a silent wrong answer. */
   /** Flat per-round materialization for iterative plans: an RDD[Row]
     * round-trip + createDataFrame yields a LogicalRDD with NO reference
     * to the producing plan. `Dataset.localCheckpoint(true)` truncates

@@ -411,12 +411,18 @@ object DedupQueries {
     // ladder, mirrored verbatim in the oracle's bitsel CTE.
     val bits = graft.vec.Lsh.bitsForCount(n)
     val bucketStructs = graft.vec.Lsh.tieredBucketStructs(col("embedding"), bits)
-    val bucketed = embC
+    val rawBucketed = embC
       .withColumn("tb", explode(array(bucketStructs: _*)))
       .select(col("vec_id"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
       .cache() // thin (id, tbl, bucket) rows; without this both join
-    bucketed.count() // sides recompute the 18 plane dots per row
+    rawBucketed.count() // sides recompute the 18 plane dots per row
+    // hot-bucket cap (VERDICT r04 #1): the ladder bounds the MEAN bucket,
+    // but identical vectors collide at any bit width — census + anti-join
+    // drops degenerate (tbl, bucket) groups before the self-join so the
+    // candidate set stays O(n·cap), never O(hottest²). Oracle twin:
+    // duckTieredCappedCtes' QUALIFY window.
+    val bucketed = graft.vec.Lsh.capTieredBuckets(rawBucketed)
     val cand = bucketed.as("x").join(bucketed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -691,12 +697,14 @@ object DedupQueries {
       // d06: bucket width from the SAME integer threshold ladder as
       // Lsh.bitsForCount (bitsel CTE — no floating log2, see the
       // Scaladoc there); plane (t, i) literals are tier-independent
-      // (planesMax prefix property) and CASE-gated on i < bits.
+      // (planesMax prefix property) and CASE-gated on i < bits. The
+      // capped CTEs' QUALIFY window mirrors the engine's hot-bucket
+      // anti-join — ONE shared definition, so the cap cannot be retuned
+      // on one engine only.
       "d06_cosine_lsh" ->
         s"""WITH nrows AS (SELECT count(*) AS n FROM embeddings),
            |${graft.vec.Lsh.duckBitselCte},
-           |bucketed AS (
-           |  ${graft.vec.Lsh.duckTieredBucketsSql})
+           |${graft.vec.Lsh.duckTieredCappedCtes}
            |SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
            |       round(list_cosine_similarity(x.embedding::DOUBLE[],
            |                                    y.embedding::DOUBLE[]), 4) AS cos

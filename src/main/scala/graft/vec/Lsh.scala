@@ -84,12 +84,23 @@ object Lsh {
     * self-join. Keeps the join O(n·cap) instead of O(hottest-bucket²)
     * no matter how many identical vectors a corpus plants; costs one
     * partial-agg pass + an (AQE-broadcast) anti-join. Callers cache the
-    * result before self-joining (both sides + no build race). */
+    * INPUT (thin (id, tbl, bucket) rows) so the census and anti-join
+    * probe one materialization. The cap is not silent: the hot-group
+    * census is counted (a tiny cached table) and every drop is logged —
+    * rows in a dropped (tbl, bucket) keep their candidates from the
+    * other L−1 tables, and identical-copy clusters are d01 exact
+    * dedup's job, not the near-dup join's. */
   def capTieredBuckets(bucketed: DataFrame, cap: Long = TIER_BUCKET_CAP): DataFrame = {
     val hot = bucketed.groupBy(col("tbl"), col("bucket"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > cap)
       .select(col("tbl"), col("bucket"))
+      .cache()
+    val nHot = hot.count()
+    if (nHot > 0) log.warn(
+      s"capTieredBuckets: dropping $nHot (tbl, bucket) group(s) over cap=$cap " +
+        "(degenerate collision cluster — near-dup recall for those rows now " +
+        "rests on their other tables; identical copies are d01's job)")
     bucketed.join(hot, Seq("tbl", "bucket"), "left_anti")
   }
 

@@ -127,4 +127,54 @@ class DedupStressSpec extends SparkSpec {
       s"scaled buckets lost planted near-dups: $recalled/100")
     emb.unpersist()
   }
+
+  test("d06 hot-bucket cap: 5000 planted identical embeddings stay bounded " +
+    "and emit no intra-cluster pairs (identical copies are d01's job)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    def randVec(): Array[Float] =
+      VectorOps.normalize(Array.fill(Lsh.DIM)(rnd.nextGaussian().toFloat))
+    // 2000 random background vectors + ONE vector with 5000 identical
+    // copies — the crawl-shaped degenerate the bitsForCount ladder cannot
+    // spread (identical vectors collide in every table at ANY bit width;
+    // uncapped, this is C(5000,2) ≈ 12.5M candidate pairs × 6 tables in
+    // one bucket of one partition — VERDICT r04 #1's scale-killer).
+    val background = (0 until 2000).map(i => (i.toLong, randVec()))
+    val hotVec = randVec()
+    val hot = (0 until 5000).map(i => (50000L + i, hotVec))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-stress-d06cap"
+    (background ++ hot).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // the census drops the cluster's bucket in EVERY table, so the
+    // surviving candidate-join cost is bounded by cap·L·n/2, never
+    // O(cluster²)
+    val n = 7000L
+    val bits = Lsh.bitsForCount(n)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val raw = emb
+      .withColumn("tb",
+        explode(array(Lsh.tieredBucketStructs(col("embedding"), bits): _*)))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .cache()
+    val capped = Lsh.capTieredBuckets(raw)
+    assert(capped.filter(col("vec_id") >= 50000L).count() == 0,
+      "every cluster row collides in all 6 tables' hot buckets — all must drop")
+    val cost = capped.groupBy(col("tbl"), col("bucket")).count()
+      .agg(sum(expr("count * (count - 1) div 2"))).head().getLong(0)
+    assert(cost < Lsh.TIER_BUCKET_CAP * Lsh.NUM_TABLES * n / 2,
+      s"capped candidate cost $cost exceeds the cap bound")
+    raw.unpersist()
+
+    // the full oracled operator completes on this corpus and the cluster
+    // contributes ZERO pairs (its rows hold no surviving bucket at all)
+    val out = DedupQueries.d06_cosine_lsh(spark, dir)
+      .filter(col("id_a") >= 50000L || col("id_b") >= 50000L).count()
+    assert(out == 0, s"cluster leaked $out pairs through the cap")
+
+    // both oracles interpolate the capped CTEs — the engines flip
+    // together or not at all
+    assert(graft.SparkEntry.oracleSql("d06_cosine_lsh").contains("QUALIFY"))
+    assert(graft.SparkEntry.oracleSql("n09_knn_graph").contains("QUALIFY"))
+  }
 }

@@ -644,7 +644,10 @@ class OperatorBehaviorSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
       .toMap
     // independent re-derivation: sort each user's events, pair consecutive
-    val expected = spark.read.parquet(s"$sf/events.parquet")
+    // Tables.events, not a raw parquet read: ts normalization (NTZ /
+    // nanos encodings) is the loader's job, and a raw read would make
+    // this re-derivation fail on encodings the operator itself handles
+    val expected = graft.model.Tables.events(spark, sf)
       .selectExpr("user_id", "event_type", "CAST(ts AS DOUBLE) es", "event_id")
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
