@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.vec.VectorOps
 
@@ -62,11 +62,22 @@ final class IvfPqIndex(
     * predicate prunes partitions of a loaded artifact at the source
     * (PlanSpec-asserted), then the packed kernel scores 8-byte codes.
     * Unrounded scores — this is the coarse stage, its ordering feeds
-    * the rerank; round only at an output surface. */
-  def searchAdc(q: Array[Float], topk: Int, nprobe: Int): DataFrame = {
+    * the rerank; round only at an output surface.
+    *
+    * `predicate` is the FILTERED-ANN fusion (the reference's own
+    * flagship shape — predicate + top-k in one scan,
+    * rclip_server.py:206-211): a metadata condition over columns the
+    * index was built with (`metaCols`), applied INSIDE the pruned code
+    * scan, before the ADC TakeOrdered — on a loaded artifact it reaches
+    * the parquet reader as a pushed row-group filter, so a selective
+    * predicate cuts the coarse stage's IO, not just its output. A
+    * post-filter would instead starve the candidate list (filtering
+    * AFTER top-`coarseK` returns fewer than `coarseK` eligible rows). */
+  def searchAdc(q: Array[Float], topk: Int, nprobe: Int,
+      predicate: Option[Column] = None): DataFrame = {
     val cells = probeCells(q, nprobe)
-    codes
-      .filter(col("cell").isin(cells: _*))
+    val pruned = codes.filter(col("cell").isin(cells: _*))
+    predicate.fold(pruned)(pruned.filter)
       .select(col(idCol),
         VectorOps.pqAdcPacked(col("code"), PqIndex.lut(flatCodebook, m, k, q), m, k)
           .as("adc"))
@@ -74,19 +85,58 @@ final class IvfPqIndex(
       .limit(topk)
   }
 
-  /** Full IVF-PQ search: pruned ADC top-`coarseK` → exact fp32 rerank
-    * against `raw` (the id-keyed raw-vector store, typically the corpus
-    * table itself) → top-`topk`. Output convention matches the engine's
-    * query surfaces: round(…, 4) + 0.0. */
+  /** Full IVF-PQ search: pruned (+ optionally predicate-filtered) ADC
+    * top-`coarseK` → exact fp32 rerank against `raw` (the id-keyed
+    * raw-vector store, typically the corpus table itself) → top-`topk`.
+    * Candidates already satisfy `predicate`, so the rerank join needs no
+    * re-filter. Output convention matches the engine's query surfaces:
+    * round(…, 4) + 0.0. */
   def search(q: Array[Float], topk: Int, nprobe: Int, coarseK: Int,
-      raw: DataFrame, vecCol: String = "embedding"): DataFrame = {
-    val cand = searchAdc(q, topk = coarseK, nprobe = nprobe).select(col(idCol))
+      raw: DataFrame, vecCol: String = "embedding",
+      predicate: Option[Column] = None): DataFrame = {
+    val cand = searchAdc(q, topk = coarseK, nprobe = nprobe, predicate = predicate)
+      .select(col(idCol))
     raw.join(broadcast(cand), idCol)
       .select(col(idCol),
         (round(VectorOps.dotQueryNative(col(vecCol), q), 4) + lit(0.0)).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(topk)
   }
+
+  /** Incremental append with FROZEN codebooks (VERDICT r04 #5): assign
+    * each delta row a cell with the existing coarse centroids, encode
+    * with the existing PQ codebook, and return an index over base ∪
+    * delta codes — no retraining, no touch of existing code rows. This
+    * is how production ANN serves a growing corpus between (rare, full)
+    * rebuilds: appends are one narrow encode pass over the delta only;
+    * recall decays only as the data distribution drifts from the frozen
+    * codebooks, which the n10-style recall evaluation watches.
+    * `delta` must carry idCol, vecCol, and every metadata column the
+    * index was built with (checked loudly). */
+  def add(delta: DataFrame, vecCol: String = "embedding"): IvfPqIndex = {
+    val spark = delta.sparkSession
+    VectorOps.ensureRegistered(spark)
+    val metaCols = codes.columns.toSeq.filterNot(Set(idCol, "cell", "code"))
+    val missing = (idCol +: vecCol +: metaCols).filterNot(delta.columns.contains)
+    require(missing.isEmpty,
+      s"IvfPqIndex.add: delta is missing column(s) ${missing.mkString(", ")}")
+    val cb = centroids
+    val assign = udf { (v: Array[Float]) => IvfIndex.nearestCell(cb, v) }
+    val newCodes = delta.select(
+      col(idCol) +: assign(col(vecCol)).as("cell") +:
+        VectorOps.pqEncodePacked(col(vecCol), flatCodebook, m, k).as("code") +:
+        metaCols.map(col): _*)
+    new IvfPqIndex(centroids, m, k, flatCodebook,
+      codes.unionByName(newCodes.select(codes.columns.map(col): _*)), idCol)
+  }
+
+  /** Append-save for a grown index: write ONLY `deltaCodes` rows into
+    * the existing artifact's cell partitions (dynamic-partition append —
+    * existing files are untouched, each cell directory gains delta
+    * files). The codebook sidecars are frozen by construction, so they
+    * are not rewritten. */
+  def appendSave(path: String, deltaCodes: DataFrame): Unit =
+    deltaCodes.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
 
   /** Persist: cell-partitioned packed codes + coarse-centroid table +
     * PQ sidecar. Everything a fresh session needs to probe is inside. */
@@ -115,15 +165,21 @@ object IvfPqIndex {
   def build(df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       cells: Int = 8, ivfIters: Int = 0,
       m: Int = 8, k: Int = 16, pqIters: Int = 0,
-      sampleN: Int = 2048): IvfPqIndex = {
+      sampleN: Int = 2048, metaCols: Seq[String] = Nil): IvfPqIndex = {
     val spark = df.sparkSession
     VectorOps.ensureRegistered(spark)
     val base = df.select(col(idCol), col(vecCol))
     val ivf = IvfIndex.build(base, idCol, vecCol, cells, ivfIters)
     val flat = PqIndex.train(base, m, k, pqIters, sampleN, idCol, vecCol)
-    val codes = ivf.indexed
+    // metaCols ride the code rows (filtered-ANN: a predicate over them
+    // lands inside the pruned code scan instead of forcing a join back
+    // to the corpus per search) — one build-time id-equi-join, and only
+    // when metadata was requested
+    val encoded = ivf.indexed
       .select(col(idCol), col("cell"),
         VectorOps.pqEncodePacked(col(vecCol), flat, m, k).as("code"))
+    val codes = (if (metaCols.isEmpty) encoded
+      else encoded.join(df.select(col(idCol) +: metaCols.map(col): _*), idCol))
       .cache()
     codes.count() // materialize before dropping the raw-vector interim
     ivf.indexed.unpersist()

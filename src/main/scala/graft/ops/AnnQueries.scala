@@ -307,6 +307,35 @@ object AnnQueries {
     loaded.search(q, topk = 10, nprobe = 2, coarseK = 50, raw = emb)
   }
 
+  /** n11: FILTERED ANN — the reference's flagship shape (predicate +
+    * top-k fused in one scan, rclip_server.py:206-211) applied to the
+    * production IVF-PQ artifact: a metadata predicate (`label` parity
+    * here — the stand-in for license/language/source filters a training
+    * pipeline actually runs) evaluated INSIDE the cell-pruned packed-ADC
+    * scan, before the coarse TakeOrdered, then the exact fp32 rerank.
+    * Post-filtering the unfiltered top-k would instead return fewer
+    * than k eligible rows whenever the predicate is selective; fusing
+    * keeps both the guarantee and the IO win (the artifact's code rows
+    * carry the metadata, so on the loaded parquet the predicate is a
+    * pushed row-group filter next to the partition-pruning cell
+    * predicate — no corpus join per query). Build discipline is n08's:
+    * iters=0 codebooks, save → load → probe on the verified path. */
+  val n11_filtered_ann: Q = (s, d) => {
+    val q = VectorQueries.flagshipVec
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val idx = graft.ann.IvfPqIndex.build(emb,
+      cells = 8, ivfIters = 0, m = PQ_M, k = PQ_K, pqIters = 0,
+      metaCols = Seq("label"))
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-n11-fivfpq-" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + s"-${ProcessHandle.current().pid()}"
+    idx.save(tmp)
+    idx.codes.unpersist()
+    val loaded = graft.ann.IvfPqIndex.load(s, tmp)
+    loaded.search(q, topk = 10, nprobe = 2, coarseK = 50, raw = emb,
+      predicate = Some(col("label") % 2 === 0))
+  }
+
   /** n09: k-NN GRAPH construction — every vector's top-3 approximate
     * neighbors, the building block embedding pipelines actually persist
     * (semantic-dedup clustering, diversity sampling, graph-based label
@@ -405,7 +434,8 @@ object AnnQueries {
     "n07_ivf_pq" -> n07_ivf_pq,
     "n08_ivfpq_artifact" -> n08_ivfpq_artifact,
     "n09_knn_graph" -> n09_knn_graph,
-    "n10_ann_recall" -> n10_ann_recall)
+    "n10_ann_recall" -> n10_ann_recall,
+    "n11_filtered_ann" -> n11_filtered_ann)
 
   def oracleSql: Map[String, String] = {
     val qLit = VectorOps.sqlDoubleArray(VectorQueries.flagshipVec)
@@ -494,6 +524,11 @@ object AnnQueries {
       // the ADC top-50 — the FAISS-style IVF-PQ composition end-to-end
       // under the oracle.
       "n07_ivf_pq" -> ivfPqOracle(qLit),
+      // n11: n07's IVF-PQ math with the metadata predicate applied in
+      // the SAME place the engine applies it — inside the pruned corpus
+      // BEFORE the ADC coarse top-50 — so the candidate sets (not just
+      // the final ranking) stay engine-exact under filtering.
+      "n11_filtered_ann" -> ivfPqFilteredOracle(qLit, "em.label % 2 = 0"),
       // n08: the persisted IvfPqIndex artifact computes the SAME answer
       // as n07's in-query math (iters=0 codebooks on both sides), so
       // the oracle is shared verbatim — any drift between the artifact
@@ -566,6 +601,25 @@ object AnnQueries {
        |pruned AS (
        |  SELECT vec_id, embedding FROM assigned
        |  WHERE cell IN (SELECT cell FROM probed)),
+       |${pqOracleCtes(qLit, corpus = "pruned")},
+       |coarse AS (
+       |  SELECT vec_id FROM adc ORDER BY score0 DESC, vec_id ASC LIMIT 50)
+       |SELECT e.vec_id,
+       |       round(list_dot_product(e.embedding::DOUBLE[], $qLit), 4) + 0.0 AS score
+       |FROM embeddings e JOIN coarse USING (vec_id)
+       |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** n11's oracle: [[ivfPqOracle]] with the metadata predicate fused
+    * into the pruned corpus (joined back to `embeddings` for the
+    * metadata column, aliased `em` for the predicate text), upstream of
+    * the PQ/ADC CTEs — the exact stage the engine's
+    * `IvfPqIndex.searchAdc(predicate)` filters at. */
+  private def ivfPqFilteredOracle(qLit: String, predSql: String): String =
+    s"""WITH ${ivfOracleCtes(qLit)},
+       |pruned AS (
+       |  SELECT a.vec_id, a.embedding
+       |  FROM assigned a JOIN embeddings em USING (vec_id)
+       |  WHERE a.cell IN (SELECT cell FROM probed) AND ($predSql)),
        |${pqOracleCtes(qLit, corpus = "pruned")},
        |coarse AS (
        |  SELECT vec_id FROM adc ORDER BY score0 DESC, vec_id ASC LIMIT 50)

@@ -62,6 +62,49 @@ class IvfPqSpec extends SparkSpec {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
+  test("incremental add: frozen-codebook append ≡ full rebuild at " +
+    "iters=0, and the appended artifact save/loads identically") {
+    import spark.implicits._
+    // base = first 400 ids, delta = the rest (delta ids all ABOVE the
+    // base prefix, so the rebuild's first-8/first-16 id-order codebooks
+    // equal base's — the precondition for append ≡ rebuild equality)
+    val base = emb.filter(col("vec_id") < 400).cache()
+    val delta = emb.filter(col("vec_id") >= 400).cache()
+    assert(base.count() >= 16 && delta.count() > 0)
+    val baseIdx = IvfPqIndex.build(base, cells = 8, ivfIters = 0,
+      m = 8, k = 16, pqIters = 0)
+    val grown = baseIdx.add(delta)
+    // frozen codebooks: same objects, nothing retrained
+    assert(grown.flatCodebook.sameElements(baseIdx.flatCodebook))
+    assert(grown.centroids.zip(baseIdx.centroids).forall {
+      case (x, y) => x.sameElements(y) })
+    val rebuilt = IvfPqIndex.build(emb, cells = 8, ivfIters = 0,
+      m = 8, k = 16, pqIters = 0)
+    // cell assignments and codes agree row-for-row, not just top-k
+    val g = grown.codes.select(col("vec_id"), col("cell"), col("code"))
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    val r = rebuilt.codes.select(col("vec_id"), col("cell"), col("code"))
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(g.sameElements(r), "append must equal rebuild at iters=0")
+    val want = rows(rebuilt.search(q, 10, nprobe = 2, coarseK = 50, raw = emb))
+    assert(rows(grown.search(q, 10, nprobe = 2, coarseK = 50, raw = emb))
+      .sameElements(want))
+    // artifact path: save base, append-save ONLY the delta codes into
+    // the cell partitions, reload → identical search
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-add").toString
+    baseIdx.save(path)
+    val deltaCodes = grown.codes.as("g")
+      .join(delta.select(col("vec_id")), "vec_id")
+      .select(col("vec_id"), col("cell"), col("code"))
+    grown.appendSave(path, deltaCodes)
+    val loaded = IvfPqIndex.load(spark, path)
+    assert(loaded.codes.count() == emb.count())
+    assert(rows(loaded.search(q, 10, nprobe = 2, coarseK = 50, raw = emb))
+      .sameElements(want))
+    baseIdx.codes.unpersist(); rebuilt.codes.unpersist()
+    base.unpersist(); delta.unpersist()
+  }
+
   test("trained index, full probe + wide coarse: the exact rerank " +
     "recovers EXACTLY the brute-force top-10 (the n05 contract holds " +
     "through the composed artifact)") {

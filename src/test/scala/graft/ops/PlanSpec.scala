@@ -225,6 +225,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("n11 filtered ANN: metadata predicate + cell pruning are PUSHED " +
+    "into the loaded artifact's parquet scan, below the ADC TakeOrdered") {
+    val p = planOf(AnnQueries.n11_filtered_ann)
+    // the fused predicate reaches the code-scan source: label is a data
+    // filter pushed to parquet row groups, cell prunes partitions
+    val scanLines = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(scanLines.contains("label"),
+      s"label predicate must be pushed into the codes scan:\n$p")
+    assert(p.contains("cell#") || p.contains("PartitionFilters"),
+      s"cell probe must prune artifact partitions:\n$p")
+    // coarse ADC and final rerank are both k-bounded merges; the corpus
+    // never shuffles (only the 50-row candidate broadcast exchanges)
+    assert("TakeOrderedAndProject".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("t09 PII scrub: pure narrow scan — regexes ride the projection, " +
     "only the presentation sort exchanges") {
     val p = planOf(TextQueries.t09_pii_redact)
