@@ -408,6 +408,78 @@ object TextQueries {
       .limit(20)
   }
 
+  /** t12: MULTI-ROUND BPE training — the iterated census→argmax→merge
+    * loop t10 runs one round of (Sennrich-style trainer, R=3 rounds):
+    * each round censuses adjacent TOKEN pairs over the vocabulary
+    * (weighted by word frequency), picks the most frequent pair
+    * (deterministic tie-break: count DESC, pair ASC), merges it
+    * corpus-wide, and re-censuses. The merge table lives on the driver —
+    * R rows, the artifact BPE training actually produces — and each
+    * round's merge is applied as a literal string `replace`, so rounds
+    * 2..R never touch the corpus again.
+    *
+    * Token-sequence representation: each token wrapped as `<tok>`
+    * (`<`/`>` cannot appear in corpus words, TablesSpec'd alphabet), so
+    * a merge is `replace(s, '<a><b>', '<ab>')` — both engines' `replace`
+    * scans left-to-right non-overlapping, which IS greedy leftmost BPE
+    * merge semantics (`<a><a><a><a>` + merge(a,a) → `<aa><aa>`, never
+    * the overlapping `<aa><a>…` ambiguity a space-joined encoding hits).
+    *
+    * Output: each round's top-5 census rows (round, rk, pair_a, pair_b,
+    * n); the rk=1 row of round r is exactly the merge applied before
+    * round r+1. 15 driver-held rows — k-bounded like every top-k
+    * surface here.
+    *
+    * Scale shape (the reason iterated BPE is feasible at 100 TB): the
+    * corpus collapses to its VOCABULARY in the first aggregate (one
+    * corpus-sized shuffle carrying (word, count)); every later stage —
+    * tokenize, pair explode, census, merge — is vocab-sized (~10⁵-10⁶
+    * rows regardless of corpus bytes), and each census shuffles only
+    * the pair alphabet. Round count multiplies the VOCAB cost, not the
+    * corpus cost. */
+  val BPE_ROUNDS = 3
+  val t12_bpe_train: Q = (s, d) => {
+    import s.implicits._
+    // corpus → vocabulary, ONCE (the only corpus-sized stage)
+    val vocab = Tables.documents(s, d)
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // wrap each char: 'ab' -> '<a><b>'
+      .selectExpr("concat('<', concat_ws('><', split(w, '')), '>') AS s", "cnt")
+      .cache()
+    vocab.count()
+
+    // census of adjacent token pairs over a (s, cnt) vocab state
+    def census(v: DataFrame): DataFrame = v
+      .selectExpr("split(substring(s, 2, length(s) - 2), '><') AS toks", "cnt")
+      .filter(size(col("toks")) >= 2) // guard: sequence(1,0) is DESCENDING
+      .selectExpr(
+        """explode(transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b)))
+          |  AS p""".stripMargin,
+        "cnt")
+      .groupBy(col("p.a").as("pair_a"), col("p.b").as("pair_b"))
+      .agg(sum(col("cnt")).as("n"))
+
+    var state = vocab
+    val out = Seq.newBuilder[(Int, Int, String, String, Long)]
+    for (r <- 1 to BPE_ROUNDS) {
+      val top5 = census(state)
+        .orderBy(col("n").desc, col("pair_a").asc, col("pair_b").asc)
+        .limit(5).collect()
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+      out ++= top5.zipWithIndex.map { case ((a, b, n), i) => (r, i + 1, a, b, n) }
+      // apply the round's merge (argmax = rk 1) as a literal replace;
+      // tokens are [a-z]+ by the corpus alphabet, safe to inline
+      val (ma, mb, _) = top5.head
+      state = state.selectExpr(
+        s"replace(s, '<$ma><$mb>', '<$ma$mb>') AS s", "cnt")
+    }
+    out.result().toDF("round", "rk", "pair_a", "pair_b", "n")
+      .orderBy(col("round"), col("rk"))
+  }
+
   /** t11: readability profile — sentence/word/syllable-proxy counts and
     * their exact ratios (Flesch-style inputs without the float formula):
     * words (split-on-space, the corpus convention), sentence breaks
@@ -439,7 +511,8 @@ object TextQueries {
     "t08_profile" -> t08_profile,
     "t09_pii_redact" -> t09_pii_redact,
     "t10_bpe_pairs" -> t10_bpe_pairs,
-    "t11_readability" -> t11_readability)
+    "t11_readability" -> t11_readability,
+    "t12_bpe_train" -> t12_bpe_train)
 
   def oracleSql: Map[String, String] = {
     val duckScore = scoreCols(duckHitExpr).mkString(",\n        ")
@@ -448,7 +521,46 @@ object TextQueries {
     val winHash = (1 to 8).zip(pows)
       .map { case (j, pw) => s"unicode(substr(text, i + ${j - 1}, 1))::BIGINT * $pw" }
       .mkString(" + ")
+    // t12: the R merge rounds as a CTE chain — each round's argmax and
+    // merge are RE-DERIVED in SQL (the oracle cannot see the driver's
+    // merge table), with the identical wrapped-token representation and
+    // (n DESC, pair ASC) tie-break; `replace` is leftmost-greedy
+    // non-overlapping on both engines, i.e. BPE merge semantics.
+    val t12Rounds = (1 to BPE_ROUNDS).map { r =>
+      s"""tok$r AS (
+         |  SELECT string_split(substr(s, 2, len(s) - 2), '><') AS toks, cnt
+         |  FROM v${r - 1}),
+         |cen$r AS (
+         |  SELECT toks[i] AS pair_a, toks[i + 1] AS pair_b,
+         |         sum(cnt)::BIGINT AS n
+         |  FROM tok$r, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+         |  GROUP BY 1, 2),
+         |m$r AS (
+         |  SELECT pair_a AS a, pair_b AS b FROM cen$r
+         |  ORDER BY n DESC, pair_a ASC, pair_b ASC LIMIT 1),
+         |v$r AS (
+         |  SELECT replace(v.s, '<' || m.a || '><' || m.b || '>',
+         |                 '<' || m.a || m.b || '>') AS s, v.cnt
+         |  FROM v${r - 1} v, m$r m),
+         |top$r AS (
+         |  SELECT $r AS round, rk, pair_a, pair_b, n FROM (
+         |    SELECT pair_a, pair_b, n,
+         |           row_number() OVER (ORDER BY n DESC, pair_a ASC, pair_b ASC) AS rk
+         |    FROM cen$r) WHERE rk <= 5)""".stripMargin
+    }.mkString(",\n")
+    val t12Union = (1 to BPE_ROUNDS)
+      .map(r => s"SELECT * FROM top$r").mkString(" UNION ALL ")
     Map(
+      "t12_bpe_train" ->
+        s"""WITH v0 AS (
+           |  SELECT '<' || array_to_string(string_split(w, ''), '><') || '>' AS s,
+           |         count(*) AS cnt
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |  WHERE len(w) >= 1
+           |  GROUP BY w),
+           |$t12Rounds
+           |SELECT round::INT AS round, rk::INT AS rk, pair_a, pair_b, n
+           |FROM ($t12Union) ORDER BY round, rk""".stripMargin,
       "t01_lang_id" ->
         s"""WITH scored AS (
            |  SELECT doc_id, lang,

@@ -614,6 +614,50 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("t12: three-round BPE training matches a driver-side re-derivation " +
+    "(greedy leftmost merges, count-then-pair tiebreak, merged tokens " +
+    "re-enter later censuses)") {
+    val got = TextQueries.t12_bpe_train(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    var vocab: Map[String, (Vector[String], Long)] =
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select("text").collect().map(_.getString(0))
+        .flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity)
+        .map { case (w, v) => w -> (w.map(_.toString).toVector, v.size.toLong) }
+    val expected = Seq.newBuilder[(Int, Int, String, String, Long)]
+    for (r <- 1 to TextQueries.BPE_ROUNDS) {
+      val census = vocab.values.toSeq.flatMap { case (toks, cnt) =>
+        toks.zip(toks.tail).map(p => p -> cnt)
+      }.groupBy(_._1).map { case (p, v) => p -> v.map(_._2).sum }
+      val top5 = census.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.take(5)
+      expected ++= top5.zipWithIndex.map {
+        case (((a, b), n), i) => (r, i + 1, a, b, n)
+      }
+      val (ma, mb) = top5.head._1
+      vocab = vocab.map { case (w, (toks, cnt)) =>
+        val buf = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == ma && toks(i + 1) == mb) {
+            buf += ma + mb; i += 2 // greedy leftmost, non-overlapping
+          } else { buf += toks(i); i += 1 }
+        }
+        w -> (buf.result(), cnt)
+      }
+    }
+    assert(got == expected.result())
+    // multi-round is real: a round's winning pair is fully merged, so it
+    // can never appear in any later round's census (greedy leftmost
+    // merging leaves zero (a,b) adjacencies behind)
+    val winners = got.filter(_._2 == 1).map { case (r, _, a, b, _) => r -> (a, b) }
+    winners.foreach { case (r, pair) =>
+      assert(!got.exists { case (r2, _, a2, b2, _) => r2 > r && (a2, b2) == pair },
+        s"round-$r winner $pair resurfaced after its merge")
+    }
+  }
+
   test("t11: readability counts match a driver-side regex re-derivation " +
     "and ratios are exact half-up centi units") {
     val got = TextQueries.t11_readability(spark, sf)
