@@ -77,12 +77,16 @@ object CurationQueries {
     * compares the (monotonically decreasing) label-sum fixpoint, so this
     * is a distributed iterative algorithm, not a driver-side data loop.
     * Measured on this corpus: largest component 156 nodes / diameter ≈14
-    * at sf0.1 → 5-6 rounds. The loop's hard stop of 40 rounds is not a
-    * tuning knob: with pointer doubling the label radius reached grows
-    * as 2^rounds, so 40 rounds covers any component of diameter ≤ 2⁴⁰ —
-    * beyond any physical corpus — and hitting it means a non-converging
-    * plan bug, which the `require(converged)` below turns into a loud
-    * failure instead of a silent wrong answer. */
+    * at sf0.1 → 5-6 rounds. The 40-round hard stop: min-label jumping
+    * is NOT parent-pointer halving — measured convergence is
+    * ≈ diameter/2 rounds (sf1's 29,717-node giant component, diameter
+    * ≈54 by double-sweep BFS, converges in 24), so 40 rounds covers
+    * component diameter ≈80, comfortably above what BUCKET_CAP-bounded
+    * near-dup graphs produce; past it `require(converged)` fails LOUDLY
+    * rather than emitting wrong labels. The c02/c06 DuckDB oracles
+    * unroll this same recurrence for the same 40 rounds
+    * (CLOSURE_ROUNDS), so the convergence budget cannot drift between
+    * engines. */
   /** Flat per-round materialization for iterative plans: an RDD[Row]
     * round-trip + createDataFrame yields a LogicalRDD with NO reference
     * to the producing plan. `Dataset.localCheckpoint(true)` truncates
@@ -447,6 +451,57 @@ object CurationQueries {
     "c05_boilerplate_spans" -> c05_boilerplate_spans,
     "c06_cluster_reps" -> c06_cluster_reps)
 
+  /** Closure rounds unrolled in the c02/c06 oracles — the engine loop's
+    * own 40-round bound, so the two sides share one convergence budget.
+    * Empirically the label-jump term halves the rounds plain
+    * propagation would need (≈ diameter/2, NOT log diameter — min-label
+    * jumping is not parent-pointer halving): the sf1 clone graph's
+    * 29,717-node giant component (double-sweep diameter ≈54) converges
+    * in 24 rounds, so 40 covers diameter ≈80. Rounds after convergence
+    * are no-op fixpoints, and NON-convergence is LOUD on both sides:
+    * the engine throws (`require(converged)`), and an unconverged
+    * oracle label differs from the engine's fixpoint and fails the
+    * driver's hash compare. */
+  val CLOSURE_ROUNDS = 40
+
+  /** The min-label transitive closure as DuckDB CTEs (no leading WITH;
+    * expects `near(doc_a, doc_b)` in scope; ends at
+    * `clusters(doc_id, lbl)`) — the oracle twin of [[clusterPairs]],
+    * UNROLLED POINTER DOUBLING instead of a recursive CTE: DuckDB's
+    * recursive form may reference the working table once, which forces
+    * one-edge-per-iteration advancement and O(component²)
+    * (node, reachable) enumeration — measured 28+ CPU-minutes on the
+    * sf1 clone graph (STRESS_r04 F3). Each unrolled round is the
+    * engine's exact recurrence (self ∪ neighbor ∪ label-jump, then
+    * min), so the closure is O(rounds · (V + E)) on both engines and
+    * the two formulations cannot diverge. c02 and c06 interpolate this
+    * ONE definition. */
+  private def duckClosureCtes: String = {
+    // every round MATERIALIZED: each l_r references l_{r-1} three times
+    // (and itself feeds three references), so the default view-inlining
+    // would expand 3^rounds plan copies — materialization keeps the
+    // closure O(rounds · (V + E)) in the plan as well as at runtime
+    val rounds = (1 to CLOSURE_ROUNDS).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT node, min(lbl) AS lbl FROM (
+         |    SELECT node, lbl FROM l${r - 1}
+         |    UNION ALL
+         |    SELECT e.a AS node, n.lbl FROM edges e JOIN l${r - 1} n ON n.node = e.b
+         |    UNION ALL
+         |    SELECT n.node, p.lbl FROM l${r - 1} n JOIN l${r - 1} p ON p.node = n.lbl)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""edges AS MATERIALIZED (
+       |  SELECT doc_a AS a, doc_b AS b FROM near
+       |  UNION
+       |  SELECT doc_b, doc_a FROM near),
+       |l0 AS MATERIALIZED (
+       |  SELECT a AS node, least(a, min(b)) AS lbl FROM edges GROUP BY a),
+       |$rounds,
+       |clusters AS (
+       |  SELECT node AS doc_id, lbl::BIGINT AS lbl FROM l$CLOSURE_ROUNDS)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "c01_curation_pipeline" ->
       s"""WITH scored AS (
@@ -558,39 +613,25 @@ object CurationQueries {
          |LEFT JOIN contam c USING (doc_id)
          |LEFT JOIN mixed m USING (doc_id)
          |ORDER BY s.doc_id""".stripMargin,
-    // min-reachability fixpoint over the IDENTICAL d02 CTE chain: the
-    // recursive CTE enumerates (node, reachable-node) pairs and min()
-    // collapses them to the component's canonical id
+    // min-label fixpoint over the IDENTICAL d02 CTE chain, as UNROLLED
+    // POINTER DOUBLING (the engine's own recurrence, STRESS_r04 F3 fix:
+    // the old recursive min-reachability CTE advanced one edge per
+    // iteration AND enumerated O(component²) (node, reachable) pairs —
+    // 28+ CPU-minutes on the sf1 clone graph; the doubling form is
+    // O(rounds · (V + E)) and sf1-viable)
     "c02_dedup_clusters" ->
-      s"""WITH RECURSIVE ${DedupQueries.d02OracleCtes},
+      s"""WITH ${DedupQueries.d02OracleCtes},
          |near AS (${DedupQueries.d02OraclePairSelect}),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM near
-         |  UNION
-         |  SELECT doc_b, doc_a FROM near),
-         |reach(node, r) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, rc.r FROM edges e JOIN reach rc ON rc.node = e.b)
-         |SELECT node AS doc_id, min(r)::BIGINT AS cluster_id
-         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
-    // c06: c02's recursive-reachability cluster CTE + c01's quality CTE,
-    // then one first_value window per cluster (default frame starts at
-    // the partition head on both engines, so rep_id is the global best).
+         |$duckClosureCtes
+         |SELECT doc_id, lbl AS cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
+    // c06: c02's pointer-doubling cluster CTEs (ONE shared definition,
+    // duckClosureCtes) + c01's quality CTE, then one first_value window
+    // per cluster (default frame starts at the partition head on both
+    // engines, so rep_id is the global best).
     "c06_cluster_reps" ->
-      s"""WITH RECURSIVE ${DedupQueries.d02OracleCtes},
+      s"""WITH ${DedupQueries.d02OracleCtes},
          |near AS (${DedupQueries.d02OraclePairSelect}),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM near
-         |  UNION
-         |  SELECT doc_b, doc_a FROM near),
-         |reach(node, r) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, rc.r FROM edges e JOIN reach rc ON rc.node = e.b),
-         |clusters AS (
-         |  SELECT node AS doc_id, min(r)::BIGINT AS lbl
-         |  FROM reach GROUP BY node),
+         |$duckClosureCtes,
          |scored AS (
          |  SELECT doc_id, lang, text,
          |         len(string_split(text, ' ')) AS n_words,
