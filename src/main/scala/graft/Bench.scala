@@ -30,6 +30,41 @@ object Bench {
       val src = scala.io.Source.fromFile(path)
       try src.mkString finally src.close() // no FD leak on /proc scans
     }
+    machineStateImpl(readFile)
+  }
+
+  /** Aggregate (user…steal…) jiffies from /proc/stat line 1 — the basis
+    * for the run-spanning steal percentage. Steal is the HOST-side
+    * contamination signal the load/other_java pair cannot see: a
+    * co-tenant VM on the hypervisor shows zero local processes and
+    * near-zero local load yet inflates every task dispatch (round 6
+    * measured an empty 32-task Spark job at 2.2 s steady-state with
+    * other_java=0 — entirely hypervisor steal). */
+  def cpuJiffies(): (Long, Long) = {
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val parts = try src.getLines().next().split("\\s+") finally src.close()
+      val vals = parts.drop(1).map(_.toLong)
+      (vals.lift(7).getOrElse(0L), vals.sum) // (steal, total)
+    } catch { case _: Throwable => (-1L, -1L) }
+  }
+
+  /** Fixed-work dispatch calibration: one empty 32-task job, best of 3
+    * after a warmup. On an uncontended host this is O(10 ms); values in
+    * the hundreds of ms mean the hypervisor is time-slicing the vCPUs
+    * and EVERY per-job cost in this record is inflated by roughly the
+    * same factor — making the record normalizable after the fact. */
+  def calEmptyJob(spark: SparkSession): Double = {
+    val sc = spark.sparkContext
+    sc.parallelize(1 to 32, 32).count() // warmup
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      sc.parallelize(1 to 32, 32).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  private def machineStateImpl(readFile: String => String): (Double, Int) = {
     val load =
       try readFile("/proc/loadavg").split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
@@ -58,6 +93,8 @@ object Bench {
           "numbers may be contaminated by co-tenant load (see env in output JSON)")
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
+    val (stealStart, jifStart) = cpuJiffies()
+    val calStart = calEmptyJob(spark)
 
     // optional comma-separated subset (local stress iteration — e.g. time
     // only the cap-bound queries at 10× without the O(N²) d05 baseline);
@@ -127,9 +164,26 @@ object Bench {
       System.err.println(
         s"[bench] NOT IDLE (load_start=$loadStart, other_java=$javaStart/$javaEnd)" +
           " — this record must not become the round number")
+    // host-contention evidence spanning the whole run: hypervisor steal
+    // percentage + the end-of-run dispatch calibration. other_java/load
+    // only see THIS guest; steal + a slow empty job convict the host.
+    val (stealEnd, jifEnd) = cpuJiffies()
+    val stealPct =
+      if (jifEnd > jifStart && stealStart >= 0)
+        100.0 * (stealEnd - stealStart) / (jifEnd - jifStart)
+      else -1.0
+    val calEnd = calEmptyJob(spark)
+    val contended = stealPct >= 5.0 || math.min(calStart, calEnd) >= 0.5
+    if (contended)
+      System.err.println(
+        f"[bench] HOST CONTENDED (steal $stealPct%.1f%%, empty-job cal " +
+          f"$calStart%.3f/$calEnd%.3f s) — totals are dispatch-inflated; " +
+          "compare micros (cached-compute) across rounds, not totals")
     val envJson =
       s"""{"load_start":$loadStart,"load_end":$loadEnd,""" +
         s""""other_java_start":$javaStart,"other_java_end":$javaEnd,""" +
+        f""""steal_pct":$stealPct%.2f,"cal_empty_job_start":$calStart%.3f,""" +
+        f""""cal_empty_job_end":$calEnd%.3f,"host_contended":$contended,""" +
         s""""idle":$idle}"""
     // a subset run stamps its active filter into the record so a partial
     // bench_out.json can never masquerade as a full-suite measurement

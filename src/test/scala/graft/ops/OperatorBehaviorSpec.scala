@@ -558,6 +558,28 @@ class OperatorBehaviorSpec extends SparkSpec {
       .filter(col("quality").isNull).count() == 0)
   }
 
+  test("n11: fused predicate returns a FULL top-10 of eligible rows " +
+    "where post-filtering the unfiltered search starves, and every " +
+    "result satisfies the predicate") {
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = AnnQueries.n11_filtered_ann(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 10)
+    assert(got.forall { case (id, _) => labels(id) % 2 == 0 },
+      "every n11 result must satisfy the fused predicate")
+    // the shape post-filtering cannot deliver: filter AFTER the
+    // unfiltered top-10 and count survivors — whenever that is < 10,
+    // the fused form is not just faster, it is the only correct one
+    val unfilteredTop10 = AnnQueries.n08_ivfpq_artifact(spark, sf).collect()
+      .map(_.getLong(0))
+    val postFiltered = unfilteredTop10.count(id => labels(id) % 2 == 0)
+    assert(postFiltered < 10,
+      s"fixture check: unfiltered top-10 has $postFiltered eligible rows — " +
+        "if this is ever 10 the corpus no longer exercises the starvation case")
+  }
+
   test("n10: recall eval is bounded, permille-consistent, and the LSH " +
     "path keeps a usable recall floor on the test corpus") {
     val rows = AnnQueries.n10_ann_recall(spark, sf).collect()
