@@ -224,7 +224,60 @@ object EventQueries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** e12: INTERVAL OVERLAP JOIN — each user's view-sessions matched to
+    * their purchase-sessions that overlap in time (closed intervals),
+    * with the overlap length. The interval join Spark has no native
+    * operator for (Flink/kdb ship one); the general decomposition is
+    * banding (j06's shape), but when intervals carry a high-cardinality
+    * partition key the Spark-first form is simpler AND faster: derive
+    * both interval sets with ONE (user, type)-keyed window pass each,
+    * then equi-join on user_id alone — per-user session counts are
+    * small by construction (sessions are gap-compressed), so the
+    * per-key product is bounded and the overlap predicate is a cheap
+    * post-filter on the co-located join, never a nested-loop probe.
+    *
+    * All arithmetic is BIGINT epoch micros (`unix_micros` /
+    * `epoch_us`), floor-divided to whole seconds at the output — no
+    * float/interval surface to diverge across engines. Session ids are
+    * the e01 recipe (lag-gap break + running sum) per type, with a
+    * 24 h gap: these are DAILY ACTIVITY intervals, not e01's 30-min
+    * request sessions — point-like intervals almost never overlap, and
+    * an overlap join over them would test the join on an empty result.
+    *
+    * Scale shape: two window passes sharing one shuffle key + one
+    * user_id equi-join of session-sized (not event-sized) rows. A
+    * pathological user with thousands of sessions is the s02 salting
+    * case; ordinary corpora stay O(sessions) per user. */
+  val e12_session_overlap: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("event_id"))
+      .withColumn("brk",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > 86400L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("sess",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("event_type"), col("sess"))
+      .agg(min(col("us")).as("s0"), max(col("us")).as("s1"))
+    val views = sess.filter(col("event_type") === "view")
+      .select(col("user_id"), col("sess").as("v_sess"),
+        col("s0").as("vs"), col("s1").as("ve"))
+    val purchases = sess.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("sess").as("p_sess"),
+        col("s0").as("ps"), col("s1").as("pe"))
+    views.join(purchases, "user_id")
+      .filter(col("vs") <= col("pe") && col("ps") <= col("ve"))
+      .selectExpr("user_id", "v_sess", "p_sess",
+        "(least(ve, pe) - greatest(vs, ps)) div 1000000L AS overlap_sec")
+      .orderBy(col("user_id"), col("v_sess"), col("p_sess"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "e12_session_overlap" -> e12_session_overlap,
     "e01_sessionize" -> e01_sessionize,
     "e02_json_props" -> e02_json_props,
     "e03_hourly_agg" -> e03_hourly_agg,
@@ -238,6 +291,35 @@ object EventQueries {
     "e11_transitions" -> e11_transitions)
 
   def oracleSql: Map[String, String] = Map(
+    "e12_session_overlap" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |brk AS (
+        |  SELECT user_id, event_type, us, event_id,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w > 86400000000 THEN 1 ELSE 0 END AS brk
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_type, us,
+        |    sum(brk) OVER (PARTITION BY user_id, event_type
+        |                   ORDER BY us, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS sess
+        |  FROM brk),
+        |agg AS (
+        |  SELECT user_id, event_type, sess::BIGINT AS sess,
+        |         min(us) AS s0, max(us) AS s1
+        |  FROM sess GROUP BY user_id, event_type, sess)
+        |SELECT v.user_id, v.sess AS v_sess, p.sess AS p_sess,
+        |       ((least(v.s1, p.s1) - greatest(v.s0, p.s0)) // 1000000)::BIGINT
+        |         AS overlap_sec
+        |FROM agg v JOIN agg p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND v.s0 <= p.s1 AND p.s0 <= v.s1
+        |ORDER BY v.user_id, v_sess, p_sess""".stripMargin,
     "e10_sliding_window" ->
       """SELECT event_id, user_id,
         |  count(*) OVER w AS n_hour,
