@@ -130,6 +130,21 @@ final class IvfPqIndex(
       codes.unionByName(newCodes.select(codes.columns.map(col): _*)), idCol)
   }
 
+  /** Tombstone delete — the other half of the artifact lifecycle
+    * ([[add]] is the first): drop the given ids from the code table via
+    * one anti-join (the id list is broadcast-sized in practice — GDPR
+    * erasures, licence revocations, d01-found exact dups). Codebooks
+    * are untouched: like [[add]]'s frozen-codebook contract, a delete
+    * never retrains — recall drift from distribution shift is n10's
+    * monitoring job, and a periodic full rebuild re-tightens the
+    * codebooks. On a SAVED artifact the production form is a persisted
+    * tombstone set anti-joined at read time, compacted away on the next
+    * rewrite; here the returned index can simply be re-`save`d. */
+  def remove(ids: DataFrame): IvfPqIndex =
+    new IvfPqIndex(centroids, m, k, flatCodebook,
+      codes.join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti"),
+      idCol)
+
   /** Append-save for a grown index: write ONLY `deltaCodes` rows into
     * the existing artifact's cell partitions (dynamic-partition append —
     * existing files are untouched, each cell directory gains delta

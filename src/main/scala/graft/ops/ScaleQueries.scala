@@ -363,7 +363,41 @@ object ScaleQueries {
       .orderBy(col("shuffle_key"), col("doc_id"))
   }
 
+  /** p07: TEMPERATURE-resampled domain mixture — the multilingual
+    * sampling rule (τ = 0.5) multilingual-corpus pipelines use to lift
+    * low-resource domains: post-sample shares go as n_i^τ = √n_i, so an
+    * over-represented domain is downsampled ∝ 1/√n_i instead of p03's
+    * hard fair-share cap (which flattens ALL skew; temperature keeps a
+    * graded preference). Keep rule for a doc in domain i with corpus
+    * count n_i: p_i = min(1, K/√n_i), K = [[TEMP_K]].
+    *
+    * The float trap and its exact escape: √n and p·M are irrational, and
+    * a float threshold can round differently per engine at the boundary.
+    * Both sides instead compare SQUARES — keep iff h/M < K/√n_i ⟺
+    * h²·n_i < K²·M² — pure BIGINT arithmetic (h < 1000 ⇒ h²·n_i < 2⁶³
+    * for any n_i ≤ 9·10¹²), bit-identical everywhere, and domains with
+    * n_i ≤ K² are kept whole automatically (h² n < K²M² always), the
+    * keep-low-resource-whole property p03 needed a `least()` for.
+    *
+    * Scale shape: the per-domain census is a tiny partial-agg shuffle
+    * (domain cardinality rows); it broadcasts back onto one narrow
+    * corpus filter — the corpus body never shuffles. The doc hash is a
+    * different odd multiplier than p02/p03's so the three samplers are
+    * decorrelated. */
+  val TEMP_K = 6L
+  val p07_temperature_mix: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(broadcast(counts), Seq("lang"))
+      .withColumn("h", expr("pmod(doc_id * 2246822519, 1000)"))
+      .filter(col("h") * col("h") * col("n_s") < lit(TEMP_K * TEMP_K * 1000L * 1000L))
+      .select(col("doc_id"), col("lang"), col("n_s"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "p07_temperature_mix" -> p07_temperature_mix,
     "r01_rollup" -> r01_rollup,
     "s01_salted_agg" -> s01_salted_agg,
     "h01_approx_distinct" -> h01_approx_distinct,
@@ -380,6 +414,17 @@ object ScaleQueries {
     "p06_shuffle_order" -> p06_shuffle_order)
 
   def oracleSql: Map[String, String] = Map(
+    // p07: the squared-threshold comparison keeps the τ=0.5 sampling
+    // rule in pure BIGINT on both engines (see the Spark-side scaladoc)
+    "p07_temperature_mix" ->
+      s"""WITH counts AS (
+         |  SELECT lang, count(*) AS n_s FROM documents GROUP BY lang)
+         |SELECT d.doc_id, d.lang, c.n_s
+         |FROM documents d JOIN counts c USING (lang)
+         |WHERE ((d.doc_id * 2246822519) % 1000)
+         |    * ((d.doc_id * 2246822519) % 1000) * c.n_s
+         |    < ${TEMP_K * TEMP_K * 1000L * 1000L}
+         |ORDER BY d.doc_id""".stripMargin,
     "r01_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))::BIGINT / 100.0 AS revenue,

@@ -105,6 +105,29 @@ class IvfPqSpec extends SparkSpec {
     base.unpersist(); delta.unpersist()
   }
 
+  test("tombstone remove: deleted ids vanish from search, survivors' " +
+    "codes are untouched, and remove ≡ rebuild-on-filtered-corpus when " +
+    "the codebook prefix survives") {
+    import spark.implicits._
+    val idx = IvfPqIndex.build(emb, cells = 8, ivfIters = 0,
+      m = 8, k = 16, pqIters = 0)
+    // victims chosen OUTSIDE the first-16 codebook prefix so the
+    // filtered rebuild derives the identical iters=0 codebooks
+    val victims = idx.search(q, 10, nprobe = 2, coarseK = 50, raw = emb)
+      .collect().map(_.getLong(0)).filter(_ >= 16).take(3)
+    assert(victims.length == 3)
+    val removed = idx.remove(victims.toSeq.toDF("vec_id"))
+    assert(removed.codes.count() == idx.codes.count() - 3)
+    val got = rows(removed.search(q, 10, nprobe = 2, coarseK = 50, raw = emb))
+    assert(got.length == 10 && !got.exists(r => victims.contains(r._1)))
+    val survivors = emb.filter(!col("vec_id").isin(victims: _*))
+    val rebuilt = IvfPqIndex.build(survivors, cells = 8, ivfIters = 0,
+      m = 8, k = 16, pqIters = 0)
+    assert(got.sameElements(
+      rows(rebuilt.search(q, 10, nprobe = 2, coarseK = 50, raw = survivors))))
+    idx.codes.unpersist(); rebuilt.codes.unpersist()
+  }
+
   test("trained index, full probe + wide coarse: the exact rerank " +
     "recovers EXACTLY the brute-force top-10 (the n05 contract holds " +
     "through the composed artifact)") {
