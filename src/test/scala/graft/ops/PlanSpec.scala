@@ -241,6 +241,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("p07 temperature mixture: census broadcasts onto ONE narrow " +
+    "corpus filter — the corpus never hash-shuffles") {
+    val p = planOf(ScaleQueries.p07_temperature_mix)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exchanges: the tiny census agg + the broadcast + presentation
+    // sort — no corpus-sized hash repartition feeds the filter side
+    val corpusShuffles = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("doc_id"))
+    assert(corpusShuffles.isEmpty,
+      s"corpus must not shuffle on doc_id before the filter:\n$p")
+  }
+
+  test("e12 interval overlap: both interval sets from (user,type) window " +
+    "passes, join is a user_id equi-join — no nested-loop probe") {
+    val p = planOf(EventQueries.e12_session_overlap)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap predicate must ride an equi-join, not a nested loop:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("t09 PII scrub: pure narrow scan — regexes ride the projection, " +
     "only the presentation sort exchanges") {
     val p = planOf(TextQueries.t09_pii_redact)
