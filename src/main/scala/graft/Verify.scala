@@ -4,12 +4,16 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg: comma-separated query-name subset (local iteration;
-    // the driver always calls with 2 args = full run)
-    val subset = args.lift(2).map(_.split(',').toSet)
-    val spark = Sessions.local()
+
+  /** The per-query dump loop, separated from `main` so the failure-path
+    * contract is unit-testable without a session-stopping main: each
+    * query writes `outDir/<name>` parquet, and a THROWING query writes
+    * `outDir/<name>.err` (message + stack head) — a loud marker
+    * (VERDICT r05 #4): without it a broken query just VANISHES from the
+    * driver's correctness JSON and "missing" reads as "not declared"
+    * instead of "broken". */
+  def runQueries(spark: SparkSession, sfDir: String, outDir: String,
+      subset: Option[Set[String]]): Unit = {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => subset.forall(_.contains(name)) }
@@ -17,9 +21,6 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        // loud failure marker (VERDICT r05 #4): without it a throwing
-        // query just VANISHES from the driver's correctness JSON —
-        // "missing" reads as "not declared" instead of "broken"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         val head = (s"${e.getClass.getName}: ${e.getMessage}" +:
           e.getStackTrace.take(8).map("  at " + _)).mkString("\n")
@@ -27,6 +28,15 @@ object Verify {
         catch { case _: Throwable => () }
       }
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query-name subset (local iteration;
+    // the driver always calls with 2 args = full run)
+    val subset = args.lift(2).map(_.split(',').toSet)
+    val spark = Sessions.local()
+    runQueries(spark, sfDir, outDir, subset)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
