@@ -424,6 +424,55 @@ object AnnQueries {
       .orderBy(col("qlabel"))
   }
 
+  /** n12: HYBRID retrieval — a keyword ranking and a vector ranking
+    * fused by reciprocal-rank fusion, the production shape of
+    * "semantic + lexical" search (RRF is the fusion rule ElasticSearch/
+    * Vespa-class engines default to because it needs no score
+    * calibration between modalities). Keyword side: docs ranked by term
+    * frequency of the query term; vector side: cosine ranking against
+    * the query embedding (v02's kernel). Fusion: for a doc at rank r in
+    * list i, RRF adds 1/(K+r), K=60; both contributions here are the
+    * INTEGER 10⁶ div (K+r) — rank arithmetic, not float addition, so
+    * the fused ordering is bit-identical on both engines.
+    *
+    * Scale shape: each side is a k-bounded TakeOrderedAndProject over
+    * its own narrow scan (the keyword scan's tf filter pushes into the
+    * corpus pass; the vector scan is v02's zero-shuffle top-k); the
+    * fusion join touches ≤ 2·[[HYBRID_DEPTH]] rows — driver-trivial at
+    * any corpus size. The ranking windows run AFTER the limits, over
+    * k-bounded sets, so the unpartitioned window is not a scale hazard. */
+  val RRF_K = 60
+  val HYBRID_DEPTH = 50
+  val n12_hybrid_rrf: Q = (s, d) => {
+    val kwTerm = "vector"
+    val qv = VectorQueries.embedder.embedText("label3")
+    val byTf = Seq(col("tf").desc, col("doc_id").asc)
+    val kwTop = Tables.documents(s, d)
+      .selectExpr("doc_id",
+        s"CAST(size(filter(split(text, ' '), t -> t = '$kwTerm')) AS BIGINT) AS tf")
+      .filter(col("tf") > 0)
+      .orderBy(byTf: _*).limit(HYBRID_DEPTH)
+      .withColumn("rk", row_number().over(Window.orderBy(byTf: _*)))
+    val byScore = Seq(col("score").desc, col("doc_id").asc)
+    val vecTop = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"),
+        round(VectorOps.dotQueryNative(col("embedding"), qv), 4).as("score"))
+      .orderBy(byScore: _*).limit(HYBRID_DEPTH)
+      .withColumn("rv", row_number().over(Window.orderBy(byScore: _*)))
+    kwTop.select(col("doc_id"), col("rk"))
+      // full-outer can't broadcast; hint the hash dispatch so the fusion
+      // of two k-row sets never plans a SortMergeJoin (plan-audit rule)
+      .join(vecTop.select(col("doc_id"), col("rv")).hint("shuffle_hash"),
+        Seq("doc_id"), "full_outer")
+      .selectExpr("doc_id",
+        "CAST(coalesce(rk, 0) AS BIGINT) AS kw_rank",
+        "CAST(coalesce(rv, 0) AS BIGINT) AS vec_rank",
+        s"CAST(coalesce(1000000 div ($RRF_K + rk), 0)" +
+          s" + coalesce(1000000 div ($RRF_K + rv), 0) AS BIGINT) AS rrf")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
   def queries: Map[String, Q] = Map(
     "n01_ann_ivf" -> n01_ann_ivf,
     "n02_ann_lsh_topk" -> n02_ann_lsh_topk,
@@ -435,7 +484,8 @@ object AnnQueries {
     "n08_ivfpq_artifact" -> n08_ivfpq_artifact,
     "n09_knn_graph" -> n09_knn_graph,
     "n10_ann_recall" -> n10_ann_recall,
-    "n11_filtered_ann" -> n11_filtered_ann)
+    "n11_filtered_ann" -> n11_filtered_ann,
+    "n12_hybrid_rrf" -> n12_hybrid_rrf)
 
   def oracleSql: Map[String, String] = {
     val qLit = VectorOps.sqlDoubleArray(VectorQueries.flagshipVec)
@@ -529,6 +579,32 @@ object AnnQueries {
       // BEFORE the ADC coarse top-50 — so the candidate sets (not just
       // the final ranking) stay engine-exact under filtering.
       "n11_filtered_ann" -> ivfPqFilteredOracle(qLit, "em.label % 2 = 0"),
+      // n12: rank arithmetic only — both per-list ranks are deterministic
+      // row_numbers (tf/score DESC, id ASC; the vector score is v02's
+      // proven round-to-4 surface), and the fused score is integer
+      // 10⁶ // (K + r), so no float addition can reorder the fusion.
+      "n12_hybrid_rrf" ->
+        s"""WITH kwtop AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id ASC) AS rk
+           |  FROM (SELECT doc_id,
+           |               len(list_filter(string_split(text, ' '),
+           |                               t -> t = 'vector'))::BIGINT AS tf
+           |        FROM documents)
+           |  WHERE tf > 0 ORDER BY tf DESC, doc_id ASC LIMIT $HYBRID_DEPTH),
+           |vectop AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rv
+           |  FROM (SELECT vec_id AS doc_id,
+           |               round(list_dot_product(embedding::DOUBLE[],
+           |                 ${VectorOps.sqlDoubleArray(VectorQueries.embedder.embedText("label3"))}), 4) AS score
+           |        FROM embeddings)
+           |  ORDER BY score DESC, doc_id ASC LIMIT $HYBRID_DEPTH)
+           |SELECT coalesce(k.doc_id, v.doc_id) AS doc_id,
+           |       coalesce(k.rk, 0)::BIGINT AS kw_rank,
+           |       coalesce(v.rv, 0)::BIGINT AS vec_rank,
+           |       (coalesce(1000000 // ($RRF_K + k.rk), 0)
+           |        + coalesce(1000000 // ($RRF_K + v.rv), 0))::BIGINT AS rrf
+           |FROM kwtop k FULL OUTER JOIN vectop v ON k.doc_id = v.doc_id
+           |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
       // n08: the persisted IvfPqIndex artifact computes the SAME answer
       // as n07's in-query math (iters=0 codebooks on both sides), so
       // the oracle is shared verbatim — any drift between the artifact

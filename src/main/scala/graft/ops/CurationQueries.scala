@@ -220,6 +220,31 @@ object CurationQueries {
           "size(array_distinct(split(text, ' '))) AS n_distinct")
         .selectExpr("doc_id", s"${TextQueries.qualityExpr} AS quality"))
 
+  /** c07: SEMANTIC dedup — the SemDeDup-shaped pipeline (near-dup
+    * resolution in EMBEDDING space): d06's capped-LSH cosine pairs →
+    * [[clusterPairs]] transitive clusters → [[clusterReps]] keeps ONE
+    * representative per semantic cluster. Lexical dedup (d02/c06)
+    * misses paraphrases and translations; clustering the embedding
+    * near-dup graph is how production corpora remove them (SemDeDup,
+    * Abbas et al. 2023 — public paper; there the rep is chosen per
+    * k-means cluster, here per LSH-graph component, same contract).
+    * The representative score is DOCUMENT LENGTH (n_chars — keep the
+    * longest member, tie → min id): a pure table column, standing in
+    * for whatever scoring artifact production supplies (c06 shows the
+    * t02-quality variant; [[clusterReps]] takes both as inputs).
+    *
+    * Scale shape: inherits d06's bucketed candidate discipline (capped
+    * buckets, embeddings never ride a shuffle), clusterPairs' thin
+    * iterative joins, and clusterReps' single cluster-keyed window over
+    * (id, cluster, score) rows — the embedding table is scanned once
+    * and the document body never shuffles at all. */
+  val c07_semantic_dedup: Q = (s, d) =>
+    clusterReps(
+      clusterPairs(DedupQueries.d06_cosine_lsh(s, d)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))),
+      Tables.documents(s, d)
+        .selectExpr("doc_id", "CAST(n_chars AS DOUBLE) AS quality"))
+
   /** c03: rule-gauntlet quality filter — the C4/Gopher-style hard-rule
     * pass a corpus runs BEFORE model-based scoring: word-count bounds,
     * mean-word-length bounds, a stopword-presence requirement (English
@@ -449,7 +474,8 @@ object CurationQueries {
     "c03_quality_filter" -> c03_quality_filter,
     "c04_corpus_pipeline" -> c04_corpus_pipeline,
     "c05_boilerplate_spans" -> c05_boilerplate_spans,
-    "c06_cluster_reps" -> c06_cluster_reps)
+    "c06_cluster_reps" -> c06_cluster_reps,
+    "c07_semantic_dedup" -> c07_semantic_dedup)
 
   /** Closure rounds unrolled in the c02/c06 oracles — the engine loop's
     * own 40-round bound, so the two sides share one convergence budget.
@@ -644,6 +670,25 @@ object CurationQueries {
          |labeled AS (
          |  SELECT q.doc_id, coalesce(c.lbl, q.doc_id) AS cluster_id, q.quality
          |  FROM quality q LEFT JOIN clusters c USING (doc_id))
+         |SELECT doc_id, cluster_id,
+         |       first_value(doc_id) OVER (PARTITION BY cluster_id
+         |                                 ORDER BY quality DESC, doc_id ASC) AS rep_id,
+         |       (doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
+         |                                           ORDER BY quality DESC, doc_id ASC))::INT AS kept,
+         |       quality
+         |FROM labeled ORDER BY doc_id""".stripMargin,
+    // c07: d06's shared near CTEs (ONE pair-set definition,
+    // DedupQueries.d06OracleNearCtes) + the c02 closure + c06's rep
+    // window, with n_chars as the representative score. Every document
+    // id has an embedding row in the testdata (aligned tables), so the
+    // left join's universe contract is exact.
+    "c07_semantic_dedup" ->
+      s"""WITH ${DedupQueries.d06OracleNearCtes},
+         |$duckClosureCtes,
+         |labeled AS (
+         |  SELECT dd.doc_id, coalesce(c.lbl, dd.doc_id) AS cluster_id,
+         |         dd.n_chars::DOUBLE AS quality
+         |  FROM documents dd LEFT JOIN clusters c USING (doc_id))
          |SELECT doc_id, cluster_id,
          |       first_value(doc_id) OVER (PARTITION BY cluster_id
          |                                 ORDER BY quality DESC, doc_id ASC) AS rep_id,

@@ -702,17 +702,30 @@ object DedupQueries {
       // anti-join — ONE shared definition, so the cap cannot be retuned
       // on one engine only.
       "d06_cosine_lsh" ->
-        s"""WITH nrows AS (SELECT count(*) AS n FROM embeddings),
-           |${graft.vec.Lsh.duckBitselCte},
-           |${graft.vec.Lsh.duckTieredCappedCtes}
-           |SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
-           |       round(list_cosine_similarity(x.embedding::DOUBLE[],
-           |                                    y.embedding::DOUBLE[]), 4) AS cos
-           |FROM bucketed x JOIN bucketed y
-           |  ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
-           |WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
-           |                                   y.embedding::DOUBLE[]), 4) >= 0.4
+        s"""WITH $d06OracleNearCtes
+           |SELECT n.doc_a AS id_a, n.doc_b AS id_b,
+           |       round(list_cosine_similarity(a.embedding::DOUBLE[],
+           |                                    b.embedding::DOUBLE[]), 4) AS cos
+           |FROM near n
+           |JOIN embeddings a ON a.vec_id = n.doc_a
+           |JOIN embeddings b ON b.vec_id = n.doc_b
            |ORDER BY id_a, id_b""".stripMargin)
   }
+
+  /** d06's capped-LSH candidate pipeline as a reusable CTE chain (no
+    * leading WITH) ending at `near(doc_a, doc_b)` — ONE definition shared
+    * by the d06 oracle and c07's semantic-dedup oracle, so the embedding
+    * pair set (bitsel ladder, bucket cap, 0.4 cosine threshold) cannot be
+    * retuned on one consumer only. */
+  private[ops] def d06OracleNearCtes: String =
+    s"""nrows AS (SELECT count(*) AS n FROM embeddings),
+       |${graft.vec.Lsh.duckBitselCte},
+       |${graft.vec.Lsh.duckTieredCappedCtes},
+       |near AS (
+       |  SELECT DISTINCT x.vec_id AS doc_a, y.vec_id AS doc_b
+       |  FROM bucketed x JOIN bucketed y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |  WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
+       |                                     y.embedding::DOUBLE[]), 4) >= 0.4)""".stripMargin
 
 }

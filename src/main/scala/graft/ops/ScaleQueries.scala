@@ -396,7 +396,78 @@ object ScaleQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** p08: progressive quality-tier CURRICULUM order — the "easy/clean
+    * first" schedule curriculum-training runs consume: tier 2 (longest,
+    * cleanest proxy) trains in every epoch, tier 1 joins from epoch 2,
+    * tier 0 only in the final epoch, and WITHIN an epoch the admitted
+    * docs are shuffled by a p06-style deterministic mix (different odd
+    * multipliers, so the two samplers are decorrelated). The consumer
+    * reads in (epoch, ord_key) order — the order is a pure function of
+    * the row, so it survives partitioning, retries, and engines, and
+    * there is deliberately NO global row_number: a rank column would
+    * force a single-partition window at scale, while the sort key
+    * needs only one balanced range sort (p06's shape). Tier arithmetic
+    * is integer CASE on n_chars; admission is `tier ≥ 3 − epoch` —
+    * all-BIGINT, no float surface. */
+  val p08_curriculum: Q = (s, d) => {
+    val keyExpr =
+      """pmod(pmod(doc_id * 2654435761 + epoch * 48271, 2147483647)
+        |     * 69621, 2147483647)""".stripMargin
+    Tables.documents(s, d)
+      .selectExpr("doc_id",
+        "CASE WHEN n_chars >= 300 THEN 2 WHEN n_chars >= 150 THEN 1 ELSE 0 END AS tier")
+      .withColumn("epoch", explode(sequence(lit(1), lit(3))))
+      .filter(col("tier") >= lit(3) - col("epoch"))
+      .selectExpr("epoch", "doc_id", "CAST(tier AS INT) AS tier",
+        s"$keyExpr AS ord_key")
+      .orderBy(col("epoch"), col("ord_key"), col("doc_id"))
+  }
+
+  /** h05: COUNT-MIN sketch with its exact twin in one query — the
+    * approximate counter structure streaming/feature pipelines use for
+    * term frequencies, built and evaluated distributed: depth 2 × width
+    * [[CMS_W]] counters (portable polynomial hashes, bases 31/37 over
+    * the first 8 chars — all arithmetic < 2⁵³ so both engines compute
+    * it exactly), estimate = min over rows of the term's bucket sum.
+    * Unlike h01's HLL (engine-internal sketch → rows-only check), every
+    * CMS counter here is plain SUM/MIN arithmetic, so the WHOLE sketch
+    * is hash-exact across engines, and the output exhibits the CMS
+    * contract inline: est ≥ tf always (overcount column), equality when
+    * no collision. Scale shape: the corpus collapses to its VOCABULARY
+    * in the first aggregate (t10's property); everything after —
+    * bucket census (2·W rows), the two broadcast joins, the top-20 —
+    * is vocab-sized or constant-sized. */
+  val CMS_W = 64
+  private def cmsHashExpr(base: Int): String =
+    s"""aggregate(transform(sequence(1, length(t8)),
+       |  i -> CAST(ascii(substring(t8, i, 1)) AS BIGINT)),
+       |  CAST(0 AS BIGINT), (acc, x) -> acc * $base + x)""".stripMargin
+  val h05_countmin: Q = (s, d) => {
+    val tf = Tables.documents(s, d)
+      .selectExpr("explode(split(text, ' ')) AS term")
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("t8", expr("substring(term, 1, 8)"))
+      .selectExpr("term", "tf",
+        s"pmod(${cmsHashExpr(31)}, $CMS_W) AS b0",
+        s"pmod(${cmsHashExpr(37)}, $CMS_W) AS b1")
+      .cache() // vocab-sized; read by the census and the estimate join
+    val counters = tf
+      .selectExpr("tf", "stack(2, 0, b0, 1, b1) AS (r, bucket)")
+      .groupBy(col("r"), col("bucket")).agg(sum(col("tf")).as("cnt"))
+    val c0 = counters.filter(col("r") === 0)
+      .select(col("bucket").as("b0"), col("cnt").as("c0"))
+    val c1 = counters.filter(col("r") === 1)
+      .select(col("bucket").as("b1"), col("cnt").as("c1"))
+    tf.join(broadcast(c0), "b0").join(broadcast(c1), "b1")
+      .selectExpr("term", "tf", "least(c0, c1) AS est",
+        "least(c0, c1) - tf AS overcount")
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(20)
+  }
+
   def queries: Map[String, Q] = Map(
+    "p08_curriculum" -> p08_curriculum,
+    "h05_countmin" -> h05_countmin,
     "p07_temperature_mix" -> p07_temperature_mix,
     "r01_rollup" -> r01_rollup,
     "s01_salted_agg" -> s01_salted_agg,
@@ -414,6 +485,51 @@ object ScaleQueries {
     "p06_shuffle_order" -> p06_shuffle_order)
 
   def oracleSql: Map[String, String] = Map(
+    // p08: integer tier CASE + the p06-style multiply-mix key; DuckDB's
+    // % on positive BIGINTs equals Spark's pmod here
+    "p08_curriculum" ->
+      """SELECT e.epoch::INT AS epoch, d.doc_id,
+        |       (CASE WHEN d.n_chars >= 300 THEN 2
+        |             WHEN d.n_chars >= 150 THEN 1 ELSE 0 END)::INT AS tier,
+        |       ((d.doc_id * 2654435761 + e.epoch * 48271) % 2147483647)
+        |         * 69621 % 2147483647 AS ord_key
+        |FROM documents d, LATERAL (SELECT unnest([1, 2, 3]) AS epoch) e
+        |WHERE (CASE WHEN d.n_chars >= 300 THEN 2
+        |            WHEN d.n_chars >= 150 THEN 1 ELSE 0 END) >= 3 - e.epoch
+        |ORDER BY epoch, ord_key, doc_id""".stripMargin,
+    // h05: the polynomial hash as an explicit power sum — identical to
+    // the Spark side's Horner recurrence (Σ c_j·B^(L−j)); every term is
+    // < 2⁵³ so the double-typed ** is exact before the BIGINT cast.
+    // coalesce guards the (absent in this corpus) empty-token edge where
+    // DuckDB's list_sum of an empty list is NULL but Spark's aggregate
+    // returns the 0 seed.
+    "h05_countmin" -> {
+      def h(base: Int) =
+        s"""coalesce(list_sum(list_transform(range(1, len(t8) + 1),
+           |  j -> (unicode(t8[j]) * ($base ** (len(t8) - j)))::BIGINT)), 0)""".stripMargin
+      s"""WITH tf AS (
+         |  SELECT term, count(*) AS tf
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         |  GROUP BY term),
+         |hashed AS (
+         |  SELECT term, tf,
+         |         ${h(31)} % $CMS_W AS b0,
+         |         ${h(37)} % $CMS_W AS b1
+         |  FROM (SELECT term, tf, substr(term, 1, 8) AS t8 FROM tf)),
+         |counters AS (
+         |  SELECT r, bucket, sum(tf) AS cnt
+         |  FROM (SELECT tf, 0 AS r, b0 AS bucket FROM hashed
+         |        UNION ALL
+         |        SELECT tf, 1 AS r, b1 AS bucket FROM hashed)
+         |  GROUP BY r, bucket)
+         |SELECT h.term, h.tf::BIGINT AS tf,
+         |       least(c0.cnt, c1.cnt)::BIGINT AS est,
+         |       (least(c0.cnt, c1.cnt) - h.tf)::BIGINT AS overcount
+         |FROM hashed h
+         |JOIN counters c0 ON c0.r = 0 AND c0.bucket = h.b0
+         |JOIN counters c1 ON c1.r = 1 AND c1.bucket = h.b1
+         |ORDER BY tf DESC, term ASC LIMIT 20""".stripMargin
+    },
     // p07: the squared-threshold comparison keeps the τ=0.5 sampling
     // rule in pure BIGINT on both engines (see the Spark-side scaladoc)
     "p07_temperature_mix" ->

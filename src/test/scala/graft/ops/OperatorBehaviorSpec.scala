@@ -783,4 +783,120 @@ class OperatorBehaviorSpec extends SparkSpec {
       }.sortBy(r => (r._1, r._2))
     assert(got.toSeq == expected)
   }
+
+  test("n12: hybrid RRF fusion matches a driver-side re-derivation of " +
+    "both rankings and the integer fusion rule") {
+    val got = AnnQueries.n12_hybrid_rrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val kwTop = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).count(_ == "vector").toLong)
+      .filter(_._2 > 0).sortBy { case (id, tf) => (-tf, id) }
+      .take(AnnQueries.HYBRID_DEPTH)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val q = VectorQueries.embedder.embedText("label3")
+    def dot(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * q(i).toDouble; i += 1 }
+      s
+    }
+    val vecTop = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> (BigDecimal(dot(r.getSeq[Float](1).toArray))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0))
+      .sortBy { case (id, sc) => (-sc, id) }
+      .take(AnnQueries.HYBRID_DEPTH)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val expected = (kwTop.keySet ++ vecTop.keySet).toSeq.map { id =>
+      val rk = kwTop.getOrElse(id, 0L)
+      val rv = vecTop.getOrElse(id, 0L)
+      val rrf = (if (rk > 0) 1000000L / (AnnQueries.RRF_K + rk) else 0L) +
+        (if (rv > 0) 1000000L / (AnnQueries.RRF_K + rv) else 0L)
+      (id, rk, rv, rrf)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(10)
+    assert(got.toSeq == expected)
+  }
+
+  test("c07: semantic clusters agree with d06 connectivity and the rep " +
+    "is the longest member (tie -> min id); every doc surfaces once") {
+    val out = CurationQueries.c07_semantic_dedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    val byId = out.map(r => r._1 -> r).toMap
+    DedupQueries.d06_cosine_lsh(spark, sf).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(byId(a)._2 == byId(b)._2, s"d06 pair ($a,$b) split across clusters")
+    }
+    out.groupBy(_._2).foreach { case (cl, members) =>
+      val reps = members.map(_._3).distinct
+      assert(reps.length == 1, s"cluster $cl has ${reps.length} rep ids")
+      val best = members.minBy(m => (-m._5, m._1))._1
+      assert(reps.head == best, s"cluster $cl rep ${reps.head} != argmax $best")
+      members.foreach(m => assert((m._4 == 1) == (m._1 == m._3)))
+    }
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.length == nDocs && out.map(_._1).distinct.length == out.length)
+  }
+
+  test("p08: curriculum admits tiers progressively, the final epoch " +
+    "covers the corpus, and ord_key matches the mix formula") {
+    val rows = ScaleQueries.p08_curriculum(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def tier(nc: Long): Int = if (nc >= 300) 2 else if (nc >= 150) 1 else 0
+    rows.foreach { case (e, id, t, k) =>
+      assert(t == tier(docs(id)), s"doc $id tier")
+      assert(t >= 3 - e, s"doc $id tier $t admitted in epoch $e")
+      val expect = ((id * 2654435761L + e * 48271L) % 2147483647L) * 69621L % 2147483647L
+      assert(k == expect, s"doc $id epoch $e ord_key")
+    }
+    assert(rows.count(_._1 == 3) == docs.size)
+    val admitted = (1 to 3).map(e => rows.count(_._1 == e))
+    assert(admitted(0) <= admitted(1) && admitted(1) <= admitted(2))
+  }
+
+  test("h05: count-min estimate dominates the exact tf and equals the " +
+    "min of re-derived bucket sums") {
+    val got = ScaleQueries.h05_countmin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val tf = scala.collection.mutable.Map.empty[String, Long]
+    spark.read.parquet(s"$sf/documents.parquet").select("text").collect()
+      .foreach(_.getString(0).split(" ", -1)
+        .foreach(t => tf(t) = tf.getOrElse(t, 0L) + 1))
+    def h(term: String, base: Int): Int = {
+      var acc = 0L
+      term.take(8).foreach(c => acc = acc * base + c.toLong)
+      (((acc % ScaleQueries.CMS_W) + ScaleQueries.CMS_W) % ScaleQueries.CMS_W).toInt
+    }
+    val counters = Array.fill(2, ScaleQueries.CMS_W)(0L)
+    tf.foreach { case (t, n) =>
+      counters(0)(h(t, 31)) += n
+      counters(1)(h(t, 37)) += n
+    }
+    val expected = tf.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+      .map { case (t, n) =>
+        val est = math.min(counters(0)(h(t, 31)), counters(1)(h(t, 37)))
+        (t, n, est, est - n)
+      }
+    assert(got.toSeq == expected)
+    got.foreach { case (_, n, est, over) =>
+      assert(est >= n && over == est - n)
+    }
+  }
+
+  test("m02: shard assignment is the per-kind byte prefix sum " +
+    "(div/mod SHARD_BYTES) and offsets stay inside the shard") {
+    val rows = MediaQueries.m02_shard_pack(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (kind, ms) =>
+      var cum = 0L
+      ms.sortBy(_._2).foreach { case (_, id, nb, shard, off) =>
+        assert(shard == cum / MediaQueries.SHARD_BYTES, s"$kind/$id shard")
+        assert(off == cum % MediaQueries.SHARD_BYTES, s"$kind/$id offset")
+        cum += nb
+      }
+    }
+    assert(rows.map(_._2).distinct.length == rows.length)
+  }
 }

@@ -268,4 +268,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("ScalaUDF"), p)
     assert("Exchange".r.findAllIn(p).length == 1 && p.contains("rangepartitioning"), p)
   }
+
+  test("n12 hybrid: both candidate lists are k-bounded TakeOrdereds and " +
+    "the full-outer fusion is hash-dispatched, never sort-merge") {
+    val p = planOf(AnnQueries.n12_hybrid_rrf)
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2,
+      s"each side must collapse to a k-heap before the fusion:\n$p")
+    assert(p.contains("ShuffledHashJoin") && p.contains("FullOuter"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("p08 curriculum: no join, no window — the order is a sort KEY, " +
+    "so the plan is one balanced range sort over the admitted rows") {
+    val p = planOf(ScaleQueries.p08_curriculum)
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"a rank column would force a global window; the key needs neither:\n$p")
+    assert("Exchange rangepartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("h05 count-min: corpus collapses to vocabulary map-side; both " +
+    "counter joins broadcast") {
+    val p = planOf(ScaleQueries.h05_countmin)
+    assert(p.contains("partial_count"),
+      s"the vocab agg must partial-combine before its shuffle:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("m02 shard pack: one kind-keyed window exchange, no join") {
+    val p = planOf(MediaQueries.m02_shard_pack)
+    assert("Exchange hashpartitioning\\(kind".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+  }
 }
