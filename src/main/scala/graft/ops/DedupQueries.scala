@@ -532,7 +532,62 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** d09: SEMANTIC train/eval decontamination — d07's contamination
+    * check in EMBEDDING space: a training item whose embedding is
+    * near-identical to an eval item leaks the benchmark even when no
+    * word-3-gram matches (paraphrase/translation contamination — the
+    * failure mode lexical decontamination cannot see; phi/FineWeb-class
+    * pipelines run BOTH checks). The split is p02's deterministic hash
+    * rule applied to vec_id (train < 800‰, eval ≥ 900‰ — identical
+    * constants, so the check composes with the split operator);
+    * candidates come from d06's capped tiered LSH buckets (shared
+    * `Lsh` fragments on both engines) restricted to cross-side pairs;
+    * the verdict is the exact rounded cosine ≥ 0.4. Output: each
+    * contaminated train vec with its eval-hit count and worst cosine.
+    *
+    * Scale shape: identical to d06's candidate discipline (capped
+    * buckets, embeddings never ride the bucket shuffle) with one
+    * asymmetry that helps at 100 TB: the eval side of the bucket join
+    * is benchmark-sized (thousands of rows), so Spark broadcasts it and
+    * the train side never shuffles; the final agg is keyed by train id
+    * over hit rows only. */
+  val d09_semantic_decontaminate: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding")).cache()
+    val n = emb.count()
+    val bits = graft.vec.Lsh.bitsForCount(n)
+    val structs = graft.vec.Lsh.tieredBucketStructs(col("embedding"), bits)
+    val rawBucketed = emb
+      .withColumn("tb", explode(array(structs: _*)))
+      .select(col("vec_id"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .cache()
+    rawBucketed.count()
+    // cap census over the WHOLE corpus (both splits) — same semantics
+    // as d06, and the oracle's QUALIFY window counts the same rows
+    val bucketed = graft.vec.Lsh.capTieredBuckets(rawBucketed)
+      .withColumn("b", expr("pmod(vec_id * 2654435761, 1000)"))
+    val train = bucketed.filter(col("b") < 800)
+      .select(col("vec_id").as("tid"), col("tbl"), col("bucket"))
+    val eval_ = bucketed.filter(col("b") >= 900)
+      .select(col("vec_id").as("eid"), col("tbl"), col("bucket"))
+    val cand = train.join(eval_, Seq("tbl", "bucket"))
+      .select(col("tid"), col("eid")).distinct()
+    cand
+      .join(emb.select(col("vec_id").as("tid"), col("embedding").as("et")), "tid")
+      .join(emb.select(col("vec_id").as("eid"), col("embedding").as("ee")), "eid")
+      .select(col("tid"),
+        round(graft.vec.VectorOps.cosineColsNative(col("et"), col("ee")), 4)
+          .as("cos"))
+      .filter(col("cos") >= 0.4)
+      .groupBy(col("tid"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cos")).as("max_cos"))
+      .select(col("tid").as("vec_id"), col("n_eval_hits"), col("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "d09_semantic_decontaminate" -> d09_semantic_decontaminate,
     "d01_exact_dedup" -> d01_exact_dedup,
     "d02_minhash_lsh" -> d02_minhash_lsh,
     "d03_simhash" -> d03_simhash,
@@ -701,6 +756,30 @@ object DedupQueries {
       // capped CTEs' QUALIFY window mirrors the engine's hot-bucket
       // anti-join — ONE shared definition, so the cap cannot be retuned
       // on one engine only.
+      // d09: the same shared bitsel/capped-bucket CTEs as d06, with the
+      // p02 split rule as cross-side filters on the bucket join; the
+      // cosine re-check joins embeddings back by id, exactly like the
+      // engine's re-join discipline
+      "d09_semantic_decontaminate" ->
+        s"""WITH nrows AS (SELECT count(*) AS n FROM embeddings),
+           |${graft.vec.Lsh.duckBitselCte},
+           |${graft.vec.Lsh.duckTieredCappedCtes},
+           |cand AS (
+           |  SELECT DISTINCT t.vec_id AS tid, e.vec_id AS eid
+           |  FROM bucketed t JOIN bucketed e
+           |    ON t.tbl = e.tbl AND t.bucket = e.bucket
+           |  WHERE (t.vec_id * 2654435761) % 1000 < 800
+           |    AND (e.vec_id * 2654435761) % 1000 >= 900),
+           |hits AS (
+           |  SELECT c.tid,
+           |         round(list_cosine_similarity(a.embedding::DOUBLE[],
+           |                                      b.embedding::DOUBLE[]), 4) AS cos
+           |  FROM cand c
+           |  JOIN embeddings a ON a.vec_id = c.tid
+           |  JOIN embeddings b ON b.vec_id = c.eid)
+           |SELECT tid AS vec_id, count(*) AS n_eval_hits, max(cos) AS max_cos
+           |FROM hits WHERE cos >= 0.4
+           |GROUP BY tid ORDER BY vec_id""".stripMargin,
       "d06_cosine_lsh" ->
         s"""WITH $d06OracleNearCtes
            |SELECT n.doc_a AS id_a, n.doc_b AS id_b,

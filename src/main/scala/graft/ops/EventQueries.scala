@@ -276,7 +276,52 @@ object EventQueries {
       .orderBy(col("user_id"), col("v_sess"), col("p_sess"))
   }
 
+  /** e13: NEAREST-event join — for every purchase, the closest view by
+    * the SAME user in EITHER time direction (tie → the earlier one).
+    * e07's as-of join only looks backward; sensor alignment, ad
+    * attribution windows, and log joining routinely need
+    * nearest-either-direction, which Spark has no native operator for.
+    * Composition: ONE tagged union, then a backward running-last and a
+    * forward running-first over the SAME (user, ts, tag, id) sort —
+    * Spark plans all four window expressions in one Window operator
+    * over one user_id shuffle, so the cost is exactly e07's. The
+    * distance compare is BIGINT epoch-micros; `prev Δ ≤ next Δ`
+    * encodes the earlier-wins tie. Same-ts views sort before the
+    * purchase (tag asc), so a Δ=0 view is the backward candidate and
+    * wins — deterministic on both engines. */
+  val e13_nearest_event: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val tagged = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag")))
+      .withColumn("us", expr("unix_micros(ts)"))
+    val order = Seq(col("ts").asc, col("tag").asc, col("event_id").asc)
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def viewOnly(c: org.apache.spark.sql.Column) = when(col("tag") === 0, c)
+    tagged
+      .withColumn("prev_id", last(viewOnly(col("event_id")), ignoreNulls = true).over(wPrev))
+      .withColumn("prev_us", last(viewOnly(col("us")), ignoreNulls = true).over(wPrev))
+      .withColumn("next_id", first(viewOnly(col("event_id")), ignoreNulls = true).over(wNext))
+      .withColumn("next_us", first(viewOnly(col("us")), ignoreNulls = true).over(wNext))
+      .filter(col("tag") === 1)
+      .selectExpr("event_id AS purchase_id", "user_id",
+        """CASE WHEN prev_id IS NOT NULL
+          |       AND (next_id IS NULL OR us - prev_us <= next_us - us)
+          |     THEN prev_id ELSE next_id END AS nearest_view_id""".stripMargin,
+        """CASE WHEN prev_id IS NOT NULL
+          |       AND (next_id IS NULL OR us - prev_us <= next_us - us)
+          |     THEN us - prev_us
+          |     WHEN next_id IS NOT NULL THEN next_us - us END AS delta_us""".stripMargin)
+      .orderBy(col("purchase_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "e13_nearest_event" -> e13_nearest_event,
     "e12_session_overlap" -> e12_session_overlap,
     "e01_sessionize" -> e01_sessionize,
     "e02_json_props" -> e02_json_props,
@@ -291,6 +336,40 @@ object EventQueries {
     "e11_transitions" -> e11_transitions)
 
   def oracleSql: Map[String, String] = Map(
+    // e13: the engine's window form verbatim — the same tagged union,
+    // the same (ts, tag, event_id) total order for both frames, BIGINT
+    // epoch-micros distances, prev-wins-ties
+    "e13_nearest_event" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, 0 AS tag, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 1 AS tag, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT user_id, event_id, tag, us,
+        |    last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_id,
+        |    last_value(CASE WHEN tag = 0 THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_us,
+        |    first_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_id,
+        |    first_value(CASE WHEN tag = 0 THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_us
+        |  FROM tagged)
+        |SELECT event_id AS purchase_id, user_id,
+        |  CASE WHEN prev_id IS NOT NULL
+        |         AND (next_id IS NULL OR us - prev_us <= next_us - us)
+        |       THEN prev_id ELSE next_id END AS nearest_view_id,
+        |  CASE WHEN prev_id IS NOT NULL
+        |         AND (next_id IS NULL OR us - prev_us <= next_us - us)
+        |       THEN us - prev_us
+        |       WHEN next_id IS NOT NULL THEN next_us - us END AS delta_us
+        |FROM w WHERE tag = 1 ORDER BY purchase_id""".stripMargin,
     "e12_session_overlap" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id

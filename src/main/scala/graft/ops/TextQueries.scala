@@ -500,7 +500,26 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t13: frequency-of-frequencies SPECTRUM (count-of-counts) — for
+    * every term frequency k, how many distinct terms occur exactly k
+    * times, plus the probability mass k·N_k at that frequency. This is
+    * the Good-Turing smoothing input (N_1 drives the unseen-mass
+    * estimate), the Heaps/Zipf health diagnostic corpus QA runs (a
+    * crawl with boilerplate shows a distorted tail), and it is all
+    * exact integer arithmetic. Scale shape: the corpus collapses to its
+    * vocabulary in the first aggregate (map-side combine), and the
+    * spectrum aggregate runs over vocab rows only — the second shuffle
+    * carries ≤ |vocab| (tf) keys and the output is spectrum-sized. */
+  val t13_count_of_counts: Q = (s, d) =>
+    Tables.documents(s, d)
+      .selectExpr("explode(split(text, ' ')) AS term")
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("tf")).agg(count(lit(1)).as("n_terms"))
+      .selectExpr("tf", "n_terms", "tf * n_terms AS mass")
+      .orderBy(col("tf"))
+
   def queries: Map[String, Q] = Map(
+    "t13_count_of_counts" -> t13_count_of_counts,
     "t01_lang_id" -> t01_lang_id,
     "t02_quality_score" -> t02_quality_score,
     "t03_token_count" -> t03_token_count,
@@ -551,6 +570,13 @@ object TextQueries {
     val t12Union = (1 to BPE_ROUNDS)
       .map(r => s"SELECT * FROM top$r").mkString(" UNION ALL ")
     Map(
+      "t13_count_of_counts" ->
+        """SELECT tf, count(*) AS n_terms, (tf * count(*))::BIGINT AS mass
+          |FROM (SELECT term, count(*) AS tf
+          |      FROM (SELECT unnest(string_split(text, ' ')) AS term
+          |            FROM documents)
+          |      GROUP BY term)
+          |GROUP BY tf ORDER BY tf""".stripMargin,
       "t12_bpe_train" ->
         s"""WITH v0 AS (
            |  SELECT '<' || array_to_string(string_split(w, ''), '><') || '>' AS s,

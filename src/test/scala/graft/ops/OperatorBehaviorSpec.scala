@@ -885,6 +885,90 @@ class OperatorBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("e13: nearest view matches a driver-side scan of each user's " +
+    "views in both directions (tie -> earlier)") {
+    val got = EventQueries.e13_nearest_event(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)),
+        if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3))))
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val viewsByUser = ev.filter(_._3 == "view").groupBy(_._2)
+    val expected = ev.filter(_._3 == "purchase").map { case (pid, u, _, pus) =>
+      val vs = viewsByUser.getOrElse(u, Array.empty)
+      if (vs.isEmpty) (pid, u, null: java.lang.Long, null: java.lang.Long)
+      else {
+        // prev = latest us <= pus (tie: max id); next = earliest us > pus
+        // (tie: min id) — same-ts views sort before the purchase, so
+        // they belong to the backward candidate set
+        val prev = vs.filter(_._4 <= pus)
+          .sortBy(v => (v._4, v._1)).lastOption
+        val next = vs.filter(_._4 > pus)
+          .sortBy(v => (v._4, v._1)).headOption
+        val (nid, d) = (prev, next) match {
+          case (Some(p), Some(n)) =>
+            if (pus - p._4 <= n._4 - pus) (p._1, pus - p._4) else (n._1, n._4 - pus)
+          case (Some(p), None) => (p._1, pus - p._4)
+          case (None, Some(n)) => (n._1, n._4 - pus)
+          case _ => (-1L, -1L)
+        }
+        if (nid == -1L) (pid, u, null: java.lang.Long, null: java.lang.Long)
+        else (pid, u, java.lang.Long.valueOf(nid), java.lang.Long.valueOf(d))
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("d09: semantic decontamination flags only train-split vecs, every " +
+    "flag is sound against brute force, and max_cos is bounded by it") {
+    val out = DedupQueries.d09_semantic_decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def split(id: Long): Long = (id * 2654435761L) % 1000L
+    def cos4(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      val c = if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+      BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    }
+    val evalIds = emb.keySet.filter(split(_) >= 900)
+    out.foreach { case (id, hits, mc) =>
+      assert(split(id) < 800, s"vec $id is not train-split")
+      assert(hits >= 1 && mc >= 0.4, s"vec $id hits=$hits max_cos=$mc")
+      // LSH candidates are a subset of all eval vecs, so the brute-force
+      // hit set dominates both reported numbers
+      val brute = evalIds.toSeq.map(e => cos4(emb(id), emb(e))).filter(_ >= 0.4)
+      assert(brute.nonEmpty && mc <= brute.max + 1e-12,
+        s"vec $id: reported $mc vs brute max ${if (brute.isEmpty) -1 else brute.max}")
+      assert(hits <= brute.size, s"vec $id: $hits hits vs ${brute.size} brute")
+    }
+  }
+
+  test("t13: spectrum matches a driver tf recount and the mass column " +
+    "sums to the corpus token total") {
+    val got = TextQueries.t13_count_of_counts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tf = scala.collection.mutable.Map.empty[String, Long]
+    var total = 0L
+    spark.read.parquet(s"$sf/documents.parquet").select("text").collect()
+      .foreach(_.getString(0).split(" ", -1).foreach { t =>
+        tf(t) = tf.getOrElse(t, 0L) + 1; total += 1
+      })
+    val expected = tf.values.groupBy(identity).toSeq
+      .map { case (k, vs) => (k, vs.size.toLong, k * vs.size) }
+      .sortBy(_._1)
+    assert(got.toSeq == expected)
+    assert(got.map(_._3).sum == total)
+  }
+
   test("m02: shard assignment is the per-kind byte prefix sum " +
     "(div/mod SHARD_BYTES) and offsets stay inside the shard") {
     val rows = MediaQueries.m02_shard_pack(spark, sf).collect()

@@ -295,6 +295,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("e13 nearest join: all four window expressions ride ONE user_id " +
+    "shuffle (backward and forward frames share the sort)") {
+    val p = planOf(EventQueries.e13_nearest_event)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), s"the nearest join is window-composed:\n$p")
+  }
+
+  test("t13 spectrum: both aggregates partial-combine; no join, no window") {
+    val p = planOf(TextQueries.t13_count_of_counts)
+    assert("partial_count".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
   test("m02 shard pack: one kind-keyed window exchange, no join") {
     val p = planOf(MediaQueries.m02_shard_pack)
     assert("Exchange hashpartitioning\\(kind".r.findAllIn(p).length == 1, p)
