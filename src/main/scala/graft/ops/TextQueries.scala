@@ -518,7 +518,43 @@ object TextQueries {
       .selectExpr("tf", "n_terms", "tf * n_terms AS mass")
       .orderBy(col("tf"))
 
+  /** t14: LM-perplexity quality scoring (the CCNet/Wenzek-style "train a
+    * language model on the corpus, rank documents by perplexity" filter,
+    * unigram form): every document's mean token surprisal under the
+    * corpus's own unigram LM, in CENTIBITS per token — low = fluent
+    * common-word text, high = rare-token soup / gibberish. The log runs
+    * in [[FixedLog]]'s fixed-point centibit arithmetic (surprisal(term)
+    * = log2cb(total) − log2cb(tf), both BIGINT), so unlike a float
+    * `ln()` pipeline the scores are hash-exact across engines; the only
+    * float log ever evaluated is FixedLog's code-time constant table.
+    *
+    * Scale shape: the corpus collapses to the DOC-TERM matrix in the
+    * first aggregate (map-side combine; the shuffle carries (doc_id,
+    * term, k), never text) and to the vocabulary in the second; the
+    * surprisal join is term-keyed against the vocab, which broadcasts at
+    * benchmark scale and shuffle-joins thin rows beyond; the final
+    * per-doc aggregate re-uses the doc-term shuffle's partitioning.
+    * Rounding: half-up integer div (e03's exact-arithmetic discipline). */
+  val t14_lm_score: Q = (s, d) => {
+    val docTerm = Tables.documents(s, d)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS term")
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("k"))
+    val vocab = docTerm.groupBy(col("term")).agg(sum(col("k")).as("tf"))
+    val total = vocab.agg(sum(col("tf")).as("total"))
+    val surp = vocab.crossJoin(broadcast(total))
+      .selectExpr("term",
+        s"CAST(${FixedLog.sparkLog2Cb("total")} - ${FixedLog.sparkLog2Cb("tf")} AS BIGINT) AS surp_cb")
+    docTerm.join(surp, "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k") * col("surp_cb")).as("sum_cb"), sum(col("k")).as("n_tokens"))
+      .selectExpr("doc_id", "n_tokens",
+        "CAST((2 * sum_cb + n_tokens) div (2 * n_tokens) AS BIGINT) AS bits_per_token_centi")
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "t14_lm_score" -> t14_lm_score,
     "t13_count_of_counts" -> t13_count_of_counts,
     "t01_lang_id" -> t01_lang_id,
     "t02_quality_score" -> t02_quality_score,
@@ -570,6 +606,27 @@ object TextQueries {
     val t12Union = (1 to BPE_ROUNDS)
       .map(r => s"SELECT * FROM top$r").mkString(" UNION ALL ")
     Map(
+      // t14: identical fixed-point centibit arithmetic — FixedLog splices
+      // the SAME 256-entry constant table into both engines
+      "t14_lm_score" ->
+        s"""WITH dt AS (
+           |  SELECT doc_id, term, count(*)::BIGINT AS k
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |        FROM documents)
+           |  WHERE term <> ''
+           |  GROUP BY doc_id, term),
+           |vocab AS (SELECT term, sum(k)::BIGINT AS tf FROM dt GROUP BY term),
+           |tot AS (SELECT sum(tf)::BIGINT AS total FROM vocab),
+           |surp AS (
+           |  SELECT term,
+           |         (${FixedLog.duckLog2Cb("total")}
+           |          - ${FixedLog.duckLog2Cb("tf")})::BIGINT AS surp_cb
+           |  FROM vocab, tot)
+           |SELECT doc_id, sum(k)::BIGINT AS n_tokens,
+           |       ((2 * sum(k * surp_cb) + sum(k))
+           |        // (2 * sum(k)))::BIGINT AS bits_per_token_centi
+           |FROM dt JOIN surp USING (term)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "t13_count_of_counts" ->
         """SELECT tf, count(*) AS n_terms, (tf * count(*))::BIGINT AS mass
           |FROM (SELECT term, count(*) AS tf

@@ -983,4 +983,43 @@ class OperatorBehaviorSpec extends SparkSpec {
     }
     assert(rows.map(_._2).distinct.length == rows.length)
   }
+
+  test("FixedLog: centibit log2 is exact at powers of two, monotone, and " +
+    "within 0.6 centibits of the float log below, never above by >0.5") {
+    (0 to 54).foreach(b => assert(FixedLog.log2Cb(1L << b) == 100L * b))
+    val probes = Seq(1L, 2L, 3L, 7L, 100L, 255L, 257L, 999983L,
+      (1L << 40) + 12345L, (1L << 54) - 1L)
+    probes.foreach { n =>
+      val cb = FixedLog.log2Cb(n)
+      val exact = 100.0 * math.log(n.toDouble) / math.log(2.0)
+      // truncated mantissa: under-estimates by < log2(1+1/256)+rounding
+      assert(cb <= exact + 0.51, s"n=$n cb=$cb exact=$exact")
+      assert(cb >= exact - 1.1, s"n=$n cb=$cb exact=$exact")
+    }
+    probes.sliding(2).foreach { case Seq(a, b) =>
+      assert(FixedLog.log2Cb(a) <= FixedLog.log2Cb(b))
+    }
+  }
+
+  test("t14: per-doc surprisal matches a driver re-derivation through " +
+    "FixedLog.log2Cb, and common-word docs score below rare-word docs") {
+    val got = TextQueries.t14_lm_score(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).filter(_.nonEmpty))
+    val tf = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_._2.foreach(t => tf(t) = tf.getOrElse(t, 0L) + 1))
+    val total = tf.values.sum
+    val expected = docs.filter(_._2.nonEmpty).map { case (id, toks) =>
+      val sumCb = toks.map(t => FixedLog.log2Cb(total) - FixedLog.log2Cb(tf(t))).sum
+      val n = toks.length.toLong
+      (id, n, (2 * sumCb + n) / (2 * n))
+    }.sortBy(_._1).toSeq
+    assert(got == expected)
+    // the most common term alone must score strictly below the rarest
+    val (minTf, maxTf) = (tf.minBy(_._2), tf.maxBy(_._2))
+    assert(FixedLog.log2Cb(total) - FixedLog.log2Cb(maxTf._2) <
+      FixedLog.log2Cb(total) - FixedLog.log2Cb(minTf._2))
+  }
 }
