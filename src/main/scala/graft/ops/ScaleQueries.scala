@@ -465,7 +465,62 @@ object ScaleQueries {
       .limit(20)
   }
 
+  /** p09: DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling",
+    * unigram-feature form): every document's mean per-token log-ratio
+    * between a TARGET unigram distribution (here the `lang = 'en'`
+    * slice, standing in for the curated target corpus DSIR samples
+    * toward) and the RAW corpus distribution, in signed CENTIBITS —
+    * positive = more target-like than the corpus average, the
+    * resampling key DSIR feeds its Gumbel top-k. The logs run in
+    * [[FixedLog]]'s exact fixed-point arithmetic (w(term) =
+    * (log2cb tf_t − log2cb T_t) − (log2cb tf_r − log2cb T_r); four
+    * separate log terms, so nothing is ever multiplied toward 2⁶³),
+    * making the weights hash-exact cross-engine. Terms outside the
+    * target vocabulary contribute ZERO (back-off to the raw
+    * distribution) — the documented simplification vs DSIR's smoothed
+    * hashed-n-gram features; they still count in n_tokens.
+    *
+    * Rounding: half-AWAY-FROM-ZERO via an explicit sign CASE — Spark
+    * `div` and DuckDB `//` both truncate toward zero, so the positive
+    * half-up formula alone would bias negative means.
+    *
+    * Scale shape: one corpus-sized doc-term aggregate (text never
+    * shuffles); both vocab censuses and the weight table are
+    * vocab-sized; the weight join is term-keyed (broadcast at benchmark
+    * scale); the per-doc aggregate reuses the doc-term partitioning. */
+  val p09_dsir_weights: Q = (s, d) => {
+    val docTerm = Tables.documents(s, d)
+      .selectExpr("doc_id", "lang", "explode(split(text, ' ')) AS term")
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("k"))
+    val rawV = docTerm.groupBy(col("term")).agg(sum(col("k")).as("tf_r"))
+    val tgtV = docTerm.filter(col("lang") === "en")
+      .groupBy(col("term")).agg(sum(col("k")).as("tf_t"))
+    val totals = rawV.agg(sum(col("tf_r")).as("tot_r"))
+      .crossJoin(tgtV.agg(sum(col("tf_t")).as("tot_t")))
+    val weights = tgtV.join(rawV, "term").crossJoin(broadcast(totals))
+      .selectExpr("term",
+        s"""CAST((${FixedLog.sparkLog2Cb("tf_t")} - ${FixedLog.sparkLog2Cb("tot_t")})
+           |   - (${FixedLog.sparkLog2Cb("tf_r")} - ${FixedLog.sparkLog2Cb("tot_r")})
+           | AS BIGINT) AS w_cb""".stripMargin)
+    docTerm.join(weights, Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k") * coalesce(col("w_cb"), lit(0L))).as("sum_cb"),
+        sum(col("k")).as("n_tokens"))
+      .selectExpr("doc_id", "n_tokens",
+        """CASE WHEN sum_cb >= 0
+          |  THEN CAST((2 * sum_cb + n_tokens) div (2 * n_tokens) AS BIGINT)
+          |  ELSE -CAST((2 * -sum_cb + n_tokens) div (2 * n_tokens) AS BIGINT)
+          |END AS avg_w_cb""".stripMargin)
+      .selectExpr("doc_id", "n_tokens", "avg_w_cb",
+        "CAST(avg_w_cb > 0 AS INT) AS keep")
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "p09_dsir_weights" -> p09_dsir_weights,
     "p08_curriculum" -> p08_curriculum,
     "h05_countmin" -> h05_countmin,
     "p07_temperature_mix" -> p07_temperature_mix,
@@ -485,6 +540,40 @@ object ScaleQueries {
     "p06_shuffle_order" -> p06_shuffle_order)
 
   def oracleSql: Map[String, String] = Map(
+    // p09: the same four FixedLog terms and the same sign-CASE rounding;
+    // terms absent from the target vocab coalesce to weight 0
+    "p09_dsir_weights" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, lang, term, count(*)::BIGINT AS k
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+         |        FROM documents)
+         |  WHERE term <> ''
+         |  GROUP BY doc_id, lang, term),
+         |rawv AS (SELECT term, sum(k)::BIGINT AS tf_r FROM dt GROUP BY term),
+         |tgtv AS (SELECT term, sum(k)::BIGINT AS tf_t FROM dt
+         |         WHERE lang = 'en' GROUP BY term),
+         |tot AS (SELECT (SELECT sum(tf_r)::BIGINT FROM rawv) AS tot_r,
+         |               (SELECT sum(tf_t)::BIGINT FROM tgtv) AS tot_t),
+         |w AS (
+         |  SELECT term,
+         |         ((${FixedLog.duckLog2Cb("tf_t")} - ${FixedLog.duckLog2Cb("tot_t")})
+         |          - (${FixedLog.duckLog2Cb("tf_r")} - ${FixedLog.duckLog2Cb("tot_r")}))::BIGINT AS w_cb
+         |  FROM tgtv JOIN rawv USING (term), tot),
+         |agg AS (
+         |  SELECT doc_id,
+         |         sum(k * coalesce(w_cb, 0))::BIGINT AS sum_cb,
+         |         sum(k)::BIGINT AS n_tokens
+         |  FROM dt LEFT JOIN w USING (term)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |       avg_w_cb, (avg_w_cb > 0)::INT AS keep
+         |FROM (SELECT doc_id, n_tokens,
+         |        CASE WHEN sum_cb >= 0
+         |          THEN ((2 * sum_cb + n_tokens) // (2 * n_tokens))::BIGINT
+         |          ELSE -((2 * -sum_cb + n_tokens) // (2 * n_tokens))::BIGINT
+         |        END AS avg_w_cb
+         |      FROM agg)
+         |ORDER BY doc_id""".stripMargin,
     // p08: integer tier CASE + the p06-style multiply-mix key; DuckDB's
     // % on positive BIGINTs equals Spark's pmod here
     "p08_curriculum" ->

@@ -1001,6 +1001,40 @@ class OperatorBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("p09: DSIR weights match a driver re-derivation and the target " +
+    "slice scores above the rest on average") {
+    val got = ScaleQueries.p09_dsir_weights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).filter(_.nonEmpty)))
+    val tfR = scala.collection.mutable.Map.empty[String, Long]
+    val tfT = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, lang, toks) => toks.foreach { t =>
+      tfR(t) = tfR.getOrElse(t, 0L) + 1
+      if (lang == "en") tfT(t) = tfT.getOrElse(t, 0L) + 1
+    } }
+    val (totR, totT) = (tfR.values.sum, tfT.values.sum)
+    def w(t: String): Long = tfT.get(t) match {
+      case Some(tt) =>
+        (FixedLog.log2Cb(tt) - FixedLog.log2Cb(totT)) -
+          (FixedLog.log2Cb(tfR(t)) - FixedLog.log2Cb(totR))
+      case None => 0L
+    }
+    val expected = docs.filter(_._3.nonEmpty).map { case (id, _, toks) =>
+      val s = toks.map(w).sum; val n = toks.length.toLong
+      val avg = if (s >= 0) (2 * s + n) / (2 * n) else -((2 * -s + n) / (2 * n))
+      (id, n, avg, if (avg > 0) 1 else 0)
+    }.sortBy(_._1).toSeq
+    assert(got == expected)
+    val byLang = docs.map(d => d._1 -> d._2).toMap
+    val (en, rest) = got.partition(r => byLang(r._1) == "en")
+    assert(en.map(_._3).sum.toDouble / en.size >
+      rest.map(_._3).sum.toDouble / rest.size,
+      "target-language docs should be more target-like on average")
+  }
+
   test("t14: per-doc surprisal matches a driver re-derivation through " +
     "FixedLog.log2Cb, and common-word docs score below rare-word docs") {
     val got = TextQueries.t14_lm_score(spark, sf).collect()
