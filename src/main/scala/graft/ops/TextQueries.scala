@@ -438,18 +438,28 @@ object TextQueries {
     * the pair alphabet. Round count multiplies the VOCAB cost, not the
     * corpus cost. */
   val BPE_ROUNDS = 3
-  val t12_bpe_train: Q = (s, d) => {
-    import s.implicits._
-    // corpus → vocabulary, ONCE (the only corpus-sized stage)
-    val vocab = Tables.documents(s, d)
+
+  /** The corpus's wrapped-token vocabulary: extra columns per
+    * `keepWord` — t12 trains over (s, cnt) only, t15 keeps `w` so the
+    * trained tokenizer can be joined back to raw terms. */
+  private def bpeVocab(s: SparkSession, d: String, keepWord: Boolean): DataFrame = {
+    val cols =
+      (if (keepWord) Seq("w") else Nil) ++
+        Seq("concat('<', concat_ws('><', split(w, '')), '>') AS s", "cnt")
+    Tables.documents(s, d)
       .selectExpr("explode(split(text, ' ')) AS w")
       .filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       // wrap each char: 'ab' -> '<a><b>'
-      .selectExpr("concat('<', concat_ws('><', split(w, '')), '>') AS s", "cnt")
+      .selectExpr(cols: _*)
       .cache()
-    vocab.count()
+  }
 
+  /** The R census→argmax→merge training rounds over a wrapped (s, cnt)
+    * vocab — shared by t12 (reports the censuses) and t15 (applies the
+    * merges). Returns each round's top-5 census rows; the merge table is
+    * the rk = 1 rows in round order. */
+  private[graft] def bpeTrainRounds(vocab: DataFrame): Seq[(Int, Int, String, String, Long)] = {
     // census of adjacent token pairs over a (s, cnt) vocab state
     def census(v: DataFrame): DataFrame = v
       .selectExpr("split(substring(s, 2, length(s) - 2), '><') AS toks", "cnt")
@@ -462,7 +472,7 @@ object TextQueries {
       .groupBy(col("p.a").as("pair_a"), col("p.b").as("pair_b"))
       .agg(sum(col("cnt")).as("n"))
 
-    var state = vocab
+    var state = vocab.select(col("s"), col("cnt"))
     val out = Seq.newBuilder[(Int, Int, String, String, Long)]
     for (r <- 1 to BPE_ROUNDS) {
       val top5 = census(state)
@@ -476,8 +486,54 @@ object TextQueries {
       state = state.selectExpr(
         s"replace(s, '<$ma><$mb>', '<$ma$mb>') AS s", "cnt")
     }
-    out.result().toDF("round", "rk", "pair_a", "pair_b", "n")
+    out.result()
+  }
+
+  val t12_bpe_train: Q = (s, d) => {
+    import s.implicits._
+    // corpus → vocabulary, ONCE (the only corpus-sized stage)
+    val vocab = bpeVocab(s, d, keepWord = false)
+    vocab.count()
+    bpeTrainRounds(vocab)
+      .toDF("round", "rk", "pair_a", "pair_b", "n")
       .orderBy(col("round"), col("rk"))
+  }
+
+  /** t15: BPE tokenizer APPLICATION — encode the corpus with the merge
+    * table t12's training produced (the deploy half of the tokenizer
+    * lifecycle): per document, its character count, its token count
+    * under the trained merges, and the chars-per-token compression in
+    * half-up CENTI units — the metric tokenizer changes are judged by.
+    *
+    * Merges apply to the VOCABULARY, not the corpus: each trained merge
+    * is one literal `replace` over vocab-sized wrapped words (leftmost-
+    * greedy = BPE merge order, t12's representation), the final token
+    * count per word is just its `<` count, and documents get their
+    * totals through the doc-term matrix join — so tokenizing 100 TB
+    * costs one doc-term aggregate plus a vocab-sized join, the property
+    * that makes corpus-wide tokenization feasible. */
+  val t15_bpe_apply: Q = (s, d) => {
+    val vocab = bpeVocab(s, d, keepWord = true)
+    vocab.count()
+    val merges = bpeTrainRounds(vocab).filter(_._2 == 1)
+      .sortBy(_._1).map(r => (r._3, r._4))
+    var st = vocab.select(col("w"), col("s"))
+    merges.foreach { case (a, b) =>
+      st = st.selectExpr("w", s"replace(s, '<$a><$b>', '<$a$b>') AS s")
+    }
+    val tokCount = st.selectExpr("w AS term",
+      "CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS n_tok")
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS term")
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("k"))
+      .join(tokCount, "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k") * length(col("term")).cast("long")).as("n_chars_tok"),
+        sum(col("k") * col("n_tok")).as("n_tokens_bpe"))
+      .selectExpr("doc_id", "n_chars_tok", "n_tokens_bpe",
+        "CAST((200 * n_chars_tok + n_tokens_bpe) div (2 * n_tokens_bpe) AS BIGINT) AS cpt_centi")
+      .orderBy(col("doc_id"))
   }
 
   /** t11: readability profile — sentence/word/syllable-proxy counts and
@@ -554,6 +610,7 @@ object TextQueries {
   }
 
   def queries: Map[String, Q] = Map(
+    "t15_bpe_apply" -> t15_bpe_apply,
     "t14_lm_score" -> t14_lm_score,
     "t13_count_of_counts" -> t13_count_of_counts,
     "t01_lang_id" -> t01_lang_id,
@@ -576,12 +633,15 @@ object TextQueries {
     val winHash = (1 to 8).zip(pows)
       .map { case (j, pw) => s"unicode(substr(text, i + ${j - 1}, 1))::BIGINT * $pw" }
       .mkString(" + ")
-    // t12: the R merge rounds as a CTE chain — each round's argmax and
-    // merge are RE-DERIVED in SQL (the oracle cannot see the driver's
-    // merge table), with the identical wrapped-token representation and
-    // (n DESC, pair ASC) tie-break; `replace` is leftmost-greedy
-    // non-overlapping on both engines, i.e. BPE merge semantics.
-    val t12Rounds = (1 to BPE_ROUNDS).map { r =>
+    // t12/t15: the R merge rounds as a CTE chain — each round's argmax
+    // and merge are RE-DERIVED in SQL (the oracle cannot see the
+    // driver's merge table), with the identical wrapped-token
+    // representation and (n DESC, pair ASC) tie-break; `replace` is
+    // leftmost-greedy non-overlapping on both engines, i.e. BPE merge
+    // semantics. keepW threads the raw word through the merge rounds so
+    // t15 can join the trained tokenizer back to corpus terms.
+    def bpeRoundCtes(keepW: Boolean): String = (1 to BPE_ROUNDS).map { r =>
+      val wSel = if (keepW) "v.w, " else ""
       s"""tok$r AS (
          |  SELECT string_split(substr(s, 2, len(s) - 2), '><') AS toks, cnt
          |  FROM v${r - 1}),
@@ -594,7 +654,7 @@ object TextQueries {
          |  SELECT pair_a AS a, pair_b AS b FROM cen$r
          |  ORDER BY n DESC, pair_a ASC, pair_b ASC LIMIT 1),
          |v$r AS (
-         |  SELECT replace(v.s, '<' || m.a || '><' || m.b || '>',
+         |  SELECT ${wSel}replace(v.s, '<' || m.a || '><' || m.b || '>',
          |                 '<' || m.a || m.b || '>') AS s, v.cnt
          |  FROM v${r - 1} v, m$r m),
          |top$r AS (
@@ -603,6 +663,7 @@ object TextQueries {
          |           row_number() OVER (ORDER BY n DESC, pair_a ASC, pair_b ASC) AS rk
          |    FROM cen$r) WHERE rk <= 5)""".stripMargin
     }.mkString(",\n")
+    val t12Rounds = bpeRoundCtes(keepW = false)
     val t12Union = (1 to BPE_ROUNDS)
       .map(r => s"SELECT * FROM top$r").mkString(" UNION ALL ")
     Map(
@@ -634,6 +695,35 @@ object TextQueries {
           |            FROM documents)
           |      GROUP BY term)
           |GROUP BY tf ORDER BY tf""".stripMargin,
+      // t15: the same training chain (keepW) + per-word token counts
+      // from the final vocab state, joined back through the doc-term
+      // matrix; `<` count = token count by the wrapped representation
+      "t15_bpe_apply" ->
+        s"""WITH v0 AS (
+           |  SELECT w,
+           |         '<' || array_to_string(string_split(w, ''), '><') || '>' AS s,
+           |         count(*) AS cnt
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |  WHERE len(w) >= 1
+           |  GROUP BY w),
+           |${bpeRoundCtes(keepW = true)},
+           |tokcnt AS (
+           |  SELECT w AS term,
+           |         (length(s) - length(replace(s, '<', '')))::BIGINT AS n_tok
+           |  FROM v$BPE_ROUNDS),
+           |dt AS (
+           |  SELECT doc_id, term, count(*)::BIGINT AS k
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |        FROM documents)
+           |  WHERE term <> ''
+           |  GROUP BY doc_id, term)
+           |SELECT doc_id,
+           |       sum(k * length(term))::BIGINT AS n_chars_tok,
+           |       sum(k * n_tok)::BIGINT AS n_tokens_bpe,
+           |       ((200 * sum(k * length(term)) + sum(k * n_tok))
+           |        // (2 * sum(k * n_tok)))::BIGINT AS cpt_centi
+           |FROM dt JOIN tokcnt USING (term)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "t12_bpe_train" ->
         s"""WITH v0 AS (
            |  SELECT '<' || array_to_string(string_split(w, ''), '><') || '>' AS s,

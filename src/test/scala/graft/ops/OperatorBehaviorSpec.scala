@@ -1001,6 +1001,34 @@ class OperatorBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("t15: applying t12's merge table on the driver reproduces every " +
+    "doc's BPE token count, and merges never lengthen a doc") {
+    val merges = TextQueries.t12_bpe_train(spark, sf).collect()
+      .filter(_.getInt(1) == 1).sortBy(_.getInt(0))
+      .map(r => (r.getString(2), r.getString(3)))
+    val got = TextQueries.t15_bpe_apply(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    def tokCount(w: String): Long = {
+      var s = "<" + w.split("").mkString("><") + ">"
+      merges.foreach { case (a, b) => s = s.replace(s"<$a><$b>", s"<$a$b>") }
+      s.count(_ == '<').toLong
+    }
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).filter(_.nonEmpty))
+      .filter(_._2.nonEmpty)
+      .map { case (id, toks) =>
+        val chars = toks.map(_.length.toLong).sum
+        val ntok = toks.map(tokCount).sum
+        (id, chars, ntok, (200 * chars + ntok) / (2 * ntok))
+      }.sortBy(_._1).toSeq
+    assert(got == expected)
+    got.foreach { case (id, chars, ntok, cpt) =>
+      assert(ntok <= chars, s"doc $id grew under merges")
+      assert(cpt >= 100L, s"doc $id below 1 char/token")
+    }
+  }
+
   test("p09: DSIR weights match a driver re-derivation and the target " +
     "slice scores above the rest on average") {
     val got = ScaleQueries.p09_dsir_weights(spark, sf).collect()
