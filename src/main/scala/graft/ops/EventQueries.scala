@@ -320,7 +320,40 @@ object EventQueries {
       .orderBy(col("purchase_id"))
   }
 
+  /** e14: ROLLING DISTINCT USERS — per-day exact DAU and the trailing-
+    * 7-day distinct-user count (WAU), the product health metrics every
+    * event pipeline reports and the aggregation naive SQL gets wrong
+    * (distinct does not sum across days). Day buckets are BIGINT epoch
+    * days (`unix_micros div 86 400 000 000` — micros discipline, no
+    * date/tz surface).
+    *
+    * Scale shape: the corpus collapses to the (user, day) matrix in the
+    * first DISTINCT (map-side partial — user-days ≪ events); WAU
+    * replicates each user-day to the ≤ 7 window days it serves
+    * (offset explode BEFORE a second distinct, so a user active on
+    * several days in one window still counts once), and only day-sized
+    * aggregates shuffle after that. Exact rolling distinct via an
+    * O(W·user-days) explode is the standard trade — the approximate
+    * alternative (merging HLL day sketches) is h01's territory. The
+    * final inner join restricts output to OBSERVED days, so both
+    * engines agree on the day universe without a calendar table. */
+  val e14_rolling_distinct: Q = (s, d) => {
+    val userDays = Tables.events(s, d)
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000 AS day_id")
+      .distinct()
+    val dau = userDays.groupBy(col("day_id"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .selectExpr("user_id", "explode(sequence(day_id, day_id + 6)) AS day_id")
+      .distinct()
+      .groupBy(col("day_id")).agg(count(lit(1)).as("wau7"))
+    dau.join(wau, "day_id")
+      .select(col("day_id"), col("dau"), col("wau7"))
+      .orderBy(col("day_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "e14_rolling_distinct" -> e14_rolling_distinct,
     "e13_nearest_event" -> e13_nearest_event,
     "e12_session_overlap" -> e12_session_overlap,
     "e01_sessionize" -> e01_sessionize,
@@ -336,6 +369,21 @@ object EventQueries {
     "e11_transitions" -> e11_transitions)
 
   def oracleSql: Map[String, String] = Map(
+    // e14: same epoch-day arithmetic; generate_series is inclusive on
+    // both ends like Spark's sequence
+    "e14_rolling_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_id
+        |  FROM events),
+        |dau AS (SELECT day_id, count(*)::BIGINT AS dau FROM ud GROUP BY day_id),
+        |wau AS (
+        |  SELECT day_id, count(*)::BIGINT AS wau7 FROM (
+        |    SELECT DISTINCT user_id, u.day_id + off AS day_id
+        |    FROM ud u, LATERAL (SELECT unnest(generate_series(0, 6)) AS off))
+        |  GROUP BY day_id)
+        |SELECT day_id, dau, wau7
+        |FROM dau JOIN wau USING (day_id)
+        |ORDER BY day_id""".stripMargin,
     // e13: the engine's window form verbatim — the same tagged union,
     // the same (ts, tag, event_id) total order for both frames, BIGINT
     // epoch-micros distances, prev-wins-ties

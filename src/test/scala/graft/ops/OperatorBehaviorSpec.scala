@@ -1001,6 +1001,27 @@ class OperatorBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("e14: DAU/WAU match a driver re-derivation over user-day sets, " +
+    "and WAU dominates both DAU and any window day's DAU") {
+    val got = EventQueries.e14_rolling_distinct(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ud = graft.model.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000 AS day_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val days = ud.map(_._2)
+    val expected = days.toSeq.sorted.map { d =>
+      val dau = ud.count(_._2 == d).toLong
+      val wau = ud.filter(p => p._2 >= d - 6 && p._2 <= d).map(_._1).size.toLong
+      (d, dau, wau)
+    }
+    assert(got == expected)
+    got.foreach { case (d, dau, wau) =>
+      assert(wau >= dau, s"day $d: WAU below DAU")
+      val windowDauMax = got.filter(g => g._1 >= d - 6 && g._1 <= d).map(_._2).max
+      assert(wau >= windowDauMax, s"day $d: WAU below a window day's DAU")
+    }
+  }
+
   test("t15: applying t12's merge table on the driver reproduces every " +
     "doc's BPE token count, and merges never lengthen a doc") {
     val merges = TextQueries.t12_bpe_train(spark, sf).collect()
