@@ -76,11 +76,59 @@ object IngestQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** i03: SNAPSHOT DIFF (CDC) — classify every doc_id across two corpus
+    * snapshots as added / deleted / changed / unchanged, the change-data
+    * step an incremental ingest runs between crawls to avoid reprocessing
+    * the unchanged bulk (the reference's ingest does the `added` third of
+    * this as its anti-join, `index_wikimedia.py:101-112`; a production
+    * recrawl needs all four classes). The two snapshots are deterministic
+    * views of `documents`: the OLD snapshot lacks ids ≡ 5 (mod 13)
+    * ("added later"), the NEW lacks ids ≡ 3 (mod 11) ("since deleted")
+    * and revises text where id ≡ 0 (mod 7); both sides reduce to
+    * (doc_id, md5) BEFORE the join, so the full-outer shuffle carries
+    * 16-byte digests, never text — the discipline that makes a 100 TB
+    * diff an id-keyed thin join. `changed` compares digests, exactly as
+    * a production diff must (text equality would force text onto the
+    * shuffle). */
+  val i03_snapshot_diff: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val old = docs.filter(expr("doc_id % 13 <> 5"))
+      .selectExpr("doc_id", "md5(text) AS old_digest")
+    val neu = docs.filter(expr("doc_id % 11 <> 3"))
+      .selectExpr("doc_id",
+        "md5(CASE WHEN doc_id % 7 = 0 THEN concat(text, ' rev2') ELSE text END) AS new_digest")
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .selectExpr("doc_id",
+        """CASE WHEN old_digest IS NULL THEN 'added'
+          |     WHEN new_digest IS NULL THEN 'deleted'
+          |     WHEN old_digest <> new_digest THEN 'changed'
+          |     ELSE 'unchanged' END AS status""".stripMargin)
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "i03_snapshot_diff" -> i03_snapshot_diff,
     "i01_url_pipeline" -> i01_url_pipeline,
     "i02_url_canonical_dedup" -> i02_url_canonical_dedup)
 
   def oracleSql: Map[String, String] = Map(
+    // i03: same snapshot views, same digest compare
+    "i03_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, md5(text) AS old_digest FROM documents
+        |  WHERE doc_id % 13 <> 5),
+        |neu AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+        |                  ELSE text END) AS new_digest
+        |  FROM documents WHERE doc_id % 11 <> 3)
+        |SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
+        |       CASE WHEN old_digest IS NULL THEN 'added'
+        |            WHEN new_digest IS NULL THEN 'deleted'
+        |            WHEN old_digest <> new_digest THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM old FULL OUTER JOIN neu USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "i02_url_canonical_dedup" ->
       """WITH urls AS (
         |  SELECT doc_id,

@@ -1001,6 +1001,25 @@ class OperatorBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("i03: every status follows the snapshot membership rules and ids " +
+    "absent from both snapshots never appear") {
+    val got = IngestQueries.i03_snapshot_diff(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val (inOld, inNew) = (id % 13 != 5, id % 11 != 3)
+      val expected =
+        if (!inOld && !inNew) None
+        else if (!inOld) Some("added")
+        else if (!inNew) Some("deleted")
+        else if (id % 7 == 0) Some("changed")
+        else Some("unchanged")
+      assert(got.get(id) == expected, s"doc $id")
+    }
+    assert(got.keySet.subsetOf(ids.toSet))
+  }
+
   test("e14: DAU/WAU match a driver re-derivation over user-day sets, " +
     "and WAU dominates both DAU and any window day's DAU") {
     val got = EventQueries.e14_rolling_distinct(spark, sf).collect()
