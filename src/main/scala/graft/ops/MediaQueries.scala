@@ -52,7 +52,39 @@ object MediaQueries {
       .orderBy(col("kind"), col("media_id"))
   }
 
+  /** m03: SHARD INTEGRITY MANIFEST — the per-shard summary a dataloader
+    * validates before streaming a tar-style archive: member count, total
+    * payload bytes, and an ORDER-SENSITIVE checksum over the members in
+    * offset order (rank-weighted, so a permuted or substituted member
+    * list is detected, which a plain sum would miss). The checksum is
+    * modular BIGINT arithmetic bounded by construction — member hash
+    * `(id % M)·A + (bytes % M)·B (mod M)` with A, B < 2²⁰ keeps every
+    * product < 2⁵¹, and the rank weight stays < M·members — so both
+    * engines compute it exactly (Verify gotcha: DuckDB raises on BIGINT
+    * overflow, Spark wraps; nothing here can reach 2⁶³).
+    *
+    * Scale shape: m02's one thin kind-keyed window shuffle, then a
+    * (kind, shard) partial aggregate — blob bodies never move; at
+    * deployment the writer that streams actual bytes re-computes the
+    * same checksum incrementally and compares against this manifest. */
+  val CK_M = 2147483647L // 2^31 − 1
+  val m03_shard_checksum: Q = (s, d) => {
+    val w = Window.partitionBy(col("kind"), col("shard_id"))
+      .orderBy(col("offset_bytes"), col("media_id"))
+    m02_shard_pack(s, d)
+      .withColumn("rk", row_number().over(w))
+      .selectExpr("kind", "shard_id", "n_bytes",
+        s"pmod(rk * pmod((media_id % $CK_M) * 1000003 + (n_bytes % $CK_M) * 999983, $CK_M), $CK_M) AS term")
+      .groupBy(col("kind"), col("shard_id"))
+      .agg(count(lit(1)).as("n_blobs"), sum(col("n_bytes")).as("total_bytes"),
+        sum(col("term")).as("tsum"))
+      .selectExpr("kind", "shard_id", "n_blobs", "total_bytes",
+        s"CAST(tsum % $CK_M AS BIGINT) AS checksum")
+      .orderBy(col("kind"), col("shard_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "m03_shard_checksum" -> m03_shard_checksum,
     "m01_media_catalog" -> m01_media_catalog,
     "m02_shard_pack" -> m02_shard_pack)
 
@@ -66,6 +98,31 @@ object MediaQueries {
       |FROM documents""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // m03: m02's manifest CTE + the same rank-weighted modular checksum
+    // (all operands positive, so % == pmod)
+    "m03_shard_checksum" ->
+      s"""WITH c AS (
+         |  SELECT kind, media_id, n_bytes,
+         |         sum(n_bytes) OVER (PARTITION BY kind ORDER BY media_id) AS cum
+         |  FROM ($catalogSelect)),
+         |manifest AS (
+         |  SELECT kind, media_id, n_bytes,
+         |         ((cum - n_bytes) // $SHARD_BYTES)::BIGINT AS shard_id,
+         |         (cum - n_bytes
+         |          - ((cum - n_bytes) // $SHARD_BYTES) * $SHARD_BYTES)::BIGINT AS offset_bytes
+         |  FROM c),
+         |ranked AS (
+         |  SELECT kind, shard_id, n_bytes,
+         |         row_number() OVER (PARTITION BY kind, shard_id
+         |                            ORDER BY offset_bytes, media_id) AS rk,
+         |         ((media_id % $CK_M) * 1000003
+         |          + (n_bytes % $CK_M) * 999983) % $CK_M AS h
+         |  FROM manifest)
+         |SELECT kind, shard_id, count(*)::BIGINT AS n_blobs,
+         |       sum(n_bytes)::BIGINT AS total_bytes,
+         |       (sum((rk * h) % $CK_M) % $CK_M)::BIGINT AS checksum
+         |FROM ranked GROUP BY kind, shard_id
+         |ORDER BY kind, shard_id""".stripMargin,
     "m01_media_catalog" ->
       s"""$catalogSelect ORDER BY media_id""".stripMargin,
     // m02: DuckDB's window sum widens to HUGEINT — the // arithmetic is

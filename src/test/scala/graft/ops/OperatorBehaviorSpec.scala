@@ -1001,6 +1001,34 @@ class OperatorBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("m03: checksums match a driver re-derivation over m02's manifest " +
+    "in offset order, and detect a member swap") {
+    val manifest = MediaQueries.m02_shard_pack(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val got = MediaQueries.m03_shard_checksum(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val M = MediaQueries.CK_M
+    def ck(members: Seq[(Long, Long)]): Long =
+      members.zipWithIndex.map { case ((id, nb), i) =>
+        ((i + 1) * (((id % M) * 1000003 + (nb % M) * 999983) % M)) % M
+      }.sum % M
+    val expected = manifest.groupBy(m => (m._1, m._4)).toSeq
+      .map { case ((kind, shard), ms) =>
+        val ordered = ms.sortBy(m => (m._5, m._2)).map(m => (m._2, m._3)).toSeq
+        (kind, shard, ms.length.toLong, ms.map(_._3).sum, ck(ordered))
+      }.sortBy(e => (e._1, e._2))
+    assert(got == expected)
+    // order sensitivity: swapping two members of a multi-member shard
+    // must change the checksum
+    expected.find(_._3 >= 2).foreach { case (kind, shard, _, _, c) =>
+      val ordered = manifest.filter(m => m._1 == kind && m._4 == shard)
+        .sortBy(m => (m._5, m._2)).map(m => (m._2, m._3)).toSeq
+      val swapped = ordered.updated(0, ordered(1)).updated(1, ordered(0))
+      assert(ck(swapped) != c, s"$kind/$shard checksum ignores order")
+    }
+  }
+
   test("i03: every status follows the snapshot membership rules and ids " +
     "absent from both snapshots never appear") {
     val got = IngestQueries.i03_snapshot_diff(spark, sf).collect()
