@@ -175,7 +175,60 @@ object VectorQueries {
       .orderBy($"dim")
   }
 
+  /** v08: LABEL-CENTROID GEOMETRY — inter-class separation audit: the 20
+    * closest pairs of per-label centroids by squared cosine, the check an
+    * embedding-space curator runs to find confusable / collapsing classes
+    * before training. All arithmetic is exact: centroids are sign-safe
+    * half-up micro-unit means (BIGINT), dots and norms are BIGINT sums of
+    * micro products (|cm| ≤ 10⁶ ⇒ per-dim product ≤ 10¹², 64-dim sums ≤
+    * 6.4·10¹³), and the squared cosine is a DECIMAL(38) rational —
+    * dot²·10⁹ ≤ 4.2·10³⁶ and nrm·nrm ≤ 4.1·10²⁷ both fit DECIMAL(38)/
+    * HUGEINT, so signed cos²·10⁹ div's to the same BIGINT everywhere
+    * (sqrt would be float; squaring the ranking key avoids it, the p07
+    * compare-squares discipline).
+    *
+    * Scale shape: one (label, dim) partial aggregate collapses the
+    * corpus to |labels|·dim thin rows; the pairwise stage is dim-keyed
+    * over centroid rows only — quadratic in CLASS COUNT (thousands at
+    * most), never in corpus size. */
+  val v08_centroid_geometry: Q = (s, d) => {
+    import s.implicits._
+    val cent = Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"),
+        posexplode($"embedding").as(Seq("pos", "x")))
+      .selectExpr("label", "pos",
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT) AS mi")
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("mi")).as("smi"), count(lit(1)).as("n"))
+      .selectExpr("label", "pos",
+        """CASE WHEN smi >= 0
+          |  THEN CAST((2 * smi + n) div (2 * n) AS BIGINT)
+          |  ELSE -CAST((2 * -smi + n) div (2 * n) AS BIGINT)
+          |END AS cm""".stripMargin)
+    val norms = cent.groupBy(col("label"))
+      .agg(sum(col("cm") * col("cm")).as("nrm"))
+      .filter(col("nrm") > 0)
+    val dots = cent.toDF("label_a", "pos", "cm_a")
+      .join(cent.toDF("label_b", "pos", "cm_b"), "pos")
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("cm_a") * col("cm_b")).as("dot"))
+    dots
+      .join(norms.toDF("label_a", "nrm_a"), "label_a")
+      .join(norms.toDF("label_b", "nrm_b"), "label_b")
+      .selectExpr("label_a", "label_b",
+        """CASE WHEN dot >= 0
+          |  THEN CAST((CAST(dot AS DECIMAL(38,0)) * dot * 1000000000)
+          |            div (CAST(nrm_a AS DECIMAL(38,0)) * nrm_b) AS BIGINT)
+          |  ELSE -CAST((CAST(dot AS DECIMAL(38,0)) * dot * 1000000000)
+          |             div (CAST(nrm_a AS DECIMAL(38,0)) * nrm_b) AS BIGINT)
+          |END AS cos2_ppb""".stripMargin)
+      .orderBy(col("cos2_ppb").desc, col("label_a").asc, col("label_b").asc)
+      .limit(20)
+  }
+
   def queries: Map[String, Q] = Map(
+    "v08_centroid_geometry" -> v08_centroid_geometry,
     "v01_search_topk" -> v01_search_topk,
     "v02_search_top1000" -> v02_search_top1000,
     "v03_blob_roundtrip" -> v03_blob_roundtrip,
@@ -184,6 +237,41 @@ object VectorQueries {
     "v07_dim_calibration" -> v07_dim_calibration)
 
   def oracleSql: Map[String, String] = Map(
+    // v08: same micro-mean centroids and compare-squares cosine; DuckDB
+    // sums widen to HUGEINT which holds every bound above
+    "v08_centroid_geometry" ->
+      """WITH e AS (
+        |  SELECT label::BIGINT AS label, i - 1 AS pos,
+        |         CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS mi
+        |  FROM (SELECT label, unnest(embedding) AS x,
+        |               unnest(range(1, len(embedding)+1)) AS i
+        |        FROM embeddings)),
+        |cent AS (
+        |  SELECT label, pos,
+        |         CASE WHEN sum(mi) >= 0
+        |           THEN ((2 * sum(mi) + count(*)) // (2 * count(*)))::BIGINT
+        |           ELSE -((2 * -sum(mi) + count(*)) // (2 * count(*)))::BIGINT
+        |         END AS cm
+        |  FROM e GROUP BY label, pos),
+        |norms AS (
+        |  SELECT label, sum(cm * cm)::BIGINT AS nrm FROM cent
+        |  GROUP BY label HAVING sum(cm * cm) > 0),
+        |dots AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |         sum(a.cm * b.cm)::BIGINT AS dot
+        |  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |       CASE WHEN dot >= 0
+        |         THEN ((dot::HUGEINT * dot * 1000000000)
+        |               // (na.nrm::HUGEINT * nb.nrm))::BIGINT
+        |         ELSE -((dot::HUGEINT * dot * 1000000000)
+        |                // (na.nrm::HUGEINT * nb.nrm))::BIGINT
+        |       END AS cos2_ppb
+        |FROM dots
+        |JOIN norms na ON na.label = dots.label_a
+        |JOIN norms nb ON nb.label = dots.label_b
+        |ORDER BY cos2_ppb DESC, label_a ASC, label_b ASC LIMIT 20""".stripMargin,
     "v01_search_topk" ->
       s"""SELECT vec_id,
          | round(list_dot_product(embedding::DOUBLE[], ${VectorOps.sqlDoubleArray(flagshipVec)}),4) AS score

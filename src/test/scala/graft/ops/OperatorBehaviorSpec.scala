@@ -1001,6 +1001,38 @@ class OperatorBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("v08: top-20 centroid pairs match a BigInt driver re-derivation " +
+    "and every squared cosine respects Cauchy-Schwarz (<= 1e9 ppb)") {
+    val got = VectorQueries.v08_centroid_geometry(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("CAST(label AS BIGINT) AS label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val byLabel = rows.groupBy(_._1)
+    val cent = byLabel.map { case (l, vs) =>
+      val dim = vs.head._2.length
+      l -> (0 until dim).map { p =>
+        val smi = vs.map(v => math.floor(v._2(p).toDouble * 1e6 + 0.5).toLong).sum
+        val n = vs.length.toLong
+        if (smi >= 0) (2 * smi + n) / (2 * n) else -((2 * -smi + n) / (2 * n))
+      }.toArray
+    }
+    val norms = cent.view.mapValues(c => c.map(x => x * x).sum).toMap
+      .filter(_._2 > 0)
+    val pairs = for {
+      a <- norms.keys.toSeq; b <- norms.keys.toSeq if a < b
+    } yield {
+      val dot = cent(a).zip(cent(b)).map { case (x, y) => x * y }.sum
+      val q = (BigInt(dot) * dot * 1000000000L / (BigInt(norms(a)) * norms(b))).toLong
+      (a, b, if (dot >= 0) q else -q)
+    }
+    val expected = pairs.sortBy(p => (-p._3, p._1, p._2)).take(20)
+    assert(got == expected)
+    got.foreach { case (a, b, c) =>
+      assert(math.abs(c) <= 1000000000L, s"pair ($a,$b) breaks Cauchy-Schwarz")
+    }
+  }
+
   test("m03: checksums match a driver re-derivation over m02's manifest " +
     "in offset order, and detect a member swap") {
     val manifest = MediaQueries.m02_shard_pack(spark, sf).collect()
