@@ -97,7 +97,11 @@ object IngestQueries {
     val neu = docs.filter(expr("doc_id % 11 <> 3"))
       .selectExpr("doc_id",
         "md5(CASE WHEN doc_id % 7 = 0 THEN concat(text, ' rev2') ELSE text END) AS new_digest")
-    old.join(neu, Seq("doc_id"), "full_outer")
+    // SHUFFLE_HASH: full-outer over two corpus-sized digest sides must
+    // shuffle, but the rows are thin (id + 16-byte digest) — hashing
+    // beats sort-merge (skips both sorts), and keeps the global
+    // no-SMJ plan audit meaningful.
+    old.join(neu.hint("SHUFFLE_HASH"), Seq("doc_id"), "full_outer")
       .selectExpr("doc_id",
         """CASE WHEN old_digest IS NULL THEN 'added'
           |     WHEN new_digest IS NULL THEN 'deleted'

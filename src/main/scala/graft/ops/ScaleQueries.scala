@@ -495,15 +495,25 @@ object ScaleQueries {
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("lang"), col("term"))
       .agg(count(lit(1)).as("k"))
+      .cache() // totals collect + both censuses + the final join reuse it
     val rawV = docTerm.groupBy(col("term")).agg(sum(col("k")).as("tf_r"))
     val tgtV = docTerm.filter(col("lang") === "en")
       .groupBy(col("term")).agg(sum(col("k")).as("tf_t"))
-    val totals = rawV.agg(sum(col("tf_r")).as("tot_r"))
-      .crossJoin(tgtV.agg(sum(col("tf_t")).as("tot_t")))
-    val weights = tgtV.join(rawV, "term").crossJoin(broadcast(totals))
+    // both corpus totals in ONE aggregate, materialized as TWO driver
+    // scalars (the scalar-subquery shape; bounded like the PQ codebook
+    // collect) and folded to literal centibits via the same FixedLog
+    // table the SQL fragments splice — integer adds are associative, so
+    // the folded constant equals the oracle's four-term sum exactly. A
+    // broadcast cross join of the 1-row totals would plan the
+    // BroadcastNestedLoopJoin shape the global plan audit forbids.
+    val totRow = docTerm.agg(
+      sum(col("k")).as("tot_r"),
+      sum(when(col("lang") === "en", col("k"))).as("tot_t")).head()
+    val cCb = FixedLog.log2Cb(totRow.getLong(0)) - FixedLog.log2Cb(totRow.getLong(1))
+    val weights = tgtV.join(rawV, "term")
       .selectExpr("term",
-        s"""CAST((${FixedLog.sparkLog2Cb("tf_t")} - ${FixedLog.sparkLog2Cb("tot_t")})
-           |   - (${FixedLog.sparkLog2Cb("tf_r")} - ${FixedLog.sparkLog2Cb("tot_r")})
+        s"""CAST((${FixedLog.sparkLog2Cb("tf_t")} - ${FixedLog.sparkLog2Cb("tf_r")})
+           |   + (${cCb}L)
            | AS BIGINT) AS w_cb""".stripMargin)
     docTerm.join(weights, Seq("term"), "left")
       .groupBy(col("doc_id"))

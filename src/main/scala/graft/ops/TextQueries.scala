@@ -596,11 +596,16 @@ object TextQueries {
       .selectExpr("doc_id", "explode(split(text, ' ')) AS term")
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("k"))
+      .cache() // total collect + vocab census + the final join reuse it
     val vocab = docTerm.groupBy(col("term")).agg(sum(col("k")).as("tf"))
-    val total = vocab.agg(sum(col("tf")).as("total"))
-    val surp = vocab.crossJoin(broadcast(total))
+    // corpus total as ONE driver scalar folded to literal centibits via
+    // the same FixedLog table the SQL fragment splices (the scalar-
+    // subquery shape; a broadcast cross join of the 1-row total would
+    // plan the BroadcastNestedLoopJoin the global plan audit forbids)
+    val totalCb = FixedLog.log2Cb(vocab.agg(sum(col("tf"))).head().getLong(0))
+    val surp = vocab
       .selectExpr("term",
-        s"CAST(${FixedLog.sparkLog2Cb("total")} - ${FixedLog.sparkLog2Cb("tf")} AS BIGINT) AS surp_cb")
+        s"CAST(${totalCb}L - ${FixedLog.sparkLog2Cb("tf")} AS BIGINT) AS surp_cb")
     docTerm.join(surp, "term")
       .groupBy(col("doc_id"))
       .agg(sum(col("k") * col("surp_cb")).as("sum_cb"), sum(col("k")).as("n_tokens"))
