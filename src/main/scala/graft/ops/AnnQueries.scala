@@ -487,6 +487,32 @@ object AnnQueries {
     "n11_filtered_ann" -> n11_filtered_ann,
     "n12_hybrid_rrf" -> n12_hybrid_rrf)
 
+  /** n09's full candidate-edge CTE chain (no leading WITH) — ends at
+    * `ranked(src, nbr, cos, rn)`; the top-3 edge set is
+    * `SELECT src, nbr FROM ranked WHERE rn <= 3`. ONE definition shared
+    * by the n09 oracle and c08's label-propagation oracle so the graph
+    * the propagation runs over cannot diverge from the graph n09
+    * hash-checks. */
+  private[ops] def knnOracleCtes: String =
+    s"""nrows AS (SELECT count(*) AS n FROM embeddings),
+       |${Lsh.duckBitselCte},
+       |${Lsh.duckTieredCappedCtes},
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS nbr
+       |  FROM bucketed x JOIN bucketed y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |scored AS (
+       |  SELECT src, nbr,
+       |         round(list_cosine_similarity(a.embedding::DOUBLE[],
+       |                                      b.embedding::DOUBLE[]), 4) + 0.0 AS cos
+       |  FROM cand JOIN embeddings a ON a.vec_id = cand.src
+       |            JOIN embeddings b ON b.vec_id = cand.nbr),
+       |ranked AS (
+       |  SELECT src, nbr, cos,
+       |         row_number() OVER (PARTITION BY src
+       |                            ORDER BY cos DESC, nbr ASC) AS rn
+       |  FROM scored)""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val qLit = VectorOps.sqlDoubleArray(VectorQueries.flagshipVec)
     val centroidCte =
@@ -648,24 +674,7 @@ object AnnQueries {
       // ranked on the ROUNDED cosine so rank boundaries agree across
       // engines.
       "n09_knn_graph" ->
-        s"""WITH nrows AS (SELECT count(*) AS n FROM embeddings),
-           |${Lsh.duckBitselCte},
-           |${Lsh.duckTieredCappedCtes},
-           |cand AS (
-           |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS nbr
-           |  FROM bucketed x JOIN bucketed y
-           |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
-           |scored AS (
-           |  SELECT src, nbr,
-           |         round(list_cosine_similarity(a.embedding::DOUBLE[],
-           |                                      b.embedding::DOUBLE[]), 4) + 0.0 AS cos
-           |  FROM cand JOIN embeddings a ON a.vec_id = cand.src
-           |            JOIN embeddings b ON b.vec_id = cand.nbr),
-           |ranked AS (
-           |  SELECT src, nbr, cos,
-           |         row_number() OVER (PARTITION BY src
-           |                            ORDER BY cos DESC, nbr ASC) AS rn
-           |  FROM scored)
+        s"""WITH $knnOracleCtes
            |SELECT src, rn::INT AS rn, nbr, cos
            |FROM ranked WHERE rn <= 3 ORDER BY src, rn""".stripMargin)
   }

@@ -468,7 +468,62 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Synchronous label-propagation rounds over the k-NN graph (c08).
+    * 3 suffices on the LSH-bucketed test graphs (≥ 2 hops past every
+    * seed's neighborhood); production corpora tune it like
+    * [[CLOSURE_ROUNDS]] — each extra round is one thin join. */
+  val LP_ROUNDS = 3
+
+  /** Seed rule: every 5th vector keeps its gold label (vec_id ≡ 0 mod
+    * 5) — deterministic, so "is this node a seed" is a FILTER on both
+    * engines, never a membership join. */
+  private val LP_SEED_MOD = 5L
+
+  /** c08: GRAPH LABEL PROPAGATION — semi-supervised auto-labeling over
+    * the n09 k-NN graph, the canonical USE of a persisted k-NN graph in
+    * a training-data pipeline (20% gold seeds annotate the rest of the
+    * corpus). [[LP_ROUNDS]] synchronous rounds: every non-seed node
+    * takes the MAJORITY label of its out-neighbors' previous-round
+    * labels (tie → min label, unlabeled neighbors abstain); seeds are
+    * clamped. The graph is n09's output VERBATIM (same Spark builder,
+    * same oracle CTEs), so c08's propagation is hash-checked over the
+    * exact edge set n09 itself is hash-checked on.
+    *
+    * Scale shape: edges are ≤ 3·N thin (src, nbr) rows, cached once;
+    * each round is one nbr-keyed join of the current label table
+    * (≤ N thin rows) + one (src, lbl) count aggregate + one per-src
+    * argmax window — all graph-sized, the corpus' embeddings never
+    * appear after the edge build. Per-round localCheckpoint truncates
+    * the iterative lineage (c02's discipline). Seed clamping is a
+    * `vec_id % 5` filter, not an anti-join. */
+  val c08_label_propagation: Q = (s, d) => {
+    val edges = AnnQueries.n09_knn_graph(s, d)
+      .select(col("src"), col("nbr")).cache()
+    val seeds = Tables.embeddings(s, d)
+      .filter(col("vec_id") % LP_SEED_MOD === 0)
+      .select(col("vec_id"), col("label").cast("long").as("lbl"))
+      .localCheckpoint(true)
+    var lab = seeds
+    for (_ <- 1 to LP_ROUNDS) {
+      val votes = edges
+        .join(lab.select(col("vec_id").as("nbr"), col("lbl")), "nbr")
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("v"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("v").desc, col("lbl").asc)
+      val inferred = votes
+        .filter(col("src") % LP_SEED_MOD =!= 0)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("vec_id"), col("lbl"))
+      lab = seeds.unionByName(inferred).localCheckpoint(true)
+    }
+    lab.selectExpr("vec_id", "lbl",
+        s"CAST(vec_id % $LP_SEED_MOD = 0 AS INT) AS is_seed")
+      .orderBy(col("vec_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "c08_label_propagation" -> c08_label_propagation,
     "c01_curation_pipeline" -> c01_curation_pipeline,
     "c02_dedup_clusters" -> c02_dedup_clusters,
     "c03_quality_filter" -> c03_quality_filter,
@@ -528,7 +583,40 @@ object CurationQueries {
        |  SELECT node AS doc_id, lbl::BIGINT AS lbl FROM l$CLOSURE_ROUNDS)""".stripMargin
   }
 
+  /** The [[LP_ROUNDS]] synchronous propagation rounds, unrolled (the
+    * c02 discipline: the oracle runs the ENGINE'S recurrence, not its
+    * own formulation). `edges`/`seeds` are MATERIALIZED — each is
+    * referenced by every round, and default view inlining would re-run
+    * the whole LSH candidate chain per round. */
+  private def lpRoundCtes: String =
+    (1 to LP_ROUNDS).map { r =>
+      s"""votes$r AS (
+         |  SELECT e.src AS vec_id, l.lbl, count(*) AS v
+         |  FROM lp_edges e JOIN lab${r - 1} l ON l.vec_id = e.nbr
+         |  GROUP BY 1, 2),
+         |inf$r AS (
+         |  SELECT vec_id, lbl FROM votes$r
+         |  WHERE vec_id % $LP_SEED_MOD <> 0
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                             ORDER BY v DESC, lbl ASC) = 1),
+         |lab$r AS MATERIALIZED (
+         |  SELECT * FROM seeds UNION ALL SELECT * FROM inf$r)""".stripMargin
+    }.mkString(",\n")
+
   def oracleSql: Map[String, String] = Map(
+    // c08: n09's edge CTEs verbatim + the unrolled synchronous rounds
+    "c08_label_propagation" ->
+      s"""WITH ${AnnQueries.knnOracleCtes},
+         |lp_edges AS MATERIALIZED (
+         |  SELECT src, nbr FROM ranked WHERE rn <= 3),
+         |seeds AS MATERIALIZED (
+         |  SELECT vec_id, label::BIGINT AS lbl FROM embeddings
+         |  WHERE vec_id % $LP_SEED_MOD = 0),
+         |lab0 AS (SELECT * FROM seeds),
+         |$lpRoundCtes
+         |SELECT vec_id, lbl,
+         |       CAST(vec_id % $LP_SEED_MOD = 0 AS INT) AS is_seed
+         |FROM lab$LP_ROUNDS ORDER BY vec_id""".stripMargin,
     "c01_curation_pipeline" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang, text,

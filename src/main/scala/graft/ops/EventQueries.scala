@@ -352,7 +352,39 @@ object EventQueries {
       .orderBy(col("day_id"))
   }
 
+  /** e15: VOLUME SPIKE DETECTION — per (event_type, day) counts flagged
+    * when the day runs ≥ 1.5× its trailing-7-day mean, the anomaly
+    * check every event pipeline runs on ingest volume (a spike is a
+    * bot, an outage backfill, or an instrumentation bug). The trailing
+    * mean is a VALUE-bounded range frame on BIGINT epoch days (e10's
+    * frame shape — calendar gaps count as zero by construction since
+    * absent days contribute nothing to the sum while the mean divides
+    * by 7). The flag is cross-multiplied (14·cnt > 3·trail ⟺
+    * cnt > 1.5·trail/7) and the reported ratio is integer permille, so
+    * no division ever runs in float. ≥ 3 observed trailing days gates
+    * cold-start noise.
+    *
+    * Scale shape: the corpus collapses to the (type, day) matrix in the
+    * first aggregate (map-side combine); the window and the filter run
+    * over type-day rows only — day-sized, never event-sized. */
+  val e15_volume_spikes: Q = (s, d) => {
+    val days = Tables.events(s, d)
+      .selectExpr("event_type", "unix_micros(ts) div 86400000000 AS day_id")
+      .groupBy(col("event_type"), col("day_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_id"))
+      .rangeBetween(-7, -1)
+    days
+      .withColumn("trail", sum(col("cnt")).over(w))
+      .withColumn("tdays", count(col("cnt")).over(w))
+      .filter(col("tdays") >= 3 && col("cnt") * 14 > col("trail") * 3)
+      .selectExpr("event_type", "day_id", "cnt", "trail",
+        "CAST(cnt * 7000 div trail AS BIGINT) AS ratio_permille")
+      .orderBy(col("event_type"), col("day_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "e15_volume_spikes" -> e15_volume_spikes,
     "e14_rolling_distinct" -> e14_rolling_distinct,
     "e13_nearest_event" -> e13_nearest_event,
     "e12_session_overlap" -> e12_session_overlap,
@@ -369,6 +401,25 @@ object EventQueries {
     "e11_transitions" -> e11_transitions)
 
   def oracleSql: Map[String, String] = Map(
+    // e15: same epoch-day buckets, same RANGE frame, same
+    // cross-multiplied flag and permille ratio
+    "e15_volume_spikes" ->
+      """WITH dd AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_id
+        |  FROM events),
+        |days AS (
+        |  SELECT event_type, day_id, count(*)::BIGINT AS cnt
+        |  FROM dd GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT event_type, day_id, cnt,
+        |         sum(cnt) OVER w AS trail, count(cnt) OVER w AS tdays
+        |  FROM days
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day_id
+        |               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day_id, cnt, trail::BIGINT AS trail,
+        |       (cnt * 7000 // trail)::BIGINT AS ratio_permille
+        |FROM tr WHERE tdays >= 3 AND cnt * 14 > trail * 3
+        |ORDER BY event_type, day_id""".stripMargin,
     // e14: same epoch-day arithmetic; generate_series is inclusive on
     // both ends like Spark's sequence
     "e14_rolling_distinct" ->

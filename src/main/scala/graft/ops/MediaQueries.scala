@@ -86,7 +86,42 @@ object MediaQueries {
   def queries: Map[String, Q] = Map(
     "m03_shard_checksum" -> m03_shard_checksum,
     "m01_media_catalog" -> m01_media_catalog,
-    "m02_shard_pack" -> m02_shard_pack)
+    "m02_shard_pack" -> m02_shard_pack,
+    "m04_frame_sample" -> m04_frame_sample)
+
+  /** Max sampled frames per video — the dataloader's per-clip budget. */
+  val FRAME_SAMPLES = 8L
+
+  /** m04: FRAME-SAMPLE PLAN — the deterministic (media_id, frame_no,
+    * ts_micro) schedule a video training pipeline materializes BEFORE
+    * any decoder runs: uniform-stride sampling capped at
+    * [[FRAME_SAMPLES]] frames per clip, all BIGINT arithmetic
+    * (stride = ceil(frames/budget), timestamps as frame·10⁶ div fps).
+    * The decode of the planned frames is the `MediaDecoder` port's job
+    * (MultimodalOps — stubbed offline, like the reference's PIL hop);
+    * THIS operator is the Spark-side plumbing that decides which bytes
+    * to touch, which is what keeps a 100 TB video corpus affordable:
+    * the plan is metadata-only (catalog rows, never blobs), ≤ 8 rows
+    * per clip out of a narrow scan, zero shuffle before the
+    * presentation sort. fps/frame-count are derived from catalog
+    * metadata here (synthetic stand-ins off doc_id/n_bytes, m01's kind
+    * dispatch discipline); a production catalog carries them as real
+    * columns and the plan arithmetic is unchanged. */
+  val m04_frame_sample: Q = (s, d) => {
+    m01_media_catalog(s, d)
+      .filter(col("kind") === "video")
+      .selectExpr("media_id",
+        "CAST(24 + (media_id % 2) * 6 AS BIGINT) AS fps",
+        "CAST(n_bytes % 1000 + 24 + (media_id % 2) * 6 AS BIGINT) AS n_frames")
+      .selectExpr("media_id", "fps", "n_frames",
+        s"CAST((n_frames + ${FRAME_SAMPLES - 1}) div $FRAME_SAMPLES AS BIGINT) AS stride")
+      .selectExpr("media_id", "fps", "stride",
+        "explode(sequence(CAST(0 AS BIGINT), (n_frames - 1) div stride)) AS sample_idx")
+      .selectExpr("media_id", "sample_idx",
+        "CAST(sample_idx * stride AS BIGINT) AS frame_no",
+        "CAST(sample_idx * stride * 1000000 div fps AS BIGINT) AS ts_micro")
+      .orderBy(col("media_id"), col("sample_idx"))
+  }
 
   private val catalogSelect: String =
     """SELECT doc_id AS media_id,
@@ -125,6 +160,27 @@ object MediaQueries {
          |ORDER BY kind, shard_id""".stripMargin,
     "m01_media_catalog" ->
       s"""$catalogSelect ORDER BY media_id""".stripMargin,
+    // m04: same synthetic fps/frame-count derivation, same ceil-stride
+    // and integer-micro timestamps; generate_series inclusive both ends
+    // like Spark's sequence
+    "m04_frame_sample" ->
+      s"""WITH cat AS ($catalogSelect),
+         |v AS (
+         |  SELECT media_id,
+         |         (24 + (media_id % 2) * 6)::BIGINT AS fps,
+         |         (n_bytes % 1000 + 24 + (media_id % 2) * 6)::BIGINT AS n_frames
+         |  FROM cat WHERE kind = 'video'),
+         |sg AS (
+         |  SELECT media_id, fps, n_frames,
+         |         ((n_frames + ${FRAME_SAMPLES - 1}) // $FRAME_SAMPLES)::BIGINT AS stride
+         |  FROM v)
+         |SELECT media_id, sample_idx,
+         |       (sample_idx * stride)::BIGINT AS frame_no,
+         |       (sample_idx * stride * 1000000 // fps)::BIGINT AS ts_micro
+         |FROM (SELECT media_id, fps, stride,
+         |             unnest(generate_series(0, (n_frames - 1) // stride)) AS sample_idx
+         |      FROM sg)
+         |ORDER BY media_id, sample_idx""".stripMargin,
     // m02: DuckDB's window sum widens to HUGEINT — the // arithmetic is
     // exact there too; both outputs cast back to BIGINT
     "m02_shard_pack" ->

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.embed.DeterministicEmbedder
 import graft.model.Tables
@@ -227,7 +228,58 @@ object VectorQueries {
       .limit(20)
   }
 
+  /** The exact squared-norm in micro² units as a Spark SQL fragment —
+    * mi = floor(x·10⁶ + 0.5) per dim (v07's micro discipline), Σ mi²
+    * in BIGINT (64-dim bound 6.4·10¹³). A higher-order `aggregate`, so
+    * the scan is narrow: no explode, no shuffle. */
+  private val nrm2Spark =
+    "aggregate(embedding, CAST(0 AS BIGINT), (acc, x) -> acc" +
+      " + CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT)" +
+      " * CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))"
+
+  /** v09: EMBEDDING-NORM OUTLIER AUDIT — the top-20 vectors by distance
+    * from the corpus' norm distribution center, each flagged against the
+    * Tukey IQR fence (lo/hi/in): the curation check that catches broken
+    * encoder output (zero vectors, exploding activations) before
+    * training. Everything is exact integer arithmetic: norms are BIGINT
+    * micro² (no sqrt — comparisons are monotone in the square, the v08
+    * compare-squares discipline), quantiles are h03's discrete order
+    * statistic (value at rank ceil(p·n), type-1), and the 1.5·IQR fence
+    * is cross-multiplied (2·nrm2 < 5·q1 − 3·q3 / > 5·q3 − 3·q1) so no
+    * fraction ever materializes.
+    *
+    * Scale shape: the norm pass is one narrow zero-shuffle scan; the
+    * quantile runs over the norm CENSUS (distinct nrm2 → count, one
+    * thin aggregate) with a census-sized cumulative window; q1/q3 come
+    * back as two bounded driver scalars (p09's scalar-subquery shape)
+    * and fold into the flagging scan as literals. At 100 TB the census
+    * window's single partition bounds by DISTINCT norm values — if that
+    * degenerates, swap the pick for a 2-round distributed binary search;
+    * the fence arithmetic is unchanged. */
+  val v09_norm_outliers: Q = (s, d) => {
+    val norms = Tables.embeddings(s, d)
+      .selectExpr("vec_id", s"$nrm2Spark AS nrm2").cache()
+    val n = norms.count()
+    val census = norms.groupBy(col("nrm2")).agg(count(lit(1)).as("c"))
+    val cum = census
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("nrm2"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def pick(p: String): Long = cum
+      .filter(col("cum") >= expr(s"greatest(CAST(1 AS BIGINT), CAST(ceil($n * $p) AS BIGINT))"))
+      .agg(min(col("nrm2"))).head().getLong(0)
+    val (q1, q3) = (pick("0.25D"), pick("0.75D"))
+    norms.selectExpr("vec_id", "nrm2",
+        s"abs(2 * nrm2 - ${q1 + q3}L) AS dev",
+        s"""CASE WHEN 2 * nrm2 < ${5 * q1 - 3 * q3}L THEN 'lo'
+           |     WHEN 2 * nrm2 > ${5 * q3 - 3 * q1}L THEN 'hi'
+           |     ELSE 'in' END AS flag""".stripMargin)
+      .orderBy(col("dev").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
   def queries: Map[String, Q] = Map(
+    "v09_norm_outliers" -> v09_norm_outliers,
     "v08_centroid_geometry" -> v08_centroid_geometry,
     "v01_search_topk" -> v01_search_topk,
     "v02_search_top1000" -> v02_search_top1000,
@@ -237,6 +289,33 @@ object VectorQueries {
     "v07_dim_calibration" -> v07_dim_calibration)
 
   def oracleSql: Map[String, String] = Map(
+    // v09: same micro² norms, same type-1 discrete quantiles (h03's
+    // rank formula), same cross-multiplied Tukey fences — DuckDB
+    // computes q1/q3 in-query where Spark folds the two driver scalars
+    "v09_norm_outliers" ->
+      """WITH nv AS (
+        |  SELECT vec_id,
+        |         list_sum(list_transform(embedding,
+        |           x -> floor(x::DOUBLE * 1000000.0 + 0.5)::BIGINT
+        |                * floor(x::DOUBLE * 1000000.0 + 0.5)::BIGINT))::BIGINT AS nrm2
+        |  FROM embeddings),
+        |stats AS (SELECT count(*) AS n FROM nv),
+        |census AS (SELECT nrm2, count(*) AS c FROM nv GROUP BY 1),
+        |cum AS (SELECT nrm2, sum(c) OVER (ORDER BY nrm2) AS cum FROM census),
+        |qs AS (
+        |  SELECT
+        |    min(CASE WHEN cum >= greatest(1, ceil(0.25 * (SELECT n FROM stats)))
+        |             THEN nrm2 END)::BIGINT AS q1,
+        |    min(CASE WHEN cum >= greatest(1, ceil(0.75 * (SELECT n FROM stats)))
+        |             THEN nrm2 END)::BIGINT AS q3
+        |  FROM cum)
+        |SELECT vec_id, nrm2,
+        |       abs(2 * nrm2 - (q1 + q3))::BIGINT AS dev,
+        |       CASE WHEN 2 * nrm2 < 5 * q1 - 3 * q3 THEN 'lo'
+        |            WHEN 2 * nrm2 > 5 * q3 - 3 * q1 THEN 'hi'
+        |            ELSE 'in' END AS flag
+        |FROM nv, qs
+        |ORDER BY dev DESC, vec_id ASC LIMIT 20""".stripMargin,
     // v08: same micro-mean centroids and compare-squares cosine; DuckDB
     // sums widen to HUGEINT which holds every bound above
     "v08_centroid_geometry" ->

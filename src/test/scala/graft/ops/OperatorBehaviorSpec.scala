@@ -1184,4 +1184,95 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(FixedLog.log2Cb(total) - FixedLog.log2Cb(maxTf._2) <
       FixedLog.log2Cb(total) - FixedLog.log2Cb(minTf._2))
   }
+
+  test("c08: a driver re-derivation of the synchronous rounds over n09's " +
+    "edges reproduces every label, seeds stay clamped to gold") {
+    val edges = AnnQueries.n09_knn_graph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val gold = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS lbl").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seeds = gold.filter(_._1 % 5 == 0)
+    var lab = seeds
+    for (_ <- 1 to CurationQueries.LP_ROUNDS) {
+      val votes = edges.flatMap { case (s0, n0) => lab.get(n0).map(l => (s0, l)) }
+        .groupBy(identity).map { case ((s0, l), v) => (s0, l, v.size) }
+      val inferred = votes.filter(_._1 % 5 != 0).groupBy(_._1).map {
+        case (s0, vs) => s0 -> vs.minBy(v => (-v._3, v._2))._2
+      }
+      lab = seeds ++ inferred
+    }
+    val got = CurationQueries.c08_label_propagation(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.map(g => g._1 -> g._2).toMap == lab)
+    got.filter(_._3 == 1).foreach { case (id, l, _) =>
+      assert(id % 5 == 0 && l == gold(id), s"seed $id drifted from gold")
+    }
+    got.filter(_._3 == 0).foreach { case (id, _, _) => assert(id % 5 != 0) }
+  }
+
+  test("v09: driver re-derivation of micro-norms, type-1 quantiles and " +
+    "Tukey fences reproduces the top-20 and every flag") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def mi(x: Float): Long = math.floor(x.toDouble * 1e6 + 0.5).toLong
+    val nrm2 = vecs.map { case (id, v) => id -> v.map(x => mi(x) * mi(x)).sum }
+    val sorted = nrm2.map(_._2).sorted
+    def q(p: Double): Long =
+      sorted(math.max(1, math.ceil(sorted.length * p).toLong).toInt - 1)
+    val (q1, q3) = (q(0.25), q(0.75))
+    val expected = nrm2.map { case (id, n2) =>
+      val flag = if (2 * n2 < 5 * q1 - 3 * q3) "lo"
+        else if (2 * n2 > 5 * q3 - 3 * q1) "hi" else "in"
+      (id, n2, math.abs(2 * n2 - (q1 + q3)), flag)
+    }.sortBy(t => (-t._3, t._1)).take(20).toSeq
+    val got = VectorQueries.v09_norm_outliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("e15: flagged spike days match a driver re-derivation of the " +
+    "trailing-7-day window, and every flag exceeds 1.5x its trail mean") {
+    val tds = graft.model.Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) div 86400000000 AS day_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, d0), v) => (t, d0, v.size.toLong) }.toSeq
+    val expected = tds.flatMap { case (t, d0, cnt) =>
+      val trailDays = tds.filter(x => x._1 == t && x._2 >= d0 - 7 && x._2 <= d0 - 1)
+      val trail = trailDays.map(_._3).sum
+      if (trailDays.size >= 3 && cnt * 14 > trail * 3)
+        Some((t, d0, cnt, trail, cnt * 7000 / trail))
+      else None
+    }.sortBy(x => (x._1, x._2))
+    val got = EventQueries.e15_volume_spikes(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    got.foreach { case (t, d0, cnt, trail, _) =>
+      assert(cnt.toDouble > 1.5 * trail / 7.0, s"($t,$d0) under threshold") }
+  }
+
+  test("m04: every clip plans at most FRAME_SAMPLES frames, strides cover " +
+    "the whole clip, and timestamps are exact frame/fps micros") {
+    val got = MediaQueries.m04_frame_sample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val meta = MediaQueries.m01_media_catalog(spark, sf)
+      .filter(col("kind") === "video").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.map(_._1).toSet == meta.keySet) // every video planned
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val fps = 24 + (id % 2) * 6
+      val frames = meta(id) % 1000 + fps
+      val stride = (frames + MediaQueries.FRAME_SAMPLES - 1) / MediaQueries.FRAME_SAMPLES
+      assert(rows.length <= MediaQueries.FRAME_SAMPLES, s"clip $id over budget")
+      assert(rows.map(_._2).sorted.toSeq == (0L until rows.length).toSeq)
+      rows.foreach { case (_, idx, frame, ts) =>
+        assert(frame == idx * stride && frame < frames, s"clip $id frame $frame")
+        assert(ts == frame * 1000000L / fps, s"clip $id ts $ts")
+      }
+      // the next stride step would fall off the clip: full coverage
+      assert(rows.map(_._3).max + stride >= frames, s"clip $id tail uncovered")
+    }
+  }
 }
