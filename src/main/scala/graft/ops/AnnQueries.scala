@@ -137,6 +137,38 @@ object AnnQueries {
     * need data-dependent literals; k-means refinement quality is covered
     * by AnnIndexSpec's recall curve instead). `+ 0.0` normalizes a
     * possible rounded -0.0 on both engines. */
+  /** n13: IVF CELL-BALANCE AUDIT — per-cell row counts with share and
+    * skew permille (1000 = perfectly balanced), over the SAVED artifact
+    * (n04's build→save→load discipline: the artifact, not a rebuild, is
+    * the source of truth). This is the index-health check an ANN
+    * deployment runs on every build: a hot cell means probes that hit
+    * it scan disproportionately (the latency tail), and an empty cell
+    * wastes a probe — the audit is what triggers a re-train or a cell
+    * split. n10 monitors recall drift; n13 monitors the OTHER failure
+    * axis, partition skew.
+    *
+    * Scale shape: one count aggregate over the cell-partitioned codes
+    * (map-side combine; the scan reads no vectors — column pruning to
+    * the partition key), then window arithmetic over ≤ cells rows. */
+  val n13_ivf_balance: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val idx = graft.ann.IvfIndex.build(emb, cells = 8, iters = 0)
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-n13-ivf-" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + s"-${ProcessHandle.current().pid()}"
+    idx.save(tmp)
+    idx.indexed.unpersist()
+    val loaded = graft.ann.IvfIndex.load(s, tmp)
+    val census = loaded.indexed
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    census
+      .withColumn("total", sum(col("n_vecs")).over(Window.partitionBy()))
+      .selectExpr("cell", "n_vecs",
+        "CAST(n_vecs * 1000 div total AS BIGINT) AS share_permille",
+        "CAST(n_vecs * 8000 div total AS BIGINT) AS skew_permille")
+      .orderBy(col("cell"))
+  }
+
   val n04_ivf_artifact: Q = (s, d) => {
     val q = VectorQueries.flagshipVec
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -477,6 +509,7 @@ object AnnQueries {
     "n01_ann_ivf" -> n01_ann_ivf,
     "n02_ann_lsh_topk" -> n02_ann_lsh_topk,
     "n03_ann_batch" -> n03_ann_batch,
+    "n13_ivf_balance" -> n13_ivf_balance,
     "n04_ivf_artifact" -> n04_ivf_artifact,
     "n05_quantized_rerank" -> n05_quantized_rerank,
     "n06_pq_adc" -> n06_pq_adc,
@@ -556,6 +589,18 @@ object AnnQueries {
            |FROM embeddings
            |WHERE $lshCond
            |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+      // n13: the shared IVF assignment CTEs (probe unused), then the
+      // same census + permille window arithmetic
+      "n13_ivf_balance" ->
+        s"""WITH ${ivfOracleCtes(qLit)},
+           |census AS (
+           |  SELECT cell::BIGINT AS cell, count(*)::BIGINT AS n_vecs
+           |  FROM assigned GROUP BY 1),
+           |tot AS (SELECT sum(n_vecs)::BIGINT AS total FROM census)
+           |SELECT cell, n_vecs,
+           |       (n_vecs * 1000 // total)::BIGINT AS share_permille,
+           |       (n_vecs * 8000 // total)::BIGINT AS skew_permille
+           |FROM census, tot ORDER BY cell""".stripMargin,
       "n04_ivf_artifact" ->
         s"""WITH ${ivfOracleCtes(qLit)}
            |SELECT vec_id,

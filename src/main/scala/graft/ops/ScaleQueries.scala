@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 
@@ -529,7 +530,41 @@ object ScaleQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Global sampling budget p10 allocates (rows of training data). */
+  val ALLOC_BUDGET = 1000L
+
+  /** p10: LARGEST-REMAINDER BUDGET ALLOCATION — split a global sampling
+    * budget across sources exactly proportionally: quotaᵢ =
+    * ⌊B·nᵢ/N⌋ plus one extra for the top-r remainders (r = B − Σ⌊·⌋;
+    * tie → source asc), the Hamilton apportionment every mixture
+    * sampler needs before it can draw ("sample 1000 docs matching the
+    * corpus mix" — naive rounding over- or under-spends the budget;
+    * largest-remainder is the unique exact-sum proportional rule).
+    * Σ quota = B by construction, all BIGINT.
+    *
+    * Scale shape: the corpus collapses to the source census in one
+    * map-side aggregate; every window (total, leftover, remainder rank)
+    * runs over census rows — sources are countable, the corpus is not.
+    * The quota table then broadcasts back onto p01's deterministic
+    * per-stratum sampler to actually draw. */
+  val p10_budget_alloc: Q = (s, d) => {
+    val wAll = Window.partitionBy()
+    Tables.documents(s, d)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("total", sum(col("n_docs")).over(wAll))
+      .selectExpr("source", "n_docs",
+        s"CAST($ALLOC_BUDGET * n_docs div total AS BIGINT) AS fl",
+        s"CAST(($ALLOC_BUDGET * n_docs) % total AS BIGINT) AS rem")
+      .withColumn("leftover", lit(ALLOC_BUDGET) - sum(col("fl")).over(wAll))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source").asc)))
+      .selectExpr("source", "n_docs",
+        "CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota")
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "p10_budget_alloc" -> p10_budget_alloc,
     "p09_dsir_weights" -> p09_dsir_weights,
     "p08_curriculum" -> p08_curriculum,
     "h05_countmin" -> h05_countmin,
@@ -550,6 +585,27 @@ object ScaleQueries {
     "p06_shuffle_order" -> p06_shuffle_order)
 
   def oracleSql: Map[String, String] = Map(
+    // p10: same census, same floor/remainder arithmetic, same
+    // (rem DESC, source ASC) extra-seat ranking
+    "p10_budget_alloc" ->
+      s"""WITH census AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs
+         |  FROM documents GROUP BY source),
+         |t AS (
+         |  SELECT source, n_docs, sum(n_docs) OVER () AS total FROM census),
+         |f AS (
+         |  SELECT source, n_docs,
+         |         ($ALLOC_BUDGET * n_docs // total)::BIGINT AS fl,
+         |         (($ALLOC_BUDGET * n_docs) % total)::BIGINT AS rem
+         |  FROM t),
+         |g AS (
+         |  SELECT source, n_docs, fl, rem,
+         |         $ALLOC_BUDGET - sum(fl) OVER () AS leftover,
+         |         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+         |  FROM f)
+         |SELECT source, n_docs,
+         |       (fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS quota
+         |FROM g ORDER BY source""".stripMargin,
     // p09: the same four FixedLog terms and the same sign-CASE rounding;
     // terms absent from the target vocab coalesce to weight 0
     "p09_dsir_weights" ->

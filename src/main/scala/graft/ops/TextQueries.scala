@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 
@@ -614,7 +615,56 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Top-rank cut for the Zipf fit — the head of the distribution is
+    * what the law models; the long unigram tail (tf = 1) is exactly the
+    * part that deviates. */
+  val ZIPF_TOP_K = 1000L
+
+  /** t16: ZIPF SLOPE FIT — least-squares slope (and fit quality) of
+    * log tf vs log rank over the top-[[ZIPF_TOP_K]] vocabulary terms,
+    * the corpus-health scalar (natural text ≈ −1; template spam and
+    * boilerplate-heavy crawls flatten or steepen it). The logs are
+    * [[FixedLog]] centibits, the regression runs entirely on BIGINT
+    * sums (K ≤ 10³, cb ≤ ~4·10³ ⇒ K·Σxy ≤ 2·10¹³), and slope /
+    * R² land as sign-aware half-away-from-zero milli units — the
+    * numerators square into DECIMAL(38)/HUGEINT (v08's widening), so
+    * both engines compute identical integers end to end.
+    *
+    * Scale shape: the corpus collapses to the vocabulary in the first
+    * aggregate (t10's property); the rank window and the regression
+    * aggregate run over vocab rows, and the top-K cut is
+    * WindowGroupLimit-prunable. Output is ONE row. */
+  val t16_zipf_fit: Q = (s, d) => {
+    val vocab = Tables.documents(s, d)
+      .selectExpr("explode(split(text, ' ')) AS term")
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val ranked = vocab
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("tf").desc, col("term").asc)))
+      .filter(col("r") <= ZIPF_TOP_K)
+      .selectExpr(s"CAST(${FixedLog.sparkLog2Cb("r")} AS BIGINT) AS x",
+        s"CAST(${FixedLog.sparkLog2Cb("tf")} AS BIGINT) AS y")
+    ranked
+      .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      .selectExpr("k AS n_terms",
+        "k * sxy - sx * sy AS num", "k * sxx - sx * sx AS denx",
+        "k * syy - sy * sy AS deny")
+      .selectExpr("n_terms",
+        """CASE WHEN num >= 0
+          |  THEN CAST((2000 * num + denx) div (2 * denx) AS BIGINT)
+          |  ELSE -CAST((2000 * -num + denx) div (2 * denx) AS BIGINT)
+          |END AS slope_milli""".stripMargin,
+        """CAST((2000 * (CAST(num AS DECIMAL(38,0)) * num)
+          |      + CAST(denx AS DECIMAL(38,0)) * deny)
+          |     div (2 * CAST(denx AS DECIMAL(38,0)) * deny) AS BIGINT)
+          |AS r2_milli""".stripMargin)
+  }
+
   def queries: Map[String, Q] = Map(
+    "t16_zipf_fit" -> t16_zipf_fit,
     "t15_bpe_apply" -> t15_bpe_apply,
     "t14_lm_score" -> t14_lm_score,
     "t13_count_of_counts" -> t13_count_of_counts,
@@ -674,6 +724,39 @@ object TextQueries {
     Map(
       // t14: identical fixed-point centibit arithmetic — FixedLog splices
       // the SAME 256-entry constant table into both engines
+      // t16: same vocab census, same (tf DESC, term ASC) rank, same
+      // FixedLog centibit regression; numerator squares widen to
+      // HUGEINT where Spark widens to DECIMAL(38)
+      "t16_zipf_fit" ->
+        s"""WITH vocab AS (
+           |  SELECT term, count(*)::BIGINT AS tf
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+           |        FROM documents)
+           |  WHERE term <> '' GROUP BY term),
+           |ranked AS (
+           |  SELECT row_number() OVER (ORDER BY tf DESC, term ASC) AS r, tf
+           |  FROM vocab QUALIFY r <= $ZIPF_TOP_K),
+           |xy AS (
+           |  SELECT ${FixedLog.duckLog2Cb("r")}::BIGINT AS x,
+           |         ${FixedLog.duckLog2Cb("tf")}::BIGINT AS y
+           |  FROM ranked),
+           |s AS (
+           |  SELECT count(*)::BIGINT AS k, sum(x)::BIGINT AS sx,
+           |         sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+           |         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+           |  FROM xy),
+           |n AS (
+           |  SELECT k AS n_terms, k * sxy - sx * sy AS num,
+           |         k * sxx - sx * sx AS denx, k * syy - sy * sy AS deny
+           |  FROM s)
+           |SELECT n_terms,
+           |       CASE WHEN num >= 0
+           |         THEN ((2000 * num + denx) // (2 * denx))::BIGINT
+           |         ELSE -((2000 * -num + denx) // (2 * denx))::BIGINT
+           |       END AS slope_milli,
+           |       ((2000 * (num::HUGEINT * num) + denx::HUGEINT * deny)
+           |        // (2 * denx::HUGEINT * deny))::BIGINT AS r2_milli
+           |FROM n""".stripMargin,
       "t14_lm_score" ->
         s"""WITH dt AS (
            |  SELECT doc_id, term, count(*)::BIGINT AS k

@@ -1275,4 +1275,60 @@ class OperatorBehaviorSpec extends SparkSpec {
       assert(rows.map(_._3).max + stride >= frames, s"clip $id tail uncovered")
     }
   }
+
+  test("t16: driver re-derivation of the centibit regression reproduces " +
+    "slope and R2; the law holds (negative slope, sane fit)") {
+    val tf = scala.collection.mutable.Map.empty[String, Long]
+    spark.read.parquet(s"$sf/documents.parquet").select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .foreach(t => tf(t) = tf.getOrElse(t, 0L) + 1)
+    val ranked = tf.toSeq.sortBy { case (t, f) => (-f, t) }
+      .take(TextQueries.ZIPF_TOP_K.toInt).zipWithIndex
+      .map { case ((_, f), i) =>
+        (FixedLog.log2Cb(i + 1L), FixedLog.log2Cb(f)) }
+    val k = ranked.length.toLong
+    val (sx, sy) = (ranked.map(_._1).sum, ranked.map(_._2).sum)
+    val sxy = ranked.map(p => p._1 * p._2).sum
+    val (sxx, syy) = (ranked.map(p => p._1 * p._1).sum, ranked.map(p => p._2 * p._2).sum)
+    val (num, denx, deny) = (k * sxy - sx * sy, k * sxx - sx * sx, k * syy - sy * sy)
+    val slope = if (num >= 0) (2000 * num + denx) / (2 * denx)
+      else -((2000 * -num + denx) / (2 * denx))
+    val r2 = ((2000 * BigInt(num) * num + BigInt(denx) * deny)
+      / (2 * BigInt(denx) * deny)).toLong
+    val row = TextQueries.t16_zipf_fit(spark, sf).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == (k, slope, r2))
+    assert(slope < 0, "Zipf slope must be negative")
+    assert(r2 >= 0 && r2 <= 1000, "R2 is a [0,1] ratio in milli units")
+  }
+
+  test("n13: the cell census is exhaustive and exclusive, and the " +
+    "permille columns are exact integer shares of the corpus") {
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val got = AnnQueries.n13_ivf_balance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).sum == n, "every vector in exactly one cell")
+    assert(got.map(_._1).distinct.length == got.length)
+    got.foreach { case (cell, nv, share, skew) =>
+      assert(cell >= 0 && cell < 8 && nv > 0)
+      assert(share == nv * 1000 / n && skew == nv * 8000 / n, s"cell $cell")
+    }
+  }
+
+  test("p10: quotas are Hamilton-exact — sum to the budget, each within " +
+    "1 of proportional, extra seats to largest remainders") {
+    val census = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val n = census.map(_._2).sum
+    val b = ScaleQueries.ALLOC_BUDGET
+    val fl = census.map { case (s0, c) => (s0, c, b * c / n, b * c % n) }
+    val leftover = b - fl.map(_._3).sum
+    val extra = fl.sortBy(x => (-x._4, x._1)).take(leftover.toInt).map(_._1).toSet
+    val expected = fl.map { case (s0, c, f, _) =>
+      (s0, c, f + (if (extra(s0)) 1L else 0L)) }.sortBy(_._1).toSeq
+    val got = ScaleQueries.p10_budget_alloc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.map(_._3).sum == b, "budget spent exactly")
+  }
 }
