@@ -137,6 +137,48 @@ object AnnQueries {
     * need data-dependent literals; k-means refinement quality is covered
     * by AnnIndexSpec's recall curve instead). `+ 0.0` normalizes a
     * possible rounded -0.0 on both engines. */
+  /** n14: k-NN GRAPH DEGREE AUDIT — the in-degree spectrum of n09's
+    * directed top-3 graph with per-class reciprocity permille. Hubness
+    * (a few vectors appearing in EVERYONE's neighbor list) is the
+    * canonical pathology of high-dimensional k-NN graphs — hubs poison
+    * label propagation (c08 floods their label) and semantic dedup
+    * (c07 fuses unrelated clusters through them), and the hub signature
+    * is exactly what this audit surfaces: high-in-degree classes with
+    * LOW reciprocity (everyone points at the hub; the hub points back
+    * at almost no one). Node universe = nodes present in the graph
+    * (src ∪ nbr); isolated vectors have no graph to audit.
+    *
+    * Scale shape: edges are ≤ 3·N thin rows; degree censuses are
+    * map-side-combinable aggregates; the reciprocity join is an
+    * equi-join of the edge set against its own reversal (distinct pairs
+    * ⇒ multiplicity 1); the final histogram is degree-class-sized. */
+  val n14_knn_degree_audit: Q = (s, d) => {
+    val edges = n09_knn_graph(s, d).select(col("src"), col("nbr")).cache()
+    val nodes = edges.select(col("src").as("vec_id"))
+      .union(edges.select(col("nbr").as("vec_id"))).distinct()
+    val outd = edges.groupBy(col("src").as("vec_id"))
+      .agg(count(lit(1)).as("outdeg"))
+    val ind = edges.groupBy(col("nbr").as("vec_id"))
+      .agg(count(lit(1)).as("indeg"))
+    val rec = edges
+      .join(edges.select(col("nbr").as("src"), col("src").as("nbr")),
+        Seq("src", "nbr"))
+      .groupBy(col("src").as("vec_id")).agg(count(lit(1)).as("rec_out"))
+    nodes
+      .join(outd, Seq("vec_id"), "left")
+      .join(ind, Seq("vec_id"), "left")
+      .join(rec, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("outdeg", "indeg", "rec_out"))
+      .groupBy(col("indeg"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("outdeg")).as("out_edges"),
+        sum(col("rec_out")).as("rec_edges"))
+      .selectExpr("indeg", "n_nodes", "out_edges", "rec_edges",
+        """CASE WHEN out_edges = 0 THEN CAST(0 AS BIGINT)
+          |     ELSE CAST(rec_edges * 1000 div out_edges AS BIGINT)
+          |END AS recip_permille""".stripMargin)
+      .orderBy(col("indeg"))
+  }
+
   /** n13: IVF CELL-BALANCE AUDIT — per-cell row counts with share and
     * skew permille (1000 = perfectly balanced), over the SAVED artifact
     * (n04's build→save→load discipline: the artifact, not a rebuild, is
@@ -509,6 +551,7 @@ object AnnQueries {
     "n01_ann_ivf" -> n01_ann_ivf,
     "n02_ann_lsh_topk" -> n02_ann_lsh_topk,
     "n03_ann_batch" -> n03_ann_batch,
+    "n14_knn_degree_audit" -> n14_knn_degree_audit,
     "n13_ivf_balance" -> n13_ivf_balance,
     "n04_ivf_artifact" -> n04_ivf_artifact,
     "n05_quantized_rerank" -> n05_quantized_rerank,
@@ -589,6 +632,33 @@ object AnnQueries {
            |FROM embeddings
            |WHERE $lshCond
            |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+      // n14: n09's edge CTEs + reversal equi-join reciprocity + the
+      // per-in-degree histogram
+      "n14_knn_degree_audit" ->
+        s"""WITH $knnOracleCtes,
+           |ed AS MATERIALIZED (SELECT src, nbr FROM ranked WHERE rn <= 3),
+           |nodes AS (
+           |  SELECT DISTINCT vec_id FROM (
+           |    SELECT src AS vec_id FROM ed
+           |    UNION ALL SELECT nbr FROM ed)),
+           |outd AS (SELECT src AS vec_id, count(*) AS outdeg FROM ed GROUP BY 1),
+           |ind AS (SELECT nbr AS vec_id, count(*) AS indeg FROM ed GROUP BY 1),
+           |rec AS (
+           |  SELECT e.src AS vec_id, count(*) AS rec_out
+           |  FROM ed e JOIN ed r ON r.src = e.nbr AND r.nbr = e.src
+           |  GROUP BY 1),
+           |node AS (
+           |  SELECT n.vec_id, coalesce(outdeg, 0) AS outdeg,
+           |         coalesce(indeg, 0) AS indeg, coalesce(rec_out, 0) AS rec_out
+           |  FROM nodes n LEFT JOIN outd USING (vec_id)
+           |       LEFT JOIN ind USING (vec_id) LEFT JOIN rec USING (vec_id))
+           |SELECT indeg::BIGINT AS indeg, count(*)::BIGINT AS n_nodes,
+           |       sum(outdeg)::BIGINT AS out_edges,
+           |       sum(rec_out)::BIGINT AS rec_edges,
+           |       CASE WHEN sum(outdeg) = 0 THEN 0
+           |            ELSE (sum(rec_out) * 1000 // sum(outdeg))::BIGINT
+           |       END AS recip_permille
+           |FROM node GROUP BY 1 ORDER BY indeg""".stripMargin,
       // n13: the shared IVF assignment CTEs (probe unused), then the
       // same census + permille window arithmetic
       "n13_ivf_balance" ->

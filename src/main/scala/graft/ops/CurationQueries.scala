@@ -522,7 +522,29 @@ object CurationQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** c09: CLUSTER-SIZE SPECTRUM — t13's count-of-counts applied to
+    * c02's near-dup clusters: for every cluster size k, how many
+    * clusters and how many docs they hold. This is the dedup-health
+    * audit a pipeline reads before acting on cluster output: a heavy
+    * tail of giant clusters means template families / mirror explosions
+    * (act: keep-one-per-cluster), a spectrum hugging k=2 means routine
+    * near-dups — and a sudden shape change between crawls is the
+    * earliest signal the dedup thresholds drifted.
+    *
+    * Scale shape: clusters are already thin (doc_id, cluster_id) rows;
+    * the spectrum is two successive tiny aggregates (cluster census →
+    * size census), both map-side combinable. */
+  val c09_cluster_spectrum: Q = (s, d) => {
+    c02_dedup_clusters(s, d)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+      .selectExpr("csize", "n_clusters",
+        "CAST(csize * n_clusters AS BIGINT) AS n_docs")
+      .orderBy(col("csize"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "c09_cluster_spectrum" -> c09_cluster_spectrum,
     "c08_label_propagation" -> c08_label_propagation,
     "c01_curation_pipeline" -> c01_curation_pipeline,
     "c02_dedup_clusters" -> c02_dedup_clusters,
@@ -738,6 +760,17 @@ object CurationQueries {
          |near AS (${DedupQueries.d02OraclePairSelect}),
          |$duckClosureCtes
          |SELECT doc_id, lbl AS cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
+    // c09: c02's closure CTEs (shared definition), then the two-level
+    // census — cluster sizes, then the size spectrum
+    "c09_cluster_spectrum" ->
+      s"""WITH ${DedupQueries.d02OracleCtes},
+         |near AS (${DedupQueries.d02OraclePairSelect}),
+         |$duckClosureCtes,
+         |sizes AS (
+         |  SELECT lbl, count(*)::BIGINT AS csize FROM clusters GROUP BY lbl)
+         |SELECT csize, count(*)::BIGINT AS n_clusters,
+         |       (csize * count(*))::BIGINT AS n_docs
+         |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
     // c06: c02's pointer-doubling cluster CTEs (ONE shared definition,
     // duckClosureCtes) + c01's quality CTE, then one first_value window
     // per cluster (default frame starts at the partition head on both

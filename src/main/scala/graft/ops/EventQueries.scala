@@ -383,7 +383,45 @@ object EventQueries {
       .orderBy(col("event_type"), col("day_id"))
   }
 
+  /** e16: INTER-EVENT GAP QUANTILES — exact p50/p90/p99 of the
+    * time-between-consecutive-events per (user, type) stream, reported
+    * per event type: the latency-distribution profile behind session
+    * timeout choice (e01's 1800 s is exactly a p-quantile decision),
+    * cadence monitoring, and bot detection (machine traffic collapses
+    * p50 to near zero). Gaps are BIGINT epoch-micros differences from
+    * ONE lag window; quantiles are h03's discrete order statistic
+    * (value at rank ⌈q·n⌉) — no engine-divergent interpolation, tails
+    * included exactly (p99 of a skewed gap distribution is where
+    * approx_percentile error concentrates).
+    *
+    * Scale shape: one (user, type)-keyed window pass produces the gap
+    * stream (thin rows); the rank windows shuffle once per event type —
+    * at 100 TB you run the mergeable sketch first and THIS exact pass
+    * only on the types that matter (h01/h02's pairing). */
+  val e16_gap_quantiles: Q = (s, d) => {
+    val wSeq = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val gaps = Tables.events(s, d)
+      .selectExpr("user_id", "event_type", "event_id", "unix_micros(ts) AS us")
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(wSeq))
+      .filter(col("gap").isNotNull)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("gap").asc, col("event_id").asc)
+    val wAll = Window.partitionBy(col("event_type"))
+    def pick(q: String, out: String) =
+      expr(s"max(CASE WHEN rn = greatest(1, CAST(ceil(n * $q) AS BIGINT)) " +
+        s"THEN gap END)").as(out)
+    gaps
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), pick("0.5D", "p50_us"),
+        pick("0.9D", "p90_us"), pick("0.99D", "p99_us"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "e16_gap_quantiles" -> e16_gap_quantiles,
     "e15_volume_spikes" -> e15_volume_spikes,
     "e14_rolling_distinct" -> e14_rolling_distinct,
     "e13_nearest_event" -> e13_nearest_event,
@@ -401,6 +439,27 @@ object EventQueries {
     "e11_transitions" -> e11_transitions)
 
   def oracleSql: Map[String, String] = Map(
+    // e16: same lag-window gap stream, same ⌈q·n⌉ discrete ranks (h03)
+    "e16_gap_quantiles" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, event_id,
+        |         us - lag(us) OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY us, event_id) AS gap
+        |  FROM ev),
+        |r AS (
+        |  SELECT event_type, gap,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY gap, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM g WHERE gap IS NOT NULL)
+        |SELECT event_type, count(*)::BIGINT AS n_gaps,
+        |       max(CASE WHEN rn = greatest(1, ceil(n * 0.5)) THEN gap END)::BIGINT AS p50_us,
+        |       max(CASE WHEN rn = greatest(1, ceil(n * 0.9)) THEN gap END)::BIGINT AS p90_us,
+        |       max(CASE WHEN rn = greatest(1, ceil(n * 0.99)) THEN gap END)::BIGINT AS p99_us
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     // e15: same epoch-day buckets, same RANGE frame, same
     // cross-multiplied flag and permille ratio
     "e15_volume_spikes" ->

@@ -110,12 +110,55 @@ object IngestQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-host byte budget per politeness tick (i04). */
+  val HOST_TICK_BYTES = 8192L
+
+  /** i04: CRAWL POLITENESS SCHEDULE — assign every fetch a per-host
+    * sequence number and a byte-budgeted politeness tick: a host serves
+    * at most [[HOST_TICK_BYTES]] bytes per tick, and a fetch runs in
+    * the tick its FIRST byte falls in (m02's prefix-sum shard
+    * arithmetic applied to crawl scheduling — the same first-byte rule,
+    * a time axis instead of a shard axis). This is the pre-fetch plan a
+    * polite crawler materializes so no origin is hammered regardless of
+    * how many workers drain the frontier: workers pull (tick, host)
+    * groups in order. Hosts stand in as `source` (the catalog
+    * discipline); bytes as n_chars.
+    *
+    * Scale shape: ONE host-keyed window shuffle carrying (host, doc_id,
+    * bytes) — the frontier is thin; a pathologically giant host
+    * sub-shards the stream key like p04/m02 (prefix sums are
+    * associative given per-range offsets). */
+  val i04_fetch_schedule: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("host")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .selectExpr("source AS host", "doc_id",
+        "CAST(n_chars AS BIGINT) AS bytes")
+      .withColumn("fetch_seq", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("bytes")).over(w))
+      .selectExpr("host", "doc_id", "bytes", "fetch_seq",
+        s"CAST((cum - bytes) div $HOST_TICK_BYTES AS BIGINT) AS tick")
+      .orderBy(col("host"), col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "i04_fetch_schedule" -> i04_fetch_schedule,
     "i03_snapshot_diff" -> i03_snapshot_diff,
     "i01_url_pipeline" -> i01_url_pipeline,
     "i02_url_canonical_dedup" -> i02_url_canonical_dedup)
 
   def oracleSql: Map[String, String] = Map(
+    // i04: same host window, same first-byte tick arithmetic
+    "i04_fetch_schedule" ->
+      s"""WITH f AS (
+         |  SELECT source AS host, doc_id, n_chars::BIGINT AS bytes,
+         |         (row_number() OVER w)::BIGINT AS fetch_seq,
+         |         sum(n_chars) OVER w AS cum
+         |  FROM documents
+         |  WINDOW w AS (PARTITION BY source ORDER BY doc_id))
+         |SELECT host, doc_id, bytes, fetch_seq,
+         |       ((cum - bytes) // $HOST_TICK_BYTES)::BIGINT AS tick
+         |FROM f ORDER BY host, doc_id""".stripMargin,
     // i03: same snapshot views, same digest compare
     "i03_snapshot_diff" ->
       """WITH old AS (

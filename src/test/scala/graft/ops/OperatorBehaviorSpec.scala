@@ -1331,4 +1331,82 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(got == expected)
     assert(got.map(_._3).sum == b, "budget spent exactly")
   }
+
+  test("c09: the spectrum conserves c02's doc mass, and no cluster is " +
+    "smaller than a pair") {
+    val clusters = CurationQueries.c02_dedup_clusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = clusters.groupBy(_._2).map(_._2.length.toLong)
+    val expected = sizes.groupBy(identity)
+      .map { case (k, v) => (k, v.size.toLong, k * v.size) }
+      .toSeq.sortBy(_._1)
+    val got = CurationQueries.c09_cluster_spectrum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.map(_._3).sum == clusters.length, "doc mass conserved")
+    assert(got.head._1 >= 2, "clusters come from pairs")
+  }
+
+  test("n14: degree histogram matches a driver re-derivation, masses " +
+    "add up, and reciprocity is a valid permille") {
+    val edges = AnnQueries.n09_knn_graph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val byNode = nodes.toSeq.map { v =>
+      val outE = edges.filter(_._1 == v)
+      (edges.count(_._2 == v).toLong, outE.size.toLong,
+        outE.count(e => edges.contains((e._2, e._1))).toLong)
+    }
+    val expected = byNode.groupBy(_._1).map { case (ind, vs) =>
+      val (oe, re) = (vs.map(_._2).sum, vs.map(_._3).sum)
+      (ind, vs.size.toLong, oe, re, if (oe == 0) 0L else re * 1000 / oe)
+    }.toSeq.sortBy(_._1)
+    val got = AnnQueries.n14_knn_degree_audit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(got.map(_._2).sum == nodes.size && got.map(_._3).sum == edges.size)
+    got.foreach(g => assert(g._5 >= 0 && g._5 <= 1000))
+  }
+
+  test("i04: every fetch's first byte lands inside its tick's budget " +
+    "window, and sequences are dense per host") {
+    val rows = IngestQueries.i04_fetch_schedule(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (host, hs) =>
+      val ordered = hs.sortBy(_._2)
+      assert(ordered.map(_._4).toSeq == (1L to hs.length).toSeq,
+        s"host $host seq not dense")
+      var cum = 0L
+      ordered.foreach { case (_, id, bytes, _, tick) =>
+        assert(tick == cum / IngestQueries.HOST_TICK_BYTES,
+          s"host $host doc $id tick")
+        assert(cum < (tick + 1) * IngestQueries.HOST_TICK_BYTES)
+        cum += bytes
+      }
+    }
+  }
+
+  test("e16: gap quantiles match a driver re-derivation and are " +
+    "monotone p50 <= p90 <= p99") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "event_id", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gaps = ev.groupBy(e => (e._1, e._2)).toSeq.flatMap { case (_, es) =>
+      val s0 = es.sortBy(e => (e._4, e._3))
+      s0.zip(s0.drop(1)).map { case (a, b) => (b._2, b._3, b._4 - a._4) }
+    }
+    val expected = gaps.groupBy(_._1).map { case (t, gs) =>
+      val sortedG = gs.sortBy(g => (g._3, g._2)).map(_._3)
+      def pick(q: Double) =
+        sortedG(math.max(1, math.ceil(sortedG.length * q).toLong).toInt - 1)
+      (t, gs.size.toLong, pick(0.5), pick(0.9), pick(0.99))
+    }.toSeq.sortBy(_._1)
+    val gotRows = EventQueries.e16_gap_quantiles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(gotRows == expected)
+    gotRows.foreach(g => assert(g._3 <= g._4 && g._4 <= g._5, s"${g._1}"))
+  }
 }
