@@ -107,6 +107,48 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Exact micro²-unit squared norm: Σ mᵢ² with mᵢ = ⌊xᵢ·10⁶ + 0.5⌋ in
+    * BIGINT — v09's norm kernel as a native expression (a higher-order
+    * `aggregate` lambda is interpreted per ELEMENT, the documented #1
+    * per-row cost at scale; this is one generated loop inside
+    * WholeStageCodegen). Arithmetic is digit-identical to the oracle's
+    * `floor(x·1e6 + 0.5)::BIGINT` per-element mapping (v07's micro
+    * discipline): floor reads the binary double the same way on every
+    * engine. 64-dim bound: |m| ≤ 2·10⁶ ⇒ Σ m² ≤ 2.6·10¹⁴ ≪ 2⁶³. */
+  case class VecNrm2Micro(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "vec_nrm2_micro"
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      var s = 0L
+      var i = 0
+      while (i < x.numElements()) {
+        val m = math.floor(x.getFloat(i).toDouble * 1000000.0 + 0.5).toLong
+        s += m * m; i += 1
+      }
+      s
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+        val m = ctx.freshName("m")
+        s"""long $acc = 0L;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  long $m = (long) java.lang.Math.floor(
+           |    (double) $a.getFloat($i) * 1000000.0 + 0.5);
+           |  $acc += $m * $m;
+           |}
+           |${ev.value} = $acc;""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class VecCosine(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[DataType] =
@@ -568,6 +610,9 @@ object VectorExpressions {
     (FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
       arity("vec_cosine", 2)(args => VecCosine(args(0), args(1)))),
+    (FunctionIdentifier("vec_nrm2_micro"),
+      new ExpressionInfo(classOf[VecNrm2Micro].getName, "vec_nrm2_micro"),
+      arity("vec_nrm2_micro", 1)(args => VecNrm2Micro(args(0)))),
     (FunctionIdentifier("vec_decode"),
       new ExpressionInfo(classOf[VecDecode].getName, "vec_decode"),
       arity("vec_decode", 1)(args => VecDecode(args(0)))),

@@ -161,13 +161,15 @@ object AnnQueries {
     val ind = edges.groupBy(col("nbr").as("vec_id"))
       .agg(count(lit(1)).as("indeg"))
     val rec = edges
-      .join(edges.select(col("nbr").as("src"), col("src").as("nbr")),
-        Seq("src", "nbr"))
+      .join(edges.select(col("nbr").as("src"), col("src").as("nbr"))
+        .hint("SHUFFLE_HASH"), Seq("src", "nbr"))
       .groupBy(col("src").as("vec_id")).agg(count(lit(1)).as("rec_out"))
+    // SHUFFLE_HASH: the degree tables are node-sized (too big to
+    // broadcast at corpus scale) but thin — hashing beats sort-merge
     nodes
-      .join(outd, Seq("vec_id"), "left")
-      .join(ind, Seq("vec_id"), "left")
-      .join(rec, Seq("vec_id"), "left")
+      .join(outd.hint("SHUFFLE_HASH"), Seq("vec_id"), "left")
+      .join(ind.hint("SHUFFLE_HASH"), Seq("vec_id"), "left")
+      .join(rec.hint("SHUFFLE_HASH"), Seq("vec_id"), "left")
       .na.fill(0L, Seq("outdeg", "indeg", "rec_out"))
       .groupBy(col("indeg"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("outdeg")).as("out_edges"),

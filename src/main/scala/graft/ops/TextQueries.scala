@@ -639,10 +639,15 @@ object TextQueries {
       .selectExpr("explode(split(text, ' ')) AS term")
       .filter(col("term") =!= "")
       .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    // top-K via orderBy+limit = TakeOrderedAndProject (k-bounded heap
+    // per partition + k-bounded driver merge); the rank window then
+    // runs over ≤ K rows. A rank-filter window would sort the WHOLE
+    // vocab in one partition (WindowGroupLimit does not fire on
+    // empty-partition windows).
     val ranked = vocab
+      .orderBy(col("tf").desc, col("term").asc).limit(ZIPF_TOP_K.toInt)
       .withColumn("r", row_number().over(
         Window.orderBy(col("tf").desc, col("term").asc)))
-      .filter(col("r") <= ZIPF_TOP_K)
       .selectExpr(s"CAST(${FixedLog.sparkLog2Cb("r")} AS BIGINT) AS x",
         s"CAST(${FixedLog.sparkLog2Cb("tf")} AS BIGINT) AS y")
     ranked

@@ -228,27 +228,20 @@ object VectorQueries {
       .limit(20)
   }
 
-  /** The exact squared-norm in micro² units as a Spark SQL fragment —
-    * mi = floor(x·10⁶ + 0.5) per dim (v07's micro discipline), Σ mi²
-    * in BIGINT (64-dim bound 6.4·10¹³). A higher-order `aggregate`, so
-    * the scan is narrow: no explode, no shuffle. */
-  private val nrm2Spark =
-    "aggregate(embedding, CAST(0 AS BIGINT), (acc, x) -> acc" +
-      " + CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT)" +
-      " * CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))"
-
   /** v09: EMBEDDING-NORM OUTLIER AUDIT — the top-20 vectors by distance
     * from the corpus' norm distribution center, each flagged against the
     * Tukey IQR fence (lo/hi/in): the curation check that catches broken
     * encoder output (zero vectors, exploding activations) before
     * training. Everything is exact integer arithmetic: norms are BIGINT
-    * micro² (no sqrt — comparisons are monotone in the square, the v08
-    * compare-squares discipline), quantiles are h03's discrete order
-    * statistic (value at rank ceil(p·n), type-1), and the 1.5·IQR fence
-    * is cross-multiplied (2·nrm2 < 5·q1 − 3·q3 / > 5·q3 − 3·q1) so no
-    * fraction ever materializes.
+    * micro² via the native codegen `vec_nrm2_micro` (no sqrt —
+    * comparisons are monotone in the square, the v08 compare-squares
+    * discipline; a higher-order lambda here would be interpreted per
+    * element, the documented #1 per-row cost), quantiles are h03's
+    * discrete order statistic (value at rank ceil(p·n), type-1), and
+    * the 1.5·IQR fence is cross-multiplied (2·nrm2 < 5·q1 − 3·q3 /
+    * > 5·q3 − 3·q1) so no fraction ever materializes.
     *
-    * Scale shape: the norm pass is one narrow zero-shuffle scan; the
+    * Scale shape: the norm pass is one narrow zero-shuffle codegen scan;
     * quantile runs over the norm CENSUS (distinct nrm2 → count, one
     * thin aggregate) with a census-sized cumulative window; q1/q3 come
     * back as two bounded driver scalars (p09's scalar-subquery shape)
@@ -257,8 +250,10 @@ object VectorQueries {
     * degenerates, swap the pick for a 2-round distributed binary search;
     * the fence arithmetic is unchanged. */
   val v09_norm_outliers: Q = (s, d) => {
+    VectorOps.ensureRegistered(s)
     val norms = Tables.embeddings(s, d)
-      .selectExpr("vec_id", s"$nrm2Spark AS nrm2").cache()
+      .select(col("vec_id"),
+        VectorOps.nrm2MicroNative(col("embedding")).as("nrm2")).cache()
     val n = norms.count()
     val census = norms.groupBy(col("nrm2")).agg(count(lit(1)).as("c"))
     val cum = census

@@ -186,6 +186,9 @@ object VectorOps {
     call_function("vec_cosine", a, b)
   def normColNative(a: Column): Column =
     call_function("vec_norm", a)
+  /** Codegen exact micro² squared norm (vec_nrm2_micro — v09's kernel). */
+  def nrm2MicroNative(a: Column): Column =
+    call_function("vec_nrm2_micro", a)
 
   /** Reference BLOB storage codec (`index_wikimedia.py:64`,
     * `rclip_server.py:215`): dim little-endian float32 words. */

@@ -32,6 +32,28 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("vec_nrm2_micro matches the floor-micro driver arithmetic and the " +
+    "interpreted HOF form exactly") {
+    import spark.implicits._
+    val vs = Seq.fill(50)(vec(64)) :+ Array(0.0f, -0.0f, 1.5f) :+ Array[Float]()
+    def ref(v: Array[Float]): Long =
+      v.map(x => { val m = math.floor(x.toDouble * 1e6 + 0.5).toLong; m * m }).sum
+    val hof = "aggregate(v, CAST(0 AS BIGINT), (acc, x) -> acc" +
+      " + CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT)" +
+      " * CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))"
+    val rows = vs.map(Tuple1(_)).toDF("v")
+      .select(VectorOps.nrm2MicroNative(col("v")).as("n"),
+        expr(s"$hof AS h")).collect()
+    rows.zip(vs).foreach { case (r, v) =>
+      assert(r.getLong(0) == ref(v) && r.getLong(1) == ref(v))
+    }
+    // interpreted eval agrees with codegen path
+    val e = VectorExpressions.VecNrm2Micro(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(vs.head,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(e.eval(null).asInstanceOf[Long] == ref(vs.head))
+  }
+
   test("null and length-mismatch inputs behave") {
     import spark.implicits._
     val df = Seq(

@@ -21,6 +21,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"flagship scored scan must not shuffle:\n$p")
   }
 
+  test("v09: norm scan is the codegen kernel — no explode, no shuffle " +
+    "before the census aggregate") {
+    val p = planOf(VectorQueries.v09_norm_outliers)
+    assert(p.contains("vec_nrm2_micro"), p)
+    assert(!p.contains("Generate"), s"no posexplode in the norm pass:\n$p")
+  }
+
+  test("e16: gap stream + per-type ranks = exactly two hash exchanges") {
+    val p = planOf(EventQueries.e16_gap_quantiles)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("i04: one host-keyed exchange feeds both window expressions") {
+    val p = planOf(IngestQueries.i04_fetch_schedule)
+    assert("Exchange hashpartitioning\\(host".r.findAllIn(p).length == 1, p)
+    assert("Window ".r.findAllIn(p).length == 1,
+      s"fetch_seq and cum must share ONE window operator:\n$p")
+  }
+
+  test("t16: the top-K cut is a TakeOrdered, so the rank window sees " +
+    "at most K rows") {
+    val p = planOf(TextQueries.t16_zipf_fit)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q04: LIKE prefix pushed to parquet, text column pruned") {
     val p = planOf(RelationalQueries.q04_scan_filter_like)
     assert(p.contains("PushedFilters"), p)
