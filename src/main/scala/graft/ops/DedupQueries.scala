@@ -367,6 +367,36 @@ object DedupQueries {
   /** d05: embedding-cosine near-dup, brute force — the exact O(N²)
     * baseline (broadcast nested-loop at small sf; the thing d06 exists to
     * avoid at scale). */
+  /** d10: LSH DEDUP RECALL AUDIT — d06's near-dup recall against the
+    * d05 brute-force ground truth, broken out by cosine decile band
+    * (n10's recall-monitoring loop, pointed at the DEDUP path): LSH
+    * recall is worst exactly at the decision threshold, and the banded
+    * view shows WHERE the misses live — a drop in the 0.9+ band means
+    * real duplicates are escaping and the tiered bit ladder or table
+    * count needs retuning. The band key is derived from the 4-dp
+    * rounded cosine via integer arithmetic (round(cos·10⁴) div 10³), so
+    * band boundaries are engine-exact.
+    *
+    * Scale shape: like d05 itself, the exact side is O(N²) and guarded
+    * — at corpus scale this audit runs on a deterministic SAMPLE (p01's
+    * hash sampler) exactly as n10 samples queries; the LSH side and the
+    * band aggregation are the production shapes. */
+  val d10_lsh_recall_audit: Q = (s, d) => {
+    val exact = d05_cosine_brute(s, d)
+    val found = d06_cosine_lsh(s, d)
+      .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+    exact
+      .join(found.hint("SHUFFLE_HASH"), Seq("id_a", "id_b"), "left")
+      .selectExpr(
+        "CAST(round(cos * 10000.0D) AS BIGINT) div 1000 AS band",
+        "coalesce(hit, 0L) AS hit")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_exact"), sum(col("hit")).as("n_found"))
+      .selectExpr("band", "n_exact", "n_found",
+        "CAST(n_found * 1000 div n_exact AS BIGINT) AS recall_permille")
+      .orderBy(col("band"))
+  }
+
   val d05_cosine_brute: Q = (s, d) => {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     // explicit scale guard (VERDICT r01 #10): this baseline is O(N²) BY
@@ -587,6 +617,7 @@ object DedupQueries {
   }
 
   def queries: Map[String, Q] = Map(
+    "d10_lsh_recall_audit" -> d10_lsh_recall_audit,
     "d09_semantic_decontaminate" -> d09_semantic_decontaminate,
     "d01_exact_dedup" -> d01_exact_dedup,
     "d02_minhash_lsh" -> d02_minhash_lsh,
@@ -741,6 +772,25 @@ object DedupQueries {
           |       count(*) FILTER (WHERE keep) AS n_kept,
           |       coalesce(string_agg(chunk, ' ' ORDER BY cno) FILTER (WHERE keep), '') AS kept_text
           |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // d10: d05's exact pairs left-joined to d06's shared near CTEs,
+      // the same integer band key and permille arithmetic
+      "d10_lsh_recall_audit" ->
+        s"""WITH $d06OracleNearCtes,
+           |exact AS (
+           |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           |         round(list_cosine_similarity(x.embedding::DOUBLE[],
+           |                                      y.embedding::DOUBLE[]), 4) AS cos
+           |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+           |  WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
+           |                                     y.embedding::DOUBLE[]), 4) >= 0.4),
+           |j AS (
+           |  SELECT CAST(round(e.cos * 10000) AS BIGINT) // 1000 AS band,
+           |         CASE WHEN n.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+           |  FROM exact e LEFT JOIN near n
+           |    ON n.doc_a = e.id_a AND n.doc_b = e.id_b)
+           |SELECT band, count(*)::BIGINT AS n_exact, sum(hit)::BIGINT AS n_found,
+           |       (sum(hit) * 1000 // count(*))::BIGINT AS recall_permille
+           |FROM j GROUP BY band ORDER BY band""".stripMargin,
       "d05_cosine_brute" ->
         """SELECT x.vec_id AS id_a, y.vec_id AS id_b,
           |       round(list_cosine_similarity(x.embedding::DOUBLE[],

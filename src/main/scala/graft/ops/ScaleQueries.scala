@@ -563,7 +563,37 @@ object ScaleQueries {
       .orderBy(col("source"))
   }
 
+  /** p11: SPLIT LEAKAGE AUDIT — how many of d02's near-dup pairs CROSS
+    * p02's train/val/test boundaries: the audit that catches benchmark
+    * leakage at its source (a near-dup pair straddling train/test means
+    * the test answer is in the training set — exactly what d07/d09
+    * remove; THIS measures how much there is to remove and whether the
+    * split function leaks systematically). Split labels come from p02's
+    * own hash rule applied to the pair's ids — a pure projection, no
+    * join against a split table; pairs are classified as unordered
+    * (least/greatest) so (train,test) and (test,train) are one class.
+    *
+    * Scale shape: d02's pair set is the expensive artifact (computed
+    * once, capped by BUCKET_CAP); the audit itself is a narrow
+    * projection + a ≤ 6-row aggregate. */
+  val p11_split_leakage: Q = (s, d) => {
+    def splitOf(c: String): String =
+      s"""CASE WHEN pmod($c * 2654435761, 1000) < 800 THEN 'train'
+         |     WHEN pmod($c * 2654435761, 1000) < 900 THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    DedupQueries.d02_minhash_lsh(s, d)
+      .selectExpr(
+        s"least(${splitOf("doc_a")}, ${splitOf("doc_b")}) AS split_a",
+        s"greatest(${splitOf("doc_a")}, ${splitOf("doc_b")}) AS split_b")
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .selectExpr("split_a", "split_b", "n_pairs",
+        "CAST(split_a <> split_b AS INT) AS leak")
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "p11_split_leakage" -> p11_split_leakage,
     "p10_budget_alloc" -> p10_budget_alloc,
     "p09_dsir_weights" -> p09_dsir_weights,
     "p08_curriculum" -> p08_curriculum,
@@ -585,6 +615,30 @@ object ScaleQueries {
     "p06_shuffle_order" -> p06_shuffle_order)
 
   def oracleSql: Map[String, String] = Map(
+    // p11: d02's shared pair CTEs + p02's split rule as a projection
+    "p11_split_leakage" ->
+      s"""WITH ${DedupQueries.d02OracleCtes},
+         |near AS (${DedupQueries.d02OraclePairSelect}),
+         |cls AS (
+         |  SELECT least(
+         |           CASE WHEN (doc_a * 2654435761) % 1000 < 800 THEN 'train'
+         |                WHEN (doc_a * 2654435761) % 1000 < 900 THEN 'val'
+         |                ELSE 'test' END,
+         |           CASE WHEN (doc_b * 2654435761) % 1000 < 800 THEN 'train'
+         |                WHEN (doc_b * 2654435761) % 1000 < 900 THEN 'val'
+         |                ELSE 'test' END) AS split_a,
+         |         greatest(
+         |           CASE WHEN (doc_a * 2654435761) % 1000 < 800 THEN 'train'
+         |                WHEN (doc_a * 2654435761) % 1000 < 900 THEN 'val'
+         |                ELSE 'test' END,
+         |           CASE WHEN (doc_b * 2654435761) % 1000 < 800 THEN 'train'
+         |                WHEN (doc_b * 2654435761) % 1000 < 900 THEN 'val'
+         |                ELSE 'test' END) AS split_b
+         |  FROM near)
+         |SELECT split_a, split_b, count(*)::BIGINT AS n_pairs,
+         |       CAST(split_a <> split_b AS INT) AS leak
+         |FROM cls GROUP BY split_a, split_b
+         |ORDER BY split_a, split_b""".stripMargin,
     // p10: same census, same floor/remainder arithmetic, same
     // (rem DESC, source ASC) extra-seat ranking
     "p10_budget_alloc" ->

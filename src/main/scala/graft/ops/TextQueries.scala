@@ -668,7 +668,30 @@ object TextQueries {
           |AS r2_milli""".stripMargin)
   }
 
+  /** t17: LANGUAGE-ID CONFUSION MATRIX — t01's predictions crossed with
+    * the catalog language, with per-actual-language shares in permille:
+    * the accuracy audit that decides whether the cheap stopword
+    * classifier is good enough for p03's mixture keys or a stronger
+    * model is needed, and WHICH language pairs confuse (the off-diagonal
+    * mass). Composes t01's shared scoring expressions verbatim, so this
+    * audits exactly the classifier t01 ships.
+    *
+    * Scale shape: the corpus collapses to the ≤ |langs|² matrix in one
+    * map-side-combinable aggregate; the share window runs over matrix
+    * rows only. */
+  val t17_lang_confusion: Q = (s, d) => {
+    val m = t01_lang_id(s, d)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+    m.withColumn("lang_total",
+        sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
+      .selectExpr("lang", "predicted", "n_docs",
+        "CAST(n_docs * 1000 div lang_total AS BIGINT) AS share_permille")
+      .orderBy(col("lang"), col("predicted"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "t17_lang_confusion" -> t17_lang_confusion,
     "t16_zipf_fit" -> t16_zipf_fit,
     "t15_bpe_apply" -> t15_bpe_apply,
     "t14_lm_score" -> t14_lm_score,
@@ -837,6 +860,21 @@ object TextQueries {
            |       s_fr::INT AS s_fr, s_zh::INT AS s_zh,
            |       $caseChain AS predicted
            |FROM scored ORDER BY doc_id""".stripMargin,
+      // t17: t01's scoring CTE verbatim + the confusion census and
+      // per-actual-language permille shares
+      "t17_lang_confusion" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang,
+           |        $duckScore
+           |  FROM documents),
+           |pred AS (SELECT lang, $caseChain AS predicted FROM scored),
+           |m AS (
+           |  SELECT lang, predicted, count(*)::BIGINT AS n_docs
+           |  FROM pred GROUP BY 1, 2)
+           |SELECT lang, predicted, n_docs,
+           |       (n_docs * 1000 //
+           |        sum(n_docs) OVER (PARTITION BY lang))::BIGINT AS share_permille
+           |FROM m ORDER BY lang, predicted""".stripMargin,
       "t02_quality_score" ->
         s"""WITH base AS (
            |  SELECT doc_id,

@@ -192,6 +192,16 @@ object VectorQueries {
     * corpus to |labels|·dim thin rows; the pairwise stage is dim-keyed
     * over centroid rows only — quadratic in CLASS COUNT (thousands at
     * most), never in corpus size. */
+  /** Sign-safe half-up micro-unit centroid mean over (smi = Σmi, n) —
+    * ONE definition shared by v08 and v10 (and mirrored in both
+    * oracles), so the centroid arithmetic cannot drift between the
+    * geometry audit and the drift audit. */
+  private val microMeanCm: String =
+    """CASE WHEN smi >= 0
+      |  THEN CAST((2 * smi + n) div (2 * n) AS BIGINT)
+      |  ELSE -CAST((2 * -smi + n) div (2 * n) AS BIGINT)
+      |END AS cm""".stripMargin
+
   val v08_centroid_geometry: Q = (s, d) => {
     import s.implicits._
     val cent = Tables.embeddings(s, d)
@@ -201,11 +211,7 @@ object VectorQueries {
         "CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT) AS mi")
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("mi")).as("smi"), count(lit(1)).as("n"))
-      .selectExpr("label", "pos",
-        """CASE WHEN smi >= 0
-          |  THEN CAST((2 * smi + n) div (2 * n) AS BIGINT)
-          |  ELSE -CAST((2 * -smi + n) div (2 * n) AS BIGINT)
-          |END AS cm""".stripMargin)
+      .selectExpr("label", "pos", microMeanCm)
     val norms = cent.groupBy(col("label"))
       .agg(sum(col("cm") * col("cm")).as("nrm"))
       .filter(col("nrm") > 0)
@@ -273,7 +279,55 @@ object VectorQueries {
       .limit(20)
   }
 
+  /** v10: EMBEDDING DRIFT AUDIT — per-label centroid movement between
+    * two corpus snapshots (the check run before swapping in a
+    * re-trained/upgraded encoder: labels whose centroid moved most are
+    * where retrieval and dedup behavior will change). Snapshots are
+    * deterministic views (i03's CDC discipline): OLD drops vec_id ≡ 5
+    * (mod 13), NEW drops ≡ 3 (mod 11) and rescales ≡ 0 (mod 7) vectors
+    * ×1.25 (modelling encoder-drift norm shift; the ×5/4 double product
+    * rounds identically on both engines). Drift is the exact squared L2
+    * between micro-unit centroids ([[microMeanCm]], v08's shared
+    * formula) — BIGINT end to end, no sqrt.
+    *
+    * Scale shape: two (label, dim) partial aggregates collapse both
+    * snapshots to |labels|·dim thin rows; every join after that is
+    * label- or (label, dim)-sized. */
+  val v10_centroid_drift: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val old = emb.filter(col("vec_id") % 13 =!= 5)
+      .select(col("label"), col("embedding"))
+    val neu = emb.filter(col("vec_id") % 11 =!= 3)
+      .selectExpr("label",
+        """CASE WHEN vec_id % 7 = 0
+          |  THEN transform(embedding,
+          |         x -> CAST(CAST(x AS DOUBLE) * 1.25D AS FLOAT))
+          |  ELSE embedding END AS embedding""".stripMargin)
+    def cents(v: DataFrame) = v
+      .select(col("label").cast("long").as("label"),
+        posexplode($"embedding").as(Seq("pos", "x")))
+      .selectExpr("label", "pos",
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT) AS mi")
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("mi")).as("smi"), count(lit(1)).as("n"))
+      .selectExpr("label", "pos", microMeanCm)
+    val drift = cents(old).withColumnRenamed("cm", "cm_o")
+      .join(cents(neu).withColumnRenamed("cm", "cm_n"), Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(sum((col("cm_n") - col("cm_o")) * (col("cm_n") - col("cm_o")))
+        .as("drift_mic2"))
+    val nO = old.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_old"))
+    val nN = neu.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_new"))
+    drift.join(nO, "label").join(nN, "label")
+      .select(col("label"), col("n_old"), col("n_new"), col("drift_mic2"))
+      .orderBy(col("label"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "v10_centroid_drift" -> v10_centroid_drift,
     "v09_norm_outliers" -> v09_norm_outliers,
     "v08_centroid_geometry" -> v08_centroid_geometry,
     "v01_search_topk" -> v01_search_topk,
@@ -284,6 +338,51 @@ object VectorQueries {
     "v07_dim_calibration" -> v07_dim_calibration)
 
   def oracleSql: Map[String, String] = Map(
+    // v10: same snapshot views, same micro-mean centroids (v08's
+    // formula), same BIGINT squared-L2 drift
+    "v10_centroid_drift" ->
+      """WITH oldv AS (
+        |  SELECT label::BIGINT AS label, embedding FROM embeddings
+        |  WHERE vec_id % 13 <> 5),
+        |newv AS (
+        |  SELECT label::BIGINT AS label,
+        |         CASE WHEN vec_id % 7 = 0
+        |           THEN list_transform(embedding,
+        |                  x -> (x::DOUBLE * 1.25)::FLOAT)
+        |           ELSE embedding END AS embedding
+        |  FROM embeddings WHERE vec_id % 11 <> 3),
+        |eo AS (
+        |  SELECT label, i - 1 AS pos,
+        |         CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS mi
+        |  FROM (SELECT label, unnest(embedding) AS x,
+        |               unnest(range(1, len(embedding)+1)) AS i FROM oldv)),
+        |co AS (
+        |  SELECT label, pos,
+        |         CASE WHEN sum(mi) >= 0
+        |           THEN ((2 * sum(mi) + count(*)) // (2 * count(*)))::BIGINT
+        |           ELSE -((2 * -sum(mi) + count(*)) // (2 * count(*)))::BIGINT
+        |         END AS cm
+        |  FROM eo GROUP BY label, pos),
+        |en AS (
+        |  SELECT label, i - 1 AS pos,
+        |         CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS mi
+        |  FROM (SELECT label, unnest(embedding) AS x,
+        |               unnest(range(1, len(embedding)+1)) AS i FROM newv)),
+        |cn AS (
+        |  SELECT label, pos,
+        |         CASE WHEN sum(mi) >= 0
+        |           THEN ((2 * sum(mi) + count(*)) // (2 * count(*)))::BIGINT
+        |           ELSE -((2 * -sum(mi) + count(*)) // (2 * count(*)))::BIGINT
+        |         END AS cm
+        |  FROM en GROUP BY label, pos),
+        |no AS (SELECT label, count(*)::BIGINT AS n_old FROM oldv GROUP BY 1),
+        |nn AS (SELECT label, count(*)::BIGINT AS n_new FROM newv GROUP BY 1)
+        |SELECT c.label, n_old, n_new,
+        |       sum((n2.cm - c.cm) * (n2.cm - c.cm))::BIGINT AS drift_mic2
+        |FROM co c JOIN cn n2 ON n2.label = c.label AND n2.pos = c.pos
+        |JOIN no ON no.label = c.label
+        |JOIN nn ON nn.label = c.label
+        |GROUP BY c.label, n_old, n_new ORDER BY c.label""".stripMargin,
     // v09: same micro² norms, same type-1 discrete quantiles (h03's
     // rank formula), same cross-multiplied Tukey fences — DuckDB
     // computes q1/q3 in-query where Spark folds the two driver scalars

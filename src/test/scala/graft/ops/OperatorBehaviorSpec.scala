@@ -1409,4 +1409,92 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(gotRows == expected)
     gotRows.foreach(g => assert(g._3 <= g._4 && g._4 <= g._5, s"${g._1}"))
   }
+
+  test("d10: recall bands match a driver re-derivation, LSH pairs are a " +
+    "subset of the exact pairs (precision 1), and band mass covers d05") {
+    val exact = DedupQueries.d05_cosine_brute(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val found = DedupQueries.d06_cosine_lsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(exact.map(_._1).toSet), "LSH must not invent pairs")
+    val expected = exact.groupBy { case (_, c) =>
+      math.round(c * 10000) / 1000 }.map { case (band, ps) =>
+      val hits = ps.count(p => found(p._1)).toLong
+      (band, ps.length.toLong, hits, hits * 1000 / ps.length)
+    }.toSeq.sortBy(_._1)
+    val got = DedupQueries.d10_lsh_recall_audit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.map(_._2).sum == exact.length, "band mass covers every exact pair")
+    got.foreach(g => assert(g._3 <= g._2 && g._4 <= 1000))
+  }
+
+  test("p11: leakage classes match a driver re-derivation and conserve " +
+    "d02's pair mass") {
+    def split(id: Long): String = {
+      val b = java.lang.Math.floorMod(id * 2654435761L, 1000L)
+      if (b < 800) "train" else if (b < 900) "val" else "test"
+    }
+    val pairs = DedupQueries.d02_minhash_lsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.map { case (a, b) =>
+      val (sa, sb) = (split(a), split(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).map { case ((sa, sb), v) =>
+      (sa, sb, v.length.toLong, if (sa != sb) 1 else 0) }.toSeq.sortBy(x => (x._1, x._2))
+    val got = ScaleQueries.p11_split_leakage(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == expected)
+    assert(got.map(_._3).sum == pairs.length, "pair mass conserved")
+  }
+
+  test("v10: drift matches a driver re-derivation of both snapshot " +
+    "centroids, and unperturbed labels can still drift via membership") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    def mi(x: Float): Long = math.floor(x.toDouble * 1e6 + 0.5).toLong
+    def halfUp(s0: Long, n: Long): Long =
+      if (s0 >= 0) (2 * s0 + n) / (2 * n) else -((2 * -s0 + n) / (2 * n))
+    def cents(vs: Seq[(Long, Array[Float])]): Map[(Long, Int), Long] =
+      vs.groupBy(_._1).flatMap { case (l, g) =>
+        val dim = g.head._2.length
+        (0 until dim).map { p =>
+          (l, p) -> halfUp(g.map(v => mi(v._2(p))).sum, g.length.toLong) }
+      }
+    val old = rows.filter(_._1 % 13 != 5).map(r => (r._2, r._3)).toSeq
+    val neu = rows.filter(_._1 % 11 != 3).map { r =>
+      val v = if (r._1 % 7 == 0)
+        r._3.map(x => (x.toDouble * 1.25).toFloat) else r._3
+      (r._2, v)
+    }.toSeq
+    val (co, cn) = (cents(old), cents(neu))
+    val expected = co.keys.map(_._1).toSeq.distinct.sorted.map { l =>
+      // .toSeq first: mapping over the key SET would dedup equal
+      // squared-drift values and silently drop mass
+      val drift = co.keys.toSeq.filter(_._1 == l)
+        .map(k => { val d0 = cn(k) - co(k); d0 * d0 }).sum
+      (l, old.count(_._1 == l).toLong, neu.count(_._1 == l).toLong, drift)
+    }
+    val got = VectorQueries.v10_centroid_drift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("t17: the confusion matrix conserves the corpus and shares are " +
+    "valid permilles within each actual language") {
+    val preds = TextQueries.t01_lang_id(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(7)))
+    val expected = preds.groupBy(identity).map { case ((l, p), v) =>
+      (l, p, v.length.toLong) }.toSeq.sortBy(x => (x._1, x._2))
+    val got = TextQueries.t17_lang_confusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq == expected)
+    assert(got.map(_._3).sum == preds.length, "corpus conserved")
+    got.groupBy(_._1).foreach { case (l, rs) =>
+      val tot = rs.map(_._3).sum
+      rs.foreach(r => assert(r._4 == r._3 * 1000 / tot, s"$l share"))
+    }
+  }
 }
