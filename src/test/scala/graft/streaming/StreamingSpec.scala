@@ -321,4 +321,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     query.stop()
   }
+
+  test("stream/batch unification: streaming volume spikes == batch e15 " +
+    "with verdicts carried across micro-batches") {
+    import spark.implicits._
+    implicit val s = spark
+    val evs = graft.model.Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) div 86400000000 AS dayId")
+      .as[StreamingOps.SpikeEv].collect()
+      .sortBy(_.dayId) // per-type event-time order across batches
+    // sentinel day per type: closes the final open day so its verdict
+    // is emitted (a live pipeline's next real day plays this role)
+    val maxDay = evs.map(_.dayId).max
+    val sentinels = evs.map(_.event_type).distinct
+      .map(t => StreamingOps.SpikeEv(t, maxDay + 1))
+    val mem = MemoryStream[StreamingOps.SpikeEv](spark)
+    val query = StreamingOps.volumeSpikes(mem.toDS()).writeStream
+      .format("memory").queryName("spikes").outputMode("append").start()
+    (evs ++ sentinels).grouped(400).foreach { chunk =>
+      mem.addData(chunk.toSeq)
+      query.processAllAvailable() // day counts must close ACROSS batches
+    }
+    val streamed = spark.table("spikes").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val batch = graft.ops.EventQueries.e15_volume_spikes(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(streamed == batch)
+    query.stop()
+  }
 }
