@@ -298,6 +298,42 @@ object AnnQueries {
     (flatCb, graft.ann.PqIndex.lut(flatCb, PQ_M, PQ_K, VectorQueries.flagshipVec))
   }
 
+  /** n15: PQ RECONSTRUCTION-ERROR AUDIT — the top-20 worst-quantized
+    * vectors by exact squared reconstruction error ‖v − decode(encode
+    * (v))‖², completing the ANN monitoring triad: n10 watches recall,
+    * n13 watches cell balance, THIS watches the quantization loss that
+    * silently degrades both (codebooks trained on yesterday's
+    * distribution reconstruct today's outliers badly — the worst-k list
+    * is exactly the retrain trigger). The error is computed WITHOUT a
+    * decode kernel: per subspace it is the chosen centroid's squared
+    * distance, the very quantity the encoder minimizes, so the audit
+    * reuses the encode arithmetic (codes from the codegen
+    * `vec_pq_encode`; distances as left-assoc Double chains matching
+    * the oracle's term order exactly).
+    *
+    * Scale shape: one narrow codes+error scan (16-row codebook rides as
+    * a literal), TakeOrdered top-20 — no shuffle, no join. */
+  val n15_pq_recon_error: Q = (s, d) => {
+    val (flatCb, _) = pqSetup(firstRows(s, d, PQ_K))
+    VectorOps.ensureRegistered(s)
+    val cbD = typedlit(flatCb.map(_.toDouble))
+    val withCodes = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.pqEncode(col("embedding"), flatCb, PQ_M, PQ_K).as("codes"))
+    val err2 = (0 until PQ_M).map { mm =>
+      val code = expr(s"CAST(element_at(codes, ${mm + 1}) AS INT)")
+      (1 to 8).map { dd =>
+        val e = expr(s"CAST(element_at(embedding, ${mm * 8 + dd}) AS DOUBLE)")
+        val c = element_at(cbD, (lit(mm * PQ_K) + code) * lit(8) + lit(dd))
+        (e - c) * (e - c)
+      }.reduceLeft(_ + _)
+    }.reduceLeft(_ + _)
+    withCodes
+      .select(col("vec_id"), (round(err2, 4) + lit(0.0)).as("err2"))
+      .orderBy(col("err2").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
   val n06_pq_adc: Q = (s, d) => {
     val (flatCb, lut) = pqSetup(firstRows(s, d, PQ_K))
     VectorOps.ensureRegistered(s)
@@ -554,6 +590,7 @@ object AnnQueries {
     "n02_ann_lsh_topk" -> n02_ann_lsh_topk,
     "n03_ann_batch" -> n03_ann_batch,
     "n14_knn_degree_audit" -> n14_knn_degree_audit,
+    "n15_pq_recon_error" -> n15_pq_recon_error,
     "n13_ivf_balance" -> n13_ivf_balance,
     "n04_ivf_artifact" -> n04_ivf_artifact,
     "n05_quantized_rerank" -> n05_quantized_rerank,
@@ -712,6 +749,22 @@ object AnnQueries {
         s"""WITH ${pqOracleCtes(qLit, corpus = "embeddings")}
            |SELECT vec_id, round(score0, 4) + 0.0 AS score
            |FROM adc ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+      // n15: the shared PQ CTEs — the chosen code's subspace distance
+      // IS the reconstruction error; per-vector total via the adcSum
+      // left-assoc max-CASE chain so Double addition order matches the
+      // engine's mm-ordered chain
+      "n15_pq_recon_error" ->
+        s"""WITH ${pqOracleCtes(qLit, corpus = "embeddings")},
+           |err AS (
+           |  SELECT co.vec_id,
+           |       ${(0 until 8).map(mm =>
+                    s"max(CASE WHEN d.mm = $mm THEN d.dist END)")
+                    .mkString("\n       + ")} AS err2
+           |  FROM codes co JOIN dists d
+           |    ON d.vec_id = co.vec_id AND d.mm = co.mm AND d.j = co.code
+           |  GROUP BY co.vec_id)
+           |SELECT vec_id, round(err2, 4) + 0.0 AS err2
+           |FROM err ORDER BY err2 DESC, vec_id ASC LIMIT 20""".stripMargin,
       // n07: n04's cell-probe CTEs feeding n06's PQ CTEs (the pruned
       // corpus replaces the full table), then an exact fp32 rerank of
       // the ADC top-50 — the FAISS-style IVF-PQ composition end-to-end

@@ -1482,6 +1482,33 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("n15: reconstruction errors match a driver PQ encode+decode, and " +
+    "the codebook's own rows reconstruct exactly") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cb = rows.take(16).map(_._2)
+    def err2(v: Array[Float]): Double =
+      (0 until 8).map { mm =>
+        // argmin over centroids (tie -> lowest j), then that distance
+        val dists = cb.map { c =>
+          (1 to 8).map { dd =>
+            val d0 = v(mm * 8 + dd - 1).toDouble - c(mm * 8 + dd - 1).toDouble
+            d0 * d0
+          }.reduceLeft(_ + _)
+        }
+        dists(dists.zipWithIndex.minBy { case (x, j) => (x, j) }._2)
+      }.reduceLeft(_ + _)
+    val expected = rows.map { case (id, v) =>
+      (id, math.round(err2(v) * 10000.0) / 10000.0 + 0.0) }
+      .sortBy { case (id, e) => (-e, id) }.take(20).toSeq
+    val got = AnnQueries.n15_pq_recon_error(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+    rows.take(16).foreach { case (id, v) =>
+      assert(err2(v) == 0.0, s"codebook row $id must reconstruct exactly") }
+  }
+
   test("t17: the confusion matrix conserves the corpus and shares are " +
     "valid permilles within each actual language") {
     val preds = TextQueries.t01_lang_id(spark, sf).collect()
