@@ -367,6 +367,67 @@ object DedupQueries {
   /** d05: embedding-cosine near-dup, brute force — the exact O(N²)
     * baseline (broadcast nested-loop at small sf; the thing d06 exists to
     * avoid at scale). */
+  /** Squared-cosine keep threshold for d11 (0.8² in ppb). */
+  private val TFIDF_COS2_PPB = 640000000L
+
+  /** d11's absolute posting-list cap. ABSOLUTE, not relative (an N/10
+    * rule would admit df² = N²/100 pair work — quadratic again): terms
+    * above it carry the least idf weight and the fattest posting lists,
+    * so one constant bounds the candidate join at CAP·Σdf (linear in
+    * corpus tokens) at every scale. Wider than d04's GRAM_DF_CAP
+    * because unigrams are denser than 3-gram shingles. */
+  private[ops] val TFIDF_DF_CAP = 300
+
+  /** d11: TF-IDF SPARSE COSINE near-dup — lexical near-duplicate pairs
+    * by cosine over tf·idf term vectors, the classic IR modality
+    * between d04's set-overlap Jaccard (ignores term weight entirely)
+    * and d05/d06's dense embeddings (need an encoder): rewordings that
+    * share their RARE terms score high even when common words differ.
+    * All-integer and exact end to end: idf is FixedLog centibits
+    * (w = tf·(log2cb N − log2cb df), every w ≥ 0 so no sign surface),
+    * norms/dots are BIGINT sums, and the ranking key is the v08
+    * compare-squares rational cos²·10⁹ as DECIMAL(38)/HUGEINT — sqrt
+    * never runs. Terms with df > [[TFIDF_DF_CAP]] are pruned (classic
+    * stopword pruning; they carry the least idf weight AND the fattest
+    * posting lists — one rule buys both precision and the join bound).
+    *
+    * Scale shape: d04's inverted-index discipline — the pair stream is
+    * the term-keyed self-join of df-capped posting lists (Σ df² ≤
+    * CAP·Σ df, linear in the corpus), partial dot products combine
+    * map-side, and only (doc, doc) thin pairs shuffle. BIGINT bounds
+    * hold to ~10⁴-token documents at 10¹¹ docs (w ≤ 4·10⁵, Σw² ≤
+    * 2·10¹⁵); beyond that widen the partials to DECIMAL(38) — the
+    * rational's HUGEINT half already is. */
+  val d11_tfidf_cosine: Q = (s, d) => {
+    val docTerm = Tables.documents(s, d)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS term")
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .cache()
+    val nDocs = Tables.documents(s, d).count() // bounded driver scalar
+    val nCb = graft.ops.FixedLog.log2Cb(nDocs)
+    val vocab = docTerm.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= TFIDF_DF_CAP)
+    val w = docTerm.join(vocab, "term")
+      .selectExpr("doc_id", "term",
+        s"tf * (${nCb}L - ${graft.ops.FixedLog.sparkLog2Cb("df")}) AS w")
+    val norms = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("nrm"))
+    val dots = w.as("a")
+      .join(w.as("b").hint("SHUFFLE_HASH"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    dots
+      .join(norms.toDF("doc_a", "nrm_a").hint("SHUFFLE_HASH"), "doc_a")
+      .join(norms.toDF("doc_b", "nrm_b").hint("SHUFFLE_HASH"), "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        """CAST((CAST(dot AS DECIMAL(38,0)) * dot * 1000000000)
+          |     div (CAST(nrm_a AS DECIMAL(38,0)) * nrm_b) AS BIGINT)
+          |AS cos2_ppb""".stripMargin)
+      .filter(col("cos2_ppb") >= TFIDF_COS2_PPB)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** d10: LSH DEDUP RECALL AUDIT — d06's near-dup recall against the
     * d05 brute-force ground truth, broken out by cosine decile band
     * (n10's recall-monitoring loop, pointed at the DEDUP path): LSH
@@ -618,6 +679,7 @@ object DedupQueries {
 
   def queries: Map[String, Q] = Map(
     "d10_lsh_recall_audit" -> d10_lsh_recall_audit,
+    "d11_tfidf_cosine" -> d11_tfidf_cosine,
     "d09_semantic_decontaminate" -> d09_semantic_decontaminate,
     "d01_exact_dedup" -> d01_exact_dedup,
     "d02_minhash_lsh" -> d02_minhash_lsh,
@@ -772,6 +834,41 @@ object DedupQueries {
           |       count(*) FILTER (WHERE keep) AS n_kept,
           |       coalesce(string_agg(chunk, ' ' ORDER BY cno) FILTER (WHERE keep), '') AS kept_text
           |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // d11: same df-capped tf-idf weights (FixedLog centibits; the
+      // doc-count log is computed in-query where Spark folds the
+      // driver scalar — same integer), same HUGEINT compare-squares
+      "d11_tfidf_cosine" ->
+        s"""WITH dt AS (
+           |  SELECT doc_id, term, count(*)::BIGINT AS tf
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |        FROM documents)
+           |  WHERE term <> '' GROUP BY doc_id, term),
+           |nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+           |ncb AS (SELECT ${graft.ops.FixedLog.duckLog2Cb("n")}::BIGINT AS ncb
+           |        FROM nd),
+           |voc AS (
+           |  SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY term
+           |  HAVING count(*) <= $TFIDF_DF_CAP),
+           |w AS (
+           |  SELECT doc_id, dt.term,
+           |         tf * (ncb - ${graft.ops.FixedLog.duckLog2Cb("df")}) AS w
+           |  FROM dt JOIN voc ON voc.term = dt.term, ncb),
+           |norms AS (
+           |  SELECT doc_id, sum(w * w)::BIGINT AS nrm FROM w GROUP BY doc_id),
+           |dots AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         sum(a.w * b.w)::BIGINT AS dot
+           |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b,
+           |       ((dot::HUGEINT * dot * 1000000000)
+           |        // (na.nrm::HUGEINT * nb.nrm))::BIGINT AS cos2_ppb
+           |FROM dots
+           |JOIN norms na ON na.doc_id = dots.doc_a
+           |JOIN norms nb ON nb.doc_id = dots.doc_b
+           |WHERE (dot::HUGEINT * dot * 1000000000)
+           |      // (na.nrm::HUGEINT * nb.nrm) >= $TFIDF_COS2_PPB
+           |ORDER BY doc_a, doc_b""".stripMargin,
       // d10: d05's exact pairs left-joined to d06's shared near CTEs,
       // the same integer band key and permille arithmetic
       "d10_lsh_recall_audit" ->

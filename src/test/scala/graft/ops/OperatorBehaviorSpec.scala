@@ -1482,6 +1482,37 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("d11: tf-idf cosine pairs match a full driver re-derivation of " +
+    "weights, norms and the compare-squares rational") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).filter(_.nonEmpty))
+    val n = docs.length.toLong
+    val tf = docs.map { case (id, ts) =>
+      id -> ts.groupBy(identity).map { case (t, v) => t -> v.length.toLong } }.toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (t, v) => t -> v.size.toLong }
+    val nCb = FixedLog.log2Cb(n)
+    val w = tf.map { case (id, m) =>
+      id -> m.collect { case (t, k) if df(t) <= DedupQueries.TFIDF_DF_CAP =>
+        t -> k * (nCb - FixedLog.log2Cb(df(t))) }
+    }
+    val nrm = w.map { case (id, m) => id -> m.values.map(v => v * v).sum }
+    val ids = docs.map(_._1).sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      dot = w(a).keysIterator.filter(w(b).contains)
+        .map(t => w(a)(t) * w(b)(t)).sum
+      if dot > 0 && nrm(a) > 0 && nrm(b) > 0
+      ppb = (BigInt(dot) * dot * 1000000000L / (BigInt(nrm(a)) * nrm(b))).toLong
+      if ppb >= 640000000L
+    } yield (a, b, ppb)).toSeq.sortBy(x => (x._1, x._2))
+    val got = DedupQueries.d11_tfidf_cosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    got.foreach(g => assert(g._3 <= 1000000000L, "cosine cannot exceed 1"))
+  }
+
   test("n15: reconstruction errors match a driver PQ encode+decode, and " +
     "the codebook's own rows reconstruct exactly") {
     val rows = spark.read.parquet(s"$sf/embeddings.parquet")
