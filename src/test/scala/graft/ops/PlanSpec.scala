@@ -124,8 +124,10 @@ class PlanSpec extends SparkSpec {
     // O(N²) baseline; n03's 10-row broadcast block), and never a
     // SortMergeJoin (every join is broadcast- or hash-dispatched at the
     // oracle scales; a SMJ here means a broadcast threshold regressed)
-    // n10 shares n03's documented 10-row broadcast query block
-    val allowedCartesian = Set("d05_cosine_brute", "n03_ann_batch", "n10_ann_recall")
+    // n10 shares n03's documented 10-row broadcast query block; d10
+    // composes d05's guarded brute baseline as its exact ground truth
+    val allowedCartesian = Set("d05_cosine_brute", "n03_ann_batch",
+      "n10_ann_recall", "d10_lsh_recall_audit")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       spark.catalog.clearCache()
