@@ -141,13 +141,83 @@ object IngestQueries {
       .orderBy(col("host"), col("doc_id"))
   }
 
+  /** Embed-batch size for i05 (rows per encoder invocation). */
+  val EMBED_BATCH = 64L
+
+  /** i05: INCREMENTAL RE-EMBED PLAN — turn i03's snapshot diff into the
+    * work order the embedding/ANN layer executes: added+changed docs
+    * need (re-)embedding (batched for the encoder, [[EMBED_BATCH]]
+    * rows per batch in doc_id order), deleted docs become index
+    * tombstones (`IvfPqIndex.remove`'s input), unchanged docs generate
+    * NO work — which is the whole point of CDC: at 100 TB the recrawl
+    * delta is a few percent, and this plan is what keeps the encoder
+    * (the most expensive stage in the pipeline) off the other 95+%.
+    * Fresh embeddings then enter the index via `IvfPqIndex.add`
+    * (frozen-codebook append) — the add/remove lifecycle this plan
+    * feeds is itself spec-covered in IvfPqSpec.
+    *
+    * Scale shape: i03's thin digest diff, a narrow action projection,
+    * and ONE action-keyed window for batch numbering over the
+    * embed-side rows only (the delta, not the corpus). */
+  val i05_reembed_plan: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val diff = i03_snapshot_diff(s, d)
+      .filter(col("status") =!= "unchanged")
+      .selectExpr("doc_id",
+        "CASE WHEN status = 'deleted' THEN 'tombstone' ELSE 'embed' END AS action")
+    diff
+      .withColumn("batch_id", expr(
+        s"CASE WHEN action = 'embed' " +
+          s"THEN CAST((row_number() OVER (PARTITION BY action ORDER BY doc_id) - 1) " +
+          s"div $EMBED_BATCH AS BIGINT) ELSE CAST(-1 AS BIGINT) END"))
+      .select(col("doc_id"), col("action"), col("batch_id"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "i05_reembed_plan" -> i05_reembed_plan,
     "i04_fetch_schedule" -> i04_fetch_schedule,
     "i03_snapshot_diff" -> i03_snapshot_diff,
     "i01_url_pipeline" -> i01_url_pipeline,
     "i02_url_canonical_dedup" -> i02_url_canonical_dedup)
 
+  /** i03's snapshot-diff classification as a CTE chain (no leading
+    * WITH; ends at `diff(doc_id, status)`) — ONE definition shared by
+    * the i03 and i05 oracles. */
+  private def duckDiffCtes: String =
+    """old AS (
+      |  SELECT doc_id, md5(text) AS old_digest FROM documents
+      |  WHERE doc_id % 13 <> 5),
+      |neu AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+      |                  ELSE text END) AS new_digest
+      |  FROM documents WHERE doc_id % 11 <> 3),
+      |diff AS (
+      |  SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
+      |         CASE WHEN old_digest IS NULL THEN 'added'
+      |              WHEN new_digest IS NULL THEN 'deleted'
+      |              WHEN old_digest <> new_digest THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM old FULL OUTER JOIN neu USING (doc_id))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // i05: the shared diff CTEs + the same action projection and
+    // per-action batch window
+    "i05_reembed_plan" ->
+      s"""WITH $duckDiffCtes,
+         |work AS (
+         |  SELECT doc_id,
+         |         CASE WHEN status = 'deleted' THEN 'tombstone'
+         |              ELSE 'embed' END AS action
+         |  FROM diff WHERE status <> 'unchanged')
+         |SELECT doc_id, action,
+         |       CASE WHEN action = 'embed'
+         |         THEN ((row_number() OVER (PARTITION BY action
+         |                                   ORDER BY doc_id) - 1)
+         |               // $EMBED_BATCH)::BIGINT
+         |         ELSE -1 END AS batch_id
+         |FROM work ORDER BY doc_id""".stripMargin,
     // i04: same host window, same first-byte tick arithmetic
     "i04_fetch_schedule" ->
       s"""WITH f AS (
@@ -159,23 +229,11 @@ object IngestQueries {
          |SELECT host, doc_id, bytes, fetch_seq,
          |       ((cum - bytes) // $HOST_TICK_BYTES)::BIGINT AS tick
          |FROM f ORDER BY host, doc_id""".stripMargin,
-    // i03: same snapshot views, same digest compare
+    // i03: the shared diff CTEs (same snapshot views, same digest
+    // compare)
     "i03_snapshot_diff" ->
-      """WITH old AS (
-        |  SELECT doc_id, md5(text) AS old_digest FROM documents
-        |  WHERE doc_id % 13 <> 5),
-        |neu AS (
-        |  SELECT doc_id,
-        |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
-        |                  ELSE text END) AS new_digest
-        |  FROM documents WHERE doc_id % 11 <> 3)
-        |SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
-        |       CASE WHEN old_digest IS NULL THEN 'added'
-        |            WHEN new_digest IS NULL THEN 'deleted'
-        |            WHEN old_digest <> new_digest THEN 'changed'
-        |            ELSE 'unchanged' END AS status
-        |FROM old FULL OUTER JOIN neu USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH $duckDiffCtes
+         |SELECT doc_id, status FROM diff ORDER BY doc_id""".stripMargin,
     "i02_url_canonical_dedup" ->
       """WITH urls AS (
         |  SELECT doc_id,

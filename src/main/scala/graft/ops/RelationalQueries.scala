@@ -139,7 +139,53 @@ object RelationalQueries {
     Tables.documents(s, d).select($"source").distinct().orderBy($"source")
   }
 
+  /** q09: SMALL-QUANTITY REVENUE (TPC-H Q17 shape) — lineitems below
+    * 20% of their part's average quantity, the correlated-aggregate
+    * shape ("compare each row to its group's statistic"). The
+    * correlation is decorrelated by hand the way Catalyst itself would:
+    * one per-part aggregate joined back to the fact table. The
+    * comparison is cross-multiplied integer cents (5·q_c·cnt < sum_c),
+    * so the 0.2·avg threshold never exists as a float.
+    *
+    * Scale shape: the per-part aggregate is partkey-sized (too big to
+    * broadcast at 100 TB) — a SHUFFLE_HASH equi-join on l_partkey
+    * co-partitions fact and statistic; output is ONE row. */
+  val q09_small_qty_revenue: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .selectExpr("l_partkey", "l_extendedprice",
+        "CAST(round(l_quantity * 100.0D) AS BIGINT) AS q_c")
+    val stats = li.groupBy(col("l_partkey"))
+      .agg(sum(col("q_c")).as("sum_c"), count(lit(1)).as("cnt"))
+    li.join(stats.hint("SHUFFLE_HASH"), "l_partkey")
+      .filter(col("q_c") * 5 * col("cnt") < col("sum_c"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        expr("CAST(round(sum(l_extendedprice) * 100.0D) AS BIGINT)")
+          .as("rev_cents"))
+  }
+
+  /** q10: ORDER-COUNT DISTRIBUTION (TPC-H Q13 shape) — how many
+    * customers placed k orders, INCLUDING the zero-order customers an
+    * inner join would silently drop (the left-outer + count(non-null)
+    * idiom). Two aggregates: per-customer order counts (shuffle-hash
+    * join of two key-sized sides), then the k-sized distribution.
+    *
+    * Scale shape: the order→customer aggregate collapses before the
+    * join; the distribution aggregate runs over customer-count rows;
+    * the final table is k-sized. */
+  val q10_custorder_dist: Q = (s, d) => {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("k"))
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(perCust.hint("SHUFFLE_HASH"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .selectExpr("coalesce(k, 0L) AS c_count")
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q09_small_qty_revenue" -> q09_small_qty_revenue,
+    "q10_custorder_dist" -> q10_custorder_dist,
     "q01_pricing_summary" -> q01_pricing_summary,
     "q02_topk_orders" -> q02_topk_orders,
     "q03_group_topn" -> q03_group_topn,
@@ -150,6 +196,27 @@ object RelationalQueries {
     "q08_distinct_sources" -> q08_distinct_sources)
 
   def oracleSql: Map[String, String] = Map(
+    // q09: same decorrelated per-part statistic, same cross-multiplied
+    // integer-cents threshold
+    "q09_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_extendedprice,
+        |         CAST(round(l_quantity * 100.0) AS BIGINT) AS q_c
+        |  FROM lineitem),
+        |stats AS (
+        |  SELECT l_partkey, sum(q_c)::BIGINT AS sum_c, count(*) AS cnt
+        |  FROM li GROUP BY l_partkey)
+        |SELECT count(*)::BIGINT AS n_lineitems,
+        |       CAST(round(sum(l_extendedprice) * 100.0) AS BIGINT) AS rev_cents
+        |FROM li JOIN stats USING (l_partkey)
+        |WHERE q_c * 5 * cnt < sum_c""".stripMargin,
+    // q10: same left-outer zero-preserving count distribution
+    "q10_custorder_dist" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, count(*)::BIGINT AS k FROM orders GROUP BY 1)
+        |SELECT coalesce(k, 0)::BIGINT AS c_count, count(*)::BIGINT AS custdist
+        |FROM customer c LEFT JOIN pc ON pc.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

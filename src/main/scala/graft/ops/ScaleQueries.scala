@@ -592,7 +592,32 @@ object ScaleQueries {
       .orderBy(col("split_a"), col("split_b"))
   }
 
+  /** h06: MERGEABLE LOG₂ HISTOGRAM — per-type event-value histogram in
+    * power-of-two cent buckets (bucket = bit length of the cents
+    * value), the h01/h02-family trade made explicit for DISTRIBUTIONS:
+    * h03's exact quantiles need a per-group sort, while this histogram
+    * is one partial aggregate whose buckets merge by addition — the
+    * shape you stream, checkpoint (IncrementalAgg), and union across
+    * 100 TB partitions for the price of a count. Buckets are exact
+    * integer arithmetic (`length(bin(cents))` — no float log), and the
+    * per-bucket count + exact cent total let a reader reconstruct
+    * coarse quantiles and means without touching rows again.
+    *
+    * Scale shape: one narrow scan, one (type, bucket) partial agg —
+    * ≤ types·64 rows ever shuffle. */
+  val h06_log_histogram: Q = (s, d) => {
+    Tables.events(s, d)
+      .selectExpr("event_type",
+        "CAST(round(value * 100.0D) AS BIGINT) AS cents")
+      .selectExpr("event_type", "cents",
+        "CAST(CASE WHEN cents <= 0 THEN 0 ELSE length(bin(cents)) END AS BIGINT) AS bucket")
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "h06_log_histogram" -> h06_log_histogram,
     "p11_split_leakage" -> p11_split_leakage,
     "p10_budget_alloc" -> p10_budget_alloc,
     "p09_dsir_weights" -> p09_dsir_weights,
@@ -615,6 +640,19 @@ object ScaleQueries {
     "p06_shuffle_order" -> p06_shuffle_order)
 
   def oracleSql: Map[String, String] = Map(
+    // h06: same integer cents, same bit-length buckets (DuckDB bin()
+    // prints the same minimal binary string for positive BIGINTs)
+    "h06_log_histogram" ->
+      """SELECT event_type,
+        |       CASE WHEN cents <= 0 THEN 0
+        |            ELSE length(bin(cents)) END AS bucket,
+        |       count(*)::BIGINT AS n_events,
+        |       sum(cents)::BIGINT AS total_cents
+        |FROM (SELECT event_type,
+        |             CAST(round(value * 100.0) AS BIGINT) AS cents
+        |      FROM events)
+        |GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
     // p11: d02's shared pair CTEs + p02's split rule as a projection
     "p11_split_leakage" ->
       s"""WITH ${DedupQueries.d02OracleCtes},

@@ -1482,6 +1482,70 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q09: the small-quantity set is exactly the rows below 0.2x their " +
+    "part's mean quantity") {
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .selectExpr("l_partkey", "l_extendedprice",
+        "CAST(round(l_quantity * 100.0D) AS BIGINT) AS q_c").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val stats = li.groupBy(_._1).map { case (p, v) =>
+      p -> (v.map(_._3).sum, v.length.toLong) }
+    val kept = li.filter { case (p, _, q) =>
+      q * 5 * stats(p)._2 < stats(p)._1 }
+    val row = RelationalQueries.q09_small_qty_revenue(spark, sf).collect().head
+    assert(row.getLong(0) == kept.length)
+    assert(row.getLong(1) == math.round(kept.map(_._2).sum * 100.0))
+  }
+
+  test("q10: the distribution conserves every customer including " +
+    "zero-order ones") {
+    val nCust = graft.model.Tables.customer(spark, sf).count()
+    val perCust = graft.model.Tables.orders(spark, sf)
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = RelationalQueries.q10_custorder_dist(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.sum == nCust, "every customer in exactly one bucket")
+    assert(got.getOrElse(0L, 0L) == nCust - perCust.size,
+      "zero-order customers preserved by the left join")
+  }
+
+  test("h06: log2 buckets hold exactly the cents in [2^(b-1), 2^b) and " +
+    "conserve counts and totals") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(round(value * 100.0D) AS BIGINT) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def bucket(c: Long): Long = if (c <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(c)
+    val expected = ev.groupBy(e => (e._1, bucket(e._2))).map { case ((t, b), v) =>
+      (t, b, v.length.toLong, v.map(_._2).sum) }.toSeq.sortBy(x => (x._1, x._2))
+    val got = ScaleQueries.h06_log_histogram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    got.filter(_._2 > 0).foreach { case (_, b, n, tot) =>
+      assert(tot >= n * (1L << (b - 1)) && tot <= n * ((1L << b) - 1)) }
+  }
+
+  test("i05: the plan covers exactly the non-unchanged diff, batches are " +
+    "dense and bounded, tombstones match the deleted set") {
+    val diff = IngestQueries.i03_snapshot_diff(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = IngestQueries.i05_reembed_plan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == diff.filter(_._2 != "unchanged").keySet)
+    got.foreach { case (id, action, b) =>
+      if (diff(id) == "deleted") assert(action == "tombstone" && b == -1L)
+      else assert(action == "embed" && b >= 0L)
+    }
+    val batches = got.filter(_._2 == "embed").groupBy(_._3)
+    val maxB = batches.keys.max
+    assert(batches.keys.toSeq.sorted == (0L to maxB),
+      "batch ids dense from 0")
+    batches.foreach { case (b, v) =>
+      assert(v.length <= IngestQueries.EMBED_BATCH, s"batch $b over size")
+      if (b < maxB) assert(v.length == IngestQueries.EMBED_BATCH,
+        s"only the last batch may be partial") }
+  }
+
   test("d11: tf-idf cosine pairs match a full driver re-derivation of " +
     "weights, norms and the compare-squares rational") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
