@@ -420,7 +420,77 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** e17: SESSION-LENGTH SPECTRUM — e01's session boundaries extended
+    * to per-session rows (running sum of session starts = session id),
+    * then the count-of-counts view (t13/c09's family): for every
+    * session length k, how many sessions and their total dwell time in
+    * exact BIGINT micros. The engagement-shape summary (bounce rate =
+    * the k=1 row; binge tail = the spectrum's right edge) that product
+    * analytics reads daily, and — unlike per-session dumps — it is
+    * mergeable and k-sized.
+    *
+    * Scale shape: ONE user-keyed window shuffle produces boundaries
+    * AND session ids (lag and running-sum share the sort), the
+    * per-session aggregate reuses that partitioning, the spectrum
+    * aggregate is k-sized. */
+  val e17_session_spectrum: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("s_len"),
+        (max(expr("unix_micros(ts)")) - min(expr("unix_micros(ts)")))
+          .as("dur_us"))
+      .groupBy(col("s_len"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("dur_us")).as("total_dur_us"))
+      .orderBy(col("s_len"))
+  }
+
+  /** e18: TOLERANCE-BOUNDED AS-OF JOIN — e07's "latest prior view per
+    * purchase" with the match VOIDED when the view is more than an hour
+    * stale (the attribution-window rule every ads/analytics as-of join
+    * actually carries; unbounded as-of silently attributes to
+    * week-old views). Same single tagged-union window as e07, carrying
+    * the prior view's id AND its epoch-micros so the staleness guard is
+    * pure BIGINT arithmetic on the SAME window pass — no second join,
+    * no re-shuffle.
+    *
+    * Scale shape: identical to e07 — one user_id exchange, the window
+    * carries two running values instead of one. */
+  val e18_asof_tolerance: Q = (s, d) => {
+    val TOL_US = 3600000000L
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val tagged = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("pv_id",
+        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("pv_us",
+        last(when(col("tag") === 0, expr("unix_micros(ts)")), ignoreNulls = true)
+          .over(w))
+      .filter(col("tag") === 1)
+      .selectExpr("event_id AS purchase_id", "user_id",
+        s"""CASE WHEN pv_us IS NOT NULL
+           |       AND unix_micros(ts) - pv_us <= $TOL_US
+           |  THEN pv_id END AS prior_view_id""".stripMargin)
+      .orderBy(col("purchase_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "e17_session_spectrum" -> e17_session_spectrum,
+    "e18_asof_tolerance" -> e18_asof_tolerance,
     "e16_gap_quantiles" -> e16_gap_quantiles,
     "e15_volume_spikes" -> e15_volume_spikes,
     "e14_rolling_distinct" -> e14_rolling_distinct,
@@ -439,6 +509,43 @@ object EventQueries {
     "e11_transitions" -> e11_transitions)
 
   def oracleSql: Map[String, String] = Map(
+    // e17: e01's boundary rule + running-sum session ids + the spectrum
+    "e17_session_spectrum" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |           THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sids AS (
+        |  SELECT user_id, ts,
+        |         sum(new_session) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM b),
+        |sess AS (
+        |  SELECT user_id, sid, count(*)::BIGINT AS s_len,
+        |         (max(epoch_us(ts)) - min(epoch_us(ts)))::BIGINT AS dur_us
+        |  FROM sids GROUP BY 1, 2)
+        |SELECT s_len, count(*)::BIGINT AS n_sessions,
+        |       sum(dur_us)::BIGINT AS total_dur_us
+        |FROM sess GROUP BY s_len ORDER BY s_len""".stripMargin,
+    // e18: e07's LATERAL pick, with the staleness guard on the picked
+    // view's epoch-micros
+    "e18_asof_tolerance" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       CASE WHEN v.pv_us IS NOT NULL
+        |              AND epoch_us(p.ts) - v.pv_us <= 3600000000
+        |         THEN v.prior_view_id END AS prior_view_id
+        |FROM events p
+        |LEFT JOIN LATERAL (
+        |  SELECT v.event_id AS prior_view_id, epoch_us(v.ts) AS pv_us
+        |  FROM events v
+        |  WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |    AND v.ts <= p.ts
+        |  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) v ON true
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
     // e16: same lag-window gap stream, same ⌈q·n⌉ discrete ranks (h03)
     "e16_gap_quantiles" ->
       """WITH ev AS (

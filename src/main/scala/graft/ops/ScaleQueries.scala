@@ -616,7 +616,40 @@ object ScaleQueries {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** p12: DETERMINISTIC SOURCE INTERLEAVE — a total training order in
+    * which every prefix holds each source in proportion to its corpus
+    * share, with NO randomness: doc at per-source rank r gets the
+    * Bresenham key (r−1)·N div n_s, and sorting by (key, source,
+    * doc_id) interleaves sources the way a proportional round-robin
+    * scheduler would (any prefix's per-source count deviates from
+    * exact proportionality by ≤ ~1 — the spec pins ≤ 2 with ties). This
+    * is the mixture SCHEDULER to p03/p07's mixture SELECTORS: they
+    * decide what's in the mix, this decides the order the trainer
+    * consumes it — and unlike orderBy(rand(seed)) it is stable across
+    * engines, partitionings and retries (p06's contract, with
+    * proportionality added).
+    *
+    * Scale shape: one source-keyed rank window (sub-shard a giant
+    * source like p04 at need), census broadcast for n_s, and the final
+    * sort is the one balanced range sort every total order costs —
+    * deliberately NO global rank column (p08's single-partition-window
+    * avoidance). */
+  val p12_interleave_order: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val census = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val wAll = Window.partitionBy()
+    val sized = census.withColumn("n_total", sum(col("n_s")).over(wAll))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs
+      .withColumn("r", row_number().over(wSrc).cast("long"))
+      .join(broadcast(sized), "source")
+      .selectExpr("doc_id", "source",
+        "CAST((r - 1) * n_total div n_s AS BIGINT) AS pos_key")
+      .orderBy(col("pos_key"), col("source"), col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "p12_interleave_order" -> p12_interleave_order,
     "h06_log_histogram" -> h06_log_histogram,
     "p11_split_leakage" -> p11_split_leakage,
     "p10_budget_alloc" -> p10_budget_alloc,
@@ -640,6 +673,20 @@ object ScaleQueries {
     "p06_shuffle_order" -> p06_shuffle_order)
 
   def oracleSql: Map[String, String] = Map(
+    // p12: same per-source ranks, census and Bresenham key
+    "p12_interleave_order" ->
+      """WITH census AS (
+        |  SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY 1),
+        |sized AS (
+        |  SELECT source, n_s, sum(n_s) OVER ()::BIGINT AS n_total FROM census),
+        |ranked AS (
+        |  SELECT doc_id, source,
+        |         (row_number() OVER (PARTITION BY source ORDER BY doc_id))::BIGINT AS r
+        |  FROM documents)
+        |SELECT doc_id, ranked.source,
+        |       ((r - 1) * n_total // n_s)::BIGINT AS pos_key
+        |FROM ranked JOIN sized ON sized.source = ranked.source
+        |ORDER BY pos_key, ranked.source, doc_id""".stripMargin,
     // h06: same integer cents, same bit-length buckets (DuckDB bin()
     // prints the same minimal binary string for positive BIGINTs)
     "h06_log_histogram" ->

@@ -1482,6 +1482,65 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("e17: the spectrum conserves every event into exactly one session " +
+    "and matches a driver sessionization") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).values.flatMap { g =>
+      val s0 = g.sortBy(e => (e._2, e._3))
+      val buf = scala.collection.mutable.ArrayBuffer[List[(Long, Long, Long)]]()
+      s0.foreach { e =>
+        if (buf.isEmpty || (e._2 - buf.last.last._2) / 1000000.0 > 1800)
+          buf += List(e)
+        else buf(buf.length - 1) = buf.last :+ e
+      }
+      buf
+    }.toSeq
+    val expected = sessions.groupBy(_.length).map { case (k, v) =>
+      (k.toLong, v.size.toLong,
+        v.map(s0 => s0.map(_._2).max - s0.map(_._2).min).sum)
+    }.toSeq.sortBy(_._1)
+    val got = EventQueries.e17_session_spectrum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.map(g => g._1 * g._2).sum == ev.length, "every event in one session")
+  }
+
+  test("e18: matches are exactly e07's picks filtered by the 1-hour " +
+    "staleness rule") {
+    val e07 = EventQueries.e07_asof_join(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toMap
+    val us = graft.model.Tables.events(spark, sf)
+      .selectExpr("event_id", "unix_micros(ts) AS us").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = EventQueries.e18_asof_tolerance(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long])))
+    assert(got.map(_._1).toSet == e07.keySet, "same purchase universe")
+    got.foreach { case (pid, pv) =>
+      val expected = e07(pid).filter(v => us(pid) - us(v) <= 3600000000L)
+      assert(pv == expected, s"purchase $pid")
+    }
+  }
+
+  test("p12: every prefix of the interleave holds each source within 2 " +
+    "of exact proportionality") {
+    val got = ScaleQueries.p12_interleave_order(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = got.length
+    val share = got.groupBy(_._2).map { case (s0, v) => s0 -> v.length }
+    assert(share.values.sum == n, "total order covers the corpus")
+    val ordered = got.sortBy(x => (x._3, x._2, x._1))
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    ordered.zipWithIndex.foreach { case ((_, s0, _), i) =>
+      seen(s0) = seen.getOrElse(s0, 0) + 1
+      val expectedShare = (i + 1).toDouble * share(s0) / n
+      assert(math.abs(seen(s0) - expectedShare) <= 2.0,
+        s"prefix ${i + 1}: source $s0 at ${seen(s0)} vs $expectedShare")
+    }
+  }
+
   test("q09: the small-quantity set is exactly the rows below 0.2x their " +
     "part's mean quantity") {
     val li = graft.model.Tables.lineitem(spark, sf)
