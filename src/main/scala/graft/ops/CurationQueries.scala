@@ -543,7 +543,45 @@ object CurationQueries {
       .orderBy(col("csize"))
   }
 
+  /** c10: CORPUS DRIFT REPORT — per-language doc counts and exact mean
+    * quality across two snapshots (i03's deterministic CDC views, with
+    * the changed docs' ' rev2' revision applied on the NEW side), plus
+    * the signed quality delta: the between-crawls regression check a
+    * corpus team gates releases on ("did the recrawl shift my mix or
+    * degrade a language's quality"). Quality is t02's shared ×10⁴
+    * integer formula; means are half-up integer divisions — the report
+    * is hash-exact, so drift alarms can diff it byte-for-byte.
+    *
+    * Scale shape: each snapshot collapses to per-language (count, q4
+    * sum) in one narrow map-side-combinable pass; the join is
+    * language-sized. */
+  val c10_corpus_drift: Q = (s, d) => {
+    def q4View(df: DataFrame) = df
+      .selectExpr("lang",
+        "size(split(text, ' ')) AS n_words",
+        s"${TextQueries.hitExpr(TextQueries.markers.head._2)} AS sw_hits",
+        "size(array_distinct(split(text, ' '))) AS n_distinct")
+      .selectExpr("lang",
+        s"CAST(round((${TextQueries.qualityExpr}) * 10000.0D) AS BIGINT) AS q4")
+    val docs = Tables.documents(s, d)
+    val old = q4View(docs.filter(expr("doc_id % 13 <> 5")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_old"), sum(col("q4")).as("sq_o"))
+    val neu = q4View(docs.filter(expr("doc_id % 11 <> 3"))
+        .withColumn("text", expr(
+          "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' rev2') ELSE text END")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_new"), sum(col("q4")).as("sq_n"))
+    old.join(neu, "lang")
+      .selectExpr("lang", "n_old", "n_new",
+        "CAST((2 * sq_o + n_old) div (2 * n_old) AS BIGINT) AS mean_q4_old",
+        "CAST((2 * sq_n + n_new) div (2 * n_new) AS BIGINT) AS mean_q4_new")
+      .withColumn("delta_q4", col("mean_q4_new") - col("mean_q4_old"))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "c10_corpus_drift" -> c10_corpus_drift,
     "c09_cluster_spectrum" -> c09_cluster_spectrum,
     "c08_label_propagation" -> c08_label_propagation,
     "c01_curation_pipeline" -> c01_curation_pipeline,
@@ -760,6 +798,45 @@ object CurationQueries {
          |near AS (${DedupQueries.d02OraclePairSelect}),
          |$duckClosureCtes
          |SELECT doc_id, lbl AS cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
+    // c10: i03's snapshot rules + t02's shared quality formula on both
+    // views, half-up means, signed delta
+    "c10_corpus_drift" ->
+      s"""WITH oldq AS (
+         |  SELECT lang,
+         |         CAST(round((${TextQueries.qualityExprDuck}) * 10000.0)
+         |              AS BIGINT) AS q4
+         |  FROM (SELECT lang,
+         |               len(string_split(text, ' ')) AS n_words,
+         |               ${TextQueries.duckHitExpr(TextQueries.markers.head._2)} AS sw_hits,
+         |               len(list_distinct(string_split(text, ' '))) AS n_distinct
+         |        FROM documents WHERE doc_id % 13 <> 5)),
+         |newdocs AS (
+         |  SELECT lang,
+         |         CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+         |              ELSE text END AS text
+         |  FROM documents WHERE doc_id % 11 <> 3),
+         |newq AS (
+         |  SELECT lang,
+         |         CAST(round((${TextQueries.qualityExprDuck}) * 10000.0)
+         |              AS BIGINT) AS q4
+         |  FROM (SELECT lang,
+         |               len(string_split(text, ' ')) AS n_words,
+         |               ${TextQueries.duckHitExpr(TextQueries.markers.head._2)} AS sw_hits,
+         |               len(list_distinct(string_split(text, ' '))) AS n_distinct
+         |        FROM newdocs)),
+         |o AS (
+         |  SELECT lang, count(*)::BIGINT AS n_old, sum(q4)::BIGINT AS sq_o
+         |  FROM oldq GROUP BY lang),
+         |n AS (
+         |  SELECT lang, count(*)::BIGINT AS n_new, sum(q4)::BIGINT AS sq_n
+         |  FROM newq GROUP BY lang)
+         |SELECT o.lang, n_old, n_new,
+         |       ((2 * sq_o + n_old) // (2 * n_old))::BIGINT AS mean_q4_old,
+         |       ((2 * sq_n + n_new) // (2 * n_new))::BIGINT AS mean_q4_new,
+         |       ((2 * sq_n + n_new) // (2 * n_new)
+         |        - (2 * sq_o + n_old) // (2 * n_old))::BIGINT AS delta_q4
+         |FROM o JOIN n ON n.lang = o.lang
+         |ORDER BY o.lang""".stripMargin,
     // c09: c02's closure CTEs (shared definition), then the two-level
     // census — cluster sizes, then the size spectrum
     "c09_cluster_spectrum" ->

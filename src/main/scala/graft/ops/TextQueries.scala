@@ -690,7 +690,43 @@ object TextQueries {
       .orderBy(col("lang"), col("predicted"))
   }
 
+  /** t18: PER-SOURCE QUALITY REPORT — the per-feed dashboard a corpus
+    * team triages by: docs, exact mean quality (t02's ×10⁴ integer
+    * formula, half-up mean), and LANGUAGE ENTROPY in centibits — the
+    * diversity scalar that separates a single-language feed (0 cb)
+    * from an even 5-language mix (≈ 232 cb = log₂5). Entropy is exact
+    * integer arithmetic via [[FixedLog]]:
+    * H_cb = log2cb(n) − ⌈Σ nₗ·log2cb(nₗ) / n⌋ (half-up) — the standard
+    * N·H = N·log N − Σ nₗ log nₗ identity, so no probability ever
+    * materializes as a float.
+    *
+    * Scale shape: the corpus collapses to per-(source, lang) counts +
+    * per-source quality sums in one map-side-combinable aggregate
+    * pass; everything after is source-sized. */
+  val t18_source_report: Q = (s, d) => {
+    val q4 = s"CAST(round(($qualityExpr) * 10000.0D) AS BIGINT)"
+    val perLang = Tables.documents(s, d)
+      .selectExpr("source", "lang",
+        "size(split(text, ' ')) AS n_words",
+        s"${hitExpr(markers.head._2)} AS sw_hits",
+        "size(array_distinct(split(text, ' '))) AS n_distinct")
+      .selectExpr("source", "lang", s"$q4 AS q4")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_l"), sum(col("q4")).as("sq"))
+    perLang
+      .groupBy(col("source"))
+      .agg(sum(col("n_l")).as("n_docs"), sum(col("sq")).as("sq"),
+        sum(expr(s"n_l * ${FixedLog.sparkLog2Cb("n_l")}")).as("wcb"))
+      .selectExpr("source", "n_docs",
+        "CAST((2 * sq + n_docs) div (2 * n_docs) AS BIGINT) AS mean_q4",
+        s"""CAST(${FixedLog.sparkLog2Cb("n_docs")}
+           | - (2 * wcb + n_docs) div (2 * n_docs) AS BIGINT)
+           | AS lang_entropy_cb""".stripMargin)
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "t18_source_report" -> t18_source_report,
     "t17_lang_confusion" -> t17_lang_confusion,
     "t16_zipf_fit" -> t16_zipf_fit,
     "t15_bpe_apply" -> t15_bpe_apply,
@@ -860,6 +896,33 @@ object TextQueries {
            |       s_fr::INT AS s_fr, s_zh::INT AS s_zh,
            |       $caseChain AS predicted
            |FROM scored ORDER BY doc_id""".stripMargin,
+      // t18: same q4 integerization, same N·H identity in FixedLog
+      // centibits, same half-up means
+      "t18_source_report" ->
+        s"""WITH scored AS (
+           |  SELECT source, lang,
+           |         len(string_split(text, ' ')) AS n_words,
+           |         ${duckHitExpr(markers.head._2)} AS sw_hits,
+           |         len(list_distinct(string_split(text, ' '))) AS n_distinct
+           |  FROM documents),
+           |q AS (
+           |  SELECT source, lang,
+           |         CAST(round(($qualityExprDuck) * 10000.0) AS BIGINT) AS q4
+           |  FROM scored),
+           |pl AS (
+           |  SELECT source, lang, count(*)::BIGINT AS n_l,
+           |         sum(q4)::BIGINT AS sq
+           |  FROM q GROUP BY 1, 2),
+           |agg AS (
+           |  SELECT source, sum(n_l)::BIGINT AS n_docs,
+           |         sum(sq)::BIGINT AS sq,
+           |         sum(n_l * ${FixedLog.duckLog2Cb("n_l")})::BIGINT AS wcb
+           |  FROM pl GROUP BY source)
+           |SELECT source, n_docs,
+           |       ((2 * sq + n_docs) // (2 * n_docs))::BIGINT AS mean_q4,
+           |       (${FixedLog.duckLog2Cb("n_docs")}
+           |        - (2 * wcb + n_docs) // (2 * n_docs))::BIGINT AS lang_entropy_cb
+           |FROM agg ORDER BY source""".stripMargin,
       // t17: t01's scoring CTE verbatim + the confusion census and
       // per-actual-language permille shares
       "t17_lang_confusion" ->

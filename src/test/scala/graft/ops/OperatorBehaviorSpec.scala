@@ -1482,6 +1482,53 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("t18: per-source report matches a driver re-derivation and the " +
+    "entropy scalar behaves (0 for single-lang, log2 k cap)") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val got = TextQueries.t18_source_report(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).sum == rows.length, "doc mass conserved")
+    got.foreach { case (src, n, _, hCb) =>
+      val byLang = rows.filter(_._1 == src).groupBy(_._2).map(_._2.size.toLong)
+      assert(n == byLang.sum)
+      val wcb = byLang.map(k => k * FixedLog.log2Cb(k)).sum
+      val expected = FixedLog.log2Cb(n) - (2 * wcb + n) / (2 * n)
+      assert(hCb == expected, s"source $src entropy")
+      assert(hCb >= 0 && hCb <= FixedLog.log2Cb(byLang.size.toLong) + 1,
+        s"source $src entropy out of [0, log2 k]")
+      if (byLang.size == 1) assert(hCb == 0, s"single-lang source $src")
+    }
+  }
+
+  test("c10: drift report matches per-language re-derivation over both " +
+    "snapshot views, delta is the exact mean difference") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def q4(text: String): Long = {
+      val ws = text.split(" ", -1)
+      val nw = ws.length.toLong
+      val sw = ws.count(TextQueries.markers.head._2.contains).toLong
+      val nd = ws.distinct.length.toLong
+      (2 * (4000 * nd + 3000 * (nw - sw)) + nw) / (2 * nw) + 30 * math.min(nw, 100)
+    }
+    def mean(v: Seq[Long]): Long = (2 * v.sum + v.length) / (2L * v.length)
+    val old = docs.filter(_._1 % 13 != 5).map(d => d._2 -> q4(d._3))
+    val neu = docs.filter(_._1 % 11 != 3).map { d =>
+      d._2 -> q4(if (d._1 % 7 == 0) d._3 + " rev2" else d._3) }
+    val expected = old.groupBy(_._1).toSeq.sortBy(_._1).map { case (l, o) =>
+      val nn = neu.filter(_._1 == l).map(_._2).toSeq
+      val (mo, mn) = (mean(o.map(_._2).toSeq), mean(nn))
+      (l, o.length.toLong, nn.length.toLong, mo, mn, mn - mo)
+    }
+    val got = CurationQueries.c10_corpus_drift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+  }
+
   test("e17: the spectrum conserves every event into exactly one session " +
     "and matches a driver sessionization") {
     val ev = graft.model.Tables.events(spark, sf)

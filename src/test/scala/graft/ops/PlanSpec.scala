@@ -47,6 +47,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("e18: same single user_id exchange as e07 — the staleness guard " +
+    "adds no join") {
+    val p = planOf(EventQueries.e18_asof_tolerance)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), s"tolerance must not add a join:\n$p")
+  }
+
+  test("p12: no global window — the interleave is rank window + " +
+    "broadcast census + one range sort") {
+    val p = planOf(ScaleQueries.p12_interleave_order)
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(p).length >= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly ONE SinglePartition exchange, and it sits under the
+    // BroadcastExchange (the source-sized census total) — the corpus
+    // itself flows rank-window → broadcast join → range sort only
+    assert("Exchange SinglePartition".r.findAllIn(p).length == 1, p)
+    val broadcastIdx = p.indexOf("BroadcastExchange")
+    assert(broadcastIdx >= 0 && p.indexOf("Exchange SinglePartition") > broadcastIdx,
+      s"the single-partition window must be on the census side:\n$p")
+  }
+
+  test("q09: the per-part statistic joins back shuffled-hash, not " +
+    "sort-merge") {
+    val p = planOf(RelationalQueries.q09_small_qty_revenue)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q04: LIKE prefix pushed to parquet, text column pruned") {
     val p = planOf(RelationalQueries.q04_scan_filter_like)
     assert(p.contains("PushedFilters"), p)
