@@ -109,10 +109,19 @@ object DedupQueries {
   /** d01: exact dedup — hash-groupBy on the content key, keep MIN(id).
     * Duplicates are constructed (shifted-id copies) so the operator has
     * real work at every sf. */
+  /** Id shift for the planted duplicate copies in d01/d02: max(doc_id)
+    * + 1, derived from the corpus (one bounded driver scalar; the
+    * oracles compute the identical value as a scalar subquery). A
+    * CONSTANT shift is a latent corpus-size bug: the 30x stress corpus
+    * (150,000 docs) collided real shard ids with +100000 copy ids and
+    * the two engines diverged on the scrambled fixture. */
+  private[ops] def copyShift(s: SparkSession, d: String): Long =
+    Tables.documents(s, d).agg(max(col("doc_id"))).head().getLong(0) + 1
+
   val d01_exact_dedup: Q = (s, d) => {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val doubled = docs.unionByName(
-      docs.withColumn("doc_id", col("doc_id") + 100000L))
+      docs.withColumn("doc_id", col("doc_id") + lit(copyShift(s, d))))
     val w = Window.partitionBy(col("text")).orderBy(col("doc_id").asc)
     doubled.withColumn("rn", row_number().over(w))
       .filter(col("rn") > 1)
@@ -127,7 +136,7 @@ object DedupQueries {
   val d02_minhash_lsh: Q = (s, d) => {
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val corpus = base.unionByName(
-      base.withColumn("doc_id", col("doc_id") + 100000L)
+      base.withColumn("doc_id", col("doc_id") + lit(copyShift(s, d)))
         .withColumn("text", concat(col("text"), lit(" mutated tail"))))
     // Signature in ONE compiled pass (shingle hash + 16 permutation mins
     // per character position) — the interpreted-HOF equivalent
@@ -701,7 +710,8 @@ object DedupQueries {
     s"""corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 100000, text || ' mutated tail' FROM documents),
+       |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+       |         text || ' mutated tail' FROM documents),
        |sigs AS (
        |  SELECT doc_id, ${sigExprDuck(shingleHashesDuck)} AS sig
        |  FROM corpus),
@@ -738,7 +748,9 @@ object DedupQueries {
       "d01_exact_dedup" ->
         """WITH doubled AS (
           |  SELECT doc_id, text FROM documents
-          |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+          |  UNION ALL
+          |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+          |  FROM documents),
           |marked AS (
           |  SELECT doc_id,
           |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn

@@ -43,9 +43,12 @@ class DedupStressSpec extends SparkSpec {
       .select(col("doc_a"), col("doc_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
 
-    val hotIds = (10000L until 10500L).toSet ++ (110000L until 110500L).toSet
+    // copy shift = max(doc_id) + 1 = 10500 on this planted corpus
+    val shift = 10500L
+    val hotIds = (10000L until 10500L).toSet ++
+      ((10000L + shift) until (10500L + shift)).toSet
     val hotPairs = pairs.count(p => hotIds.contains(p._1) || hotIds.contains(p._2))
-    val truePairs = pairs.count(p => p._2 == p._1 + 100000L && p._1 < 2000L)
+    val truePairs = pairs.count(p => p._2 == p._1 + shift && p._1 < 2000L)
     assert(hotPairs == 0,
       s"hot cluster leaked $hotPairs pairs through the bucket cap")
     // ≥97.5%: banded MinHash at shingle-J ≈ 0.888 inherently misses
