@@ -125,6 +125,36 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    // Session-scoped artifact builds (pair sets, cluster labels, k-NN
+    // edges — graft.engine.ArtifactCache): a real pipeline computes these
+    // ONCE per crawl and every audit reads the materialized table, so the
+    // per-query timings below are honestly measured against warm
+    // artifacts. But the build cost must appear SOMEWHERE in the record —
+    // warmup already built them, so clear the cache and re-time each
+    // build explicitly as its own entry (included in `total`). Builds run
+    // in dependency order, so each entry times ONLY its own stage (the
+    // labels entry is the closure cost over already-materialized pairs).
+    val artifactBuilds: Seq[(String, Double)] =
+      if (only.isDefined) Seq.empty
+      else {
+        graft.engine.ArtifactCache.clear()
+        Seq[(String, () => org.apache.spark.sql.DataFrame)](
+          "artifact_d02_pairs" -> (() => graft.ops.DedupQueries.d02Pairs(spark, sfDir)),
+          "artifact_d02_labels" -> (() => graft.ops.CurationQueries.d02Labels(spark, sfDir)),
+          "artifact_d06_pairs" -> (() => graft.ops.DedupQueries.d06Pairs(spark, sfDir)),
+          "artifact_d06_labels" -> (() => graft.ops.CurationQueries.d06Labels(spark, sfDir)),
+          "artifact_n09_edges" -> (() => graft.ops.AnnQueries.n09Graph(spark, sfDir))
+        ).map { case (name, build) =>
+          val t0 = System.nanoTime()
+          try build().count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench-artifact] $name failed: ${e.getMessage}")
+          }
+          finally spark.catalog.clearCache()
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+      }
+
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
@@ -142,7 +172,7 @@ object Bench {
       if (b < 0) a else math.min(a, b)
     }
 
-    val results = qs.map { case (name, fn) => name -> timeBest(fn) }
+    val results = artifactBuilds ++ qs.map { case (name, fn) => name -> timeBest(fn) }
 
     // micros only on full runs — a subset run is a targeted measurement,
     // and the kernel micros would just add a minute of co-tenant noise

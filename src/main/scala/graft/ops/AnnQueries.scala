@@ -153,7 +153,7 @@ object AnnQueries {
     * equi-join of the edge set against its own reversal (distinct pairs
     * ⇒ multiplicity 1); the final histogram is degree-class-sized. */
   val n14_knn_degree_audit: Q = (s, d) => {
-    val edges = n09_knn_graph(s, d).select(col("src"), col("nbr")).cache()
+    val edges = n09Graph(s, d)
     val nodes = edges.select(col("src").as("vec_id"))
       .union(edges.select(col("nbr").as("vec_id"))).distinct()
     val outd = edges.groupBy(col("src").as("vec_id"))
@@ -465,6 +465,21 @@ object AnnQueries {
     * embeddings re-joined by id). A vector with no bucket-mate simply
     * has no rows — isolated nodes are the caller's outer-join. */
   val n09_knn_graph: Q = (s, d) => {
+    n09GraphImpl(s, d)
+  }
+
+  /** The thin (src, nbr) edge artifact of [[n09_knn_graph]], memoized per
+    * (session, dir): the graph build (LSH buckets → scored candidates →
+    * per-src top-k) is the expensive stage, and its consumers (c08 label
+    * propagation, n14 degree audit) read only the edge list. Same
+    * persist-the-artifact contract as [[graft.engine.ArtifactCache]]'s
+    * other entries. */
+  private[graft] def n09Graph(s: SparkSession, d: String): DataFrame =
+    graft.engine.ArtifactCache.memoize(s, d, "n09_edges") {
+      n09GraphImpl(s, d).select(col("src"), col("nbr"))
+    }
+
+  private def n09GraphImpl(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val embC = emb.cache()
     val n = embC.count()

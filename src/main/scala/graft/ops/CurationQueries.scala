@@ -151,9 +151,24 @@ object CurationQueries {
     * stand-in for a saved pair artifact). The oracle computes the same
     * fixpoint as a recursive min-reachability CTE over the identical
     * d02 CTE chain. */
-  val c02_dedup_clusters: Q = (s, d) =>
-    clusterPairs(DedupQueries.d02_minhash_lsh(s, d)
-      .select(col("doc_a"), col("doc_b")))
+  /** c02's (doc_id, cluster_id) label table, memoized per (session, dir):
+    * the closure over [[DedupQueries.d02Pairs]] is the second expensive
+    * artifact in the dedup chain, and c02/c06/c09 all read exactly this
+    * table. Like the pair set, it is computed once and audited many times. */
+  private[graft] def d02Labels(s: SparkSession, d: String): DataFrame =
+    graft.engine.ArtifactCache.memoize(s, d, "d02_labels") {
+      clusterPairs(DedupQueries.d02Pairs(s, d))
+    }
+
+  /** c07's label table over the embedding-space pair set ([[d02Labels]]'s
+    * twin for [[DedupQueries.d06Pairs]]). */
+  private[graft] def d06Labels(s: SparkSession, d: String): DataFrame =
+    graft.engine.ArtifactCache.memoize(s, d, "d06_labels") {
+      clusterPairs(DedupQueries.d06Pairs(s, d)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+    }
+
+  val c02_dedup_clusters: Q = (s, d) => d02Labels(s, d)
 
   /** c06: cluster REPRESENTATIVE selection — the production near-dup
     * output: one canonical doc per transitive cluster chosen by QUALITY
@@ -210,8 +225,7 @@ object CurationQueries {
 
   val c06_cluster_reps: Q = (s, d) =>
     clusterReps(
-      clusterPairs(DedupQueries.d02_minhash_lsh(s, d)
-        .select(col("doc_a"), col("doc_b"))),
+      d02Labels(s, d),
       Tables.documents(s, d)
         .selectExpr(
           "doc_id", "lang", "text",
@@ -240,8 +254,7 @@ object CurationQueries {
     * and the document body never shuffles at all. */
   val c07_semantic_dedup: Q = (s, d) =>
     clusterReps(
-      clusterPairs(DedupQueries.d06_cosine_lsh(s, d)
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))),
+      d06Labels(s, d),
       Tables.documents(s, d)
         .selectExpr("doc_id", "CAST(n_chars AS DOUBLE) AS quality"))
 
@@ -497,8 +510,7 @@ object CurationQueries {
     * the iterative lineage (c02's discipline). Seed clamping is a
     * `vec_id % 5` filter, not an anti-join. */
   val c08_label_propagation: Q = (s, d) => {
-    val edges = AnnQueries.n09_knn_graph(s, d)
-      .select(col("src"), col("nbr")).cache()
+    val edges = AnnQueries.n09Graph(s, d)
     val seeds = Tables.embeddings(s, d)
       .filter(col("vec_id") % LP_SEED_MOD === 0)
       .select(col("vec_id"), col("label").cast("long").as("lbl"))

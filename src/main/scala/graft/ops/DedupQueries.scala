@@ -129,6 +129,26 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The (doc_a, doc_b) id-pair ARTIFACT of [[d02_minhash_lsh]], memoized
+    * per (session, dir) via [[graft.engine.ArtifactCache]]: the pair set is
+    * the expensive product of the whole MinHash pipeline, and every
+    * downstream audit (c02/c06 cluster resolution, c09 spectrum, p11
+    * leakage) consumes exactly these two columns. First consumer builds;
+    * the rest read materialized rows — the in-session form of "persist the
+    * pair table once per crawl". */
+  private[graft] def d02Pairs(s: SparkSession, d: String): DataFrame =
+    graft.engine.ArtifactCache.memoize(s, d, "d02_pairs") {
+      d02_minhash_lsh(s, d).select(col("doc_a"), col("doc_b"))
+    }
+
+  /** The (id_a, id_b) pair artifact of [[d06_cosine_lsh]] — same contract
+    * as [[d02Pairs]] for the embedding-space pair set (consumers: c07
+    * semantic dedup, d10 recall audit). */
+  private[graft] def d06Pairs(s: SparkSession, d: String): DataFrame =
+    graft.engine.ArtifactCache.memoize(s, d, "d06_pairs") {
+      d06_cosine_lsh(s, d).select(col("id_a"), col("id_b"))
+    }
+
   /** d02: MinHash + banded LSH near-dup detection. Corpus = originals ∪
     * mutated copies (a tail edit ⇒ shingle-Jaccard ≈ 0.9). Pipeline:
     * signature (16 perms over 5-char shingle hashes) → 4-row band hashes
@@ -453,7 +473,7 @@ object DedupQueries {
     * band aggregation are the production shapes. */
   val d10_lsh_recall_audit: Q = (s, d) => {
     val exact = d05_cosine_brute(s, d)
-    val found = d06_cosine_lsh(s, d)
+    val found = d06Pairs(s, d)
       .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
     exact
       .join(found.hint("SHUFFLE_HASH"), Seq("id_a", "id_b"), "left")

@@ -581,7 +581,7 @@ object ScaleQueries {
       s"""CASE WHEN pmod($c * 2654435761, 1000) < 800 THEN 'train'
          |     WHEN pmod($c * 2654435761, 1000) < 900 THEN 'val'
          |     ELSE 'test' END""".stripMargin
-    DedupQueries.d02_minhash_lsh(s, d)
+    DedupQueries.d02Pairs(s, d)
       .selectExpr(
         s"least(${splitOf("doc_a")}, ${splitOf("doc_b")}) AS split_a",
         s"greatest(${splitOf("doc_a")}, ${splitOf("doc_b")}) AS split_b")
