@@ -706,7 +706,135 @@ object DedupQueries {
       .orderBy(col("vec_id"))
   }
 
+  // ------------------------------------------------------------------
+  // d12: exact substring-span dedup
+  // ------------------------------------------------------------------
+
+  /** d12 parameters. W-token shingles; spans shorter than SPAN_MIN tokens
+    * are noise (a single hash collision fakes exactly one W-length span,
+    * so SPAN_MIN > W + 3 demands ≥ 5 CONSECUTIVE aligned shingle matches
+    * — a collision run that long is cryptographically negligible at
+    * P ≈ 2³⁰). SPAN_DF_CAP is d02's hot-feature discipline on shingle
+    * occurrences: a boilerplate shingle shared by the whole corpus would
+    * otherwise pair quadratically. */
+  private[ops] val SPAN_W = 8
+  private[ops] val SPAN_MIN = 12
+  private[ops] val SPAN_DF_CAP = 50
+
+  /** The W-token rolling fold over token hashes, mod P each step so the
+    * accumulator stays < 31·P + max(tokenhash) < 2⁶³. `at(j)` renders the
+    * j-offset token-hash access per dialect. */
+  private def spanFold(at: Int => String): String =
+    (1 until SPAN_W).foldLeft(s"${at(0)} % $P")(
+      (acc, j) => s"($acc * 31 + ${at(j)}) % $P")
+
+  /** 8-char rpad('_') token polynomial, DuckDB dialect (the Spark twin is
+    * compiled inside the shingle UDF below; d03's 4-char version is the
+    * same recipe). No mod: 8 terms ≤ 31⁷·(max code point) stay < 2⁶³. */
+  private val tokPolyDuck: String = {
+    val pows = (0 to 7).map(k => math.pow(31, k).toLong).reverse
+    (1 to 8).zip(pows)
+      .map { case (j, pw) =>
+        s"unicode(substr(rpad(t, 8, '_'), $j, 1))::BIGINT * $pw" }
+      .mkString(" + ")
+  }
+
+  /** d12: EXACT SUBSTRING-SPAN dedup — the Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") modality: maximal runs
+    * of ≥ SPAN_MIN shared TOKENS between two documents at ARBITRARY
+    * offsets. d08 dedups fixed chunks and d02/d04 score whole-document
+    * similarity; neither sees a long verbatim quote embedded at different
+    * positions in two otherwise-different documents — exactly what
+    * memorization-prone training corpora contain (boilerplate, quoted
+    * news wire, license headers). Corpus = originals ∪ tail-mutated
+    * copies (d01/d02's recipe), so every copy pair shares its full
+    * original text as one maximal span.
+    *
+    * Pipeline (the distributed approximation of the paper's suffix
+    * array): per-token 8-char polynomial hash → W-token rolling shingle
+    * hash at every offset (one compiled narrow pass) → posexplode to
+    * (doc, pos, h) → occurrence cap (SPAN_DF_CAP hot anti-join) →
+    * self-join on h (doc_a < doc_b) → DIAGONAL ISLAND coalescing: matches
+    * with equal pos_a − pos_b and consecutive pos_a are one shared span
+    * (islands via pos_a − row_number() per (pair, diagonal)); span length
+    * = island size + W − 1.
+    *
+    * Scale shape: shuffles carry only (h, doc_id, pos) — text never moves
+    * after the narrow shingle pass; the cap bounds the equi-join at
+    * O(Σ min(df, CAP)·CAP) like d02/d04; islands are one window over the
+    * match set (O(true shared spans), not corpus-sized). A capped-away
+    * mid-span shingle splits one span into two deterministically — same
+    * rows on both engines, and the documented cap trade (ADVICE r05 #4's
+    * no-silent-caps discipline: the cap census is one tiny aggregate).
+    * At 100 TB the (doc, pos, h) table is the artifact you persist. */
+  val d12_substring_spans: Q = (s, d) => {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      base.withColumn("doc_id", col("doc_id") + lit(copyShift(s, d)))
+        .withColumn("text", concat(col("text"), lit(" mutated tail"))))
+    val shUdf = udf { (text: String) =>
+      if (text == null) Array.empty[Long]
+      else {
+        val ws = text.split(" ", -1)
+        if (ws.length < SPAN_W) Array.empty[Long]
+        else {
+          // 8-char rpad('_') Horner base 31 over CODE POINTS == the
+          // oracle's unicode() polynomial (d03's recipe widened to 8)
+          val th = new Array[Long](ws.length)
+          var i = 0
+          while (i < ws.length) {
+            val wc = ws(i).codePoints().toArray
+            var p = 0L
+            var j = 0
+            while (j < 8) {
+              p = p * 31 + (if (j < wc.length) wc(j) else '_'.toInt)
+              j += 1
+            }
+            th(i) = p
+            i += 1
+          }
+          val out = new Array[Long](ws.length - SPAN_W + 1)
+          var k = 0
+          while (k <= ws.length - SPAN_W) {
+            var acc = 0L
+            var j = 0
+            while (j < SPAN_W) { acc = (acc * 31 + th(k + j)) % P; j += 1 }
+            out(k) = acc
+            k += 1
+          }
+          out
+        }
+      }
+    }
+    val occ = corpus
+      .select(col("doc_id"), posexplode(shUdf(col("text"))).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+    // hot-shingle cap as an anti-join (d02's shape: the over-cap census is
+    // tiny — only boilerplate shingles exceed it)
+    val hot = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > SPAN_DF_CAP).select(col("h"))
+    val capped = occ.join(hot, Seq("h"), "left_anti").cache()
+    capped.count() // materialize before the self-join (no build race)
+    val matches = capped.as("x").join(capped.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.pos").as("pos_a"),
+        col("y.doc_id").as("doc_b"), col("y.pos").as("pos_b"))
+    val diag = matches.withColumn("diag", col("pos_a") - col("pos_b"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    diag
+      .withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pos_a")).as("a_start"), min(col("pos_b")).as("b_start"),
+        (max(col("pos_a")) - min(col("pos_a")) + SPAN_W).as("span_len"))
+      .filter(col("span_len") >= SPAN_MIN)
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
+        col("span_len"))
+      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "d12_substring_spans" -> d12_substring_spans,
     "d10_lsh_recall_audit" -> d10_lsh_recall_audit,
     "d11_tfidf_cosine" -> d11_tfidf_cosine,
     "d09_semantic_decontaminate" -> d09_semantic_decontaminate,
@@ -781,6 +909,40 @@ object DedupQueries {
            |SELECT doc_a, doc_b, $estJacDuck AS est_jaccard
            |FROM pairs WHERE $estJacDuck >= 0.5
            |ORDER BY doc_a, doc_b""".stripMargin,
+      "d12_substring_spans" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+           |         text || ' mutated tail' FROM documents),
+           |th AS (
+           |  SELECT doc_id,
+           |         list_transform(string_split(text, ' '),
+           |           t -> ($tokPolyDuck)) AS th
+           |  FROM corpus),
+           |occ AS (
+           |  SELECT doc_id, e.pos AS pos, e.h AS h
+           |  FROM th, unnest(list_transform(range(1, len(th) - ${SPAN_W - 2}),
+           |    i -> {'pos': i, 'h': ${spanFold(j => s"th[i + $j]")}})) AS u(e)),
+           |capped AS (
+           |  SELECT doc_id, pos, h FROM occ
+           |  QUALIFY count(*) OVER (PARTITION BY h) <= $SPAN_DF_CAP),
+           |m AS (
+           |  SELECT x.doc_id AS doc_a, x.pos AS pos_a,
+           |         y.doc_id AS doc_b, y.pos AS pos_b
+           |  FROM capped x JOIN capped y
+           |    ON x.h = y.h AND x.doc_id < y.doc_id),
+           |isl AS (
+           |  SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a, pos_b,
+           |         pos_a - row_number() OVER (
+           |           PARTITION BY doc_a, doc_b, pos_a - pos_b
+           |           ORDER BY pos_a) AS grp
+           |  FROM m)
+           |SELECT doc_a, doc_b, min(pos_a) AS a_start, min(pos_b) AS b_start,
+           |       max(pos_a) - min(pos_a) + $SPAN_W AS span_len
+           |FROM isl GROUP BY doc_a, doc_b, diag, grp
+           |HAVING max(pos_a) - min(pos_a) + $SPAN_W >= $SPAN_MIN
+           |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
       "d03_simhash" ->
         s"""WITH toks AS (
            |  SELECT doc_id, list_transform(string_split(text, ' '),

@@ -1725,4 +1725,66 @@ class OperatorBehaviorSpec extends SparkSpec {
       rs.foreach(r => assert(r._4 == r._3 * 1000 / tot, s"$l share"))
     }
   }
+
+  test("d12: shared spans match a full driver re-derivation (shingle " +
+    "hashes, cap, diagonal islands), and every planted copy pair keeps " +
+    "its full-prefix span when uncapped") {
+    val P = 1000000007L
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val shift = docs.map(_._1).max + 1
+    val corpus = docs ++ docs.map { case (id, t) => (id + shift, t + " mutated tail") }
+    def tokHash(t: String): Long = {
+      val cp = t.codePoints().toArray
+      (0 until 8).foldLeft(0L)((a, j) =>
+        a * 31 + (if (j < cp.length) cp(j) else '_'.toInt))
+    }
+    // (doc, pos → shingle hash) per corpus member
+    val occ = corpus.flatMap { case (id, text) =>
+      val th = text.split(" ", -1).map(tokHash)
+      (0 to th.length - DedupQueries.SPAN_W).map { k =>
+        val h = (0 until DedupQueries.SPAN_W)
+          .foldLeft(0L)((a, j) => (a * 31 + th(k + j)) % P)
+        (id, (k + 1).toLong, h)
+      }
+    }
+    val hot = occ.groupBy(_._3).collect {
+      case (h, v) if v.size > DedupQueries.SPAN_DF_CAP => h }.toSet
+    val capped = occ.filterNot(o => hot(o._3))
+    val byHash = capped.groupBy(_._3)
+    val matches = byHash.values.toSeq.flatMap { v =>
+      v.toSeq.flatMap(a => v.toSeq.collect {
+        case b if a._1 < b._1 => (a._1, b._1, a._2, b._2) }) }
+    val expected = matches
+      .groupBy { case (da, db, pa, pb) => (da, db, pa - pb) }
+      .toSeq.flatMap { case (_, ms) =>
+        // islands of consecutive pos_a within one diagonal
+        val sorted = ms.sortBy(_._3)
+        val islands = sorted.zipWithIndex
+          .groupBy { case (m, i) => m._3 - i }.values
+        islands.map { isl =>
+          val ps = isl.map(_._1)
+          (ps.head._1, ps.head._2, ps.map(_._3).min, ps.map(_._4).min,
+            ps.map(_._3).max - ps.map(_._3).min + DedupQueries.SPAN_W)
+        }
+      }
+      .filter(_._5 >= DedupQueries.SPAN_MIN)
+      .sortBy(x => (x._1, x._2, x._3, x._4))
+    val got = DedupQueries.d12_substring_spans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // the planted contract: an original whose every shingle survived the
+    // cap shares its FULL text with its copy as one span from position 1
+    val gotSpans = got.groupBy(g => (g._1, g._2))
+    docs.foreach { case (id, text) =>
+      val n = text.split(" ", -1).length
+      val allSurvive = occ.filter(o => o._1 == id).forall(o => !hot(o._3))
+      if (n >= DedupQueries.SPAN_MIN && allSurvive) {
+        val spans = gotSpans.getOrElse((id, id + shift), Seq.empty)
+        assert(spans.exists(s => s._3 == 1L && s._4 == 1L && s._5 == n),
+          s"doc $id must share its full $n-token prefix with its copy")
+      }
+    }
+  }
 }
