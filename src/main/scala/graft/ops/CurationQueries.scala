@@ -629,7 +629,7 @@ object CurationQueries {
     * min), so the closure is O(rounds · (V + E)) on both engines and
     * the two formulations cannot diverge. c02 and c06 interpolate this
     * ONE definition. */
-  private def duckClosureCtes: String = {
+  private[ops] def duckClosureCtes: String = {
     // every round MATERIALIZED: each l_r references l_{r-1} three times
     // (and itself feeds three references), so the default view-inlining
     // would expand 3^rounds plan copies — materialization keeps the

@@ -724,14 +724,14 @@ object DedupQueries {
   /** The W-token rolling fold over token hashes, mod P each step so the
     * accumulator stays < 31·P + max(tokenhash) < 2⁶³. `at(j)` renders the
     * j-offset token-hash access per dialect. */
-  private def spanFold(at: Int => String): String =
+  private[ops] def spanFold(at: Int => String): String =
     (1 until SPAN_W).foldLeft(s"${at(0)} % $P")(
       (acc, j) => s"($acc * 31 + ${at(j)}) % $P")
 
   /** 8-char rpad('_') token polynomial, DuckDB dialect (the Spark twin is
     * compiled inside the shingle UDF below; d03's 4-char version is the
     * same recipe). No mod: 8 terms ≤ 31⁷·(max code point) stay < 2⁶³. */
-  private val tokPolyDuck: String = {
+  private[ops] val tokPolyDuck: String = {
     val pows = (0 to 7).map(k => math.pow(31, k).toLong).reverse
     (1 to 8).zip(pows)
       .map { case (j, pw) =>
@@ -767,53 +767,64 @@ object DedupQueries {
     * rows on both engines, and the documented cap trade (ADVICE r05 #4's
     * no-silent-caps discipline: the cap census is one tiny aggregate).
     * At 100 TB the (doc, pos, h) table is the artifact you persist. */
+  /** The compiled W-token rolling-shingle pass shared by d12 and t19:
+    * text → array of shingle hashes in offset order. 8-char rpad('_')
+    * Horner base 31 over CODE POINTS per token == the oracle's unicode()
+    * polynomial (d03's recipe widened to 8), then the mod-P W-token fold
+    * (== [[spanFold]]). */
+  private[ops] val spanShingleUdf = udf { (text: String) =>
+    if (text == null) Array.empty[Long]
+    else {
+      val ws = text.split(" ", -1)
+      if (ws.length < SPAN_W) Array.empty[Long]
+      else {
+        val th = new Array[Long](ws.length)
+        var i = 0
+        while (i < ws.length) {
+          val wc = ws(i).codePoints().toArray
+          var p = 0L
+          var j = 0
+          while (j < 8) {
+            p = p * 31 + (if (j < wc.length) wc(j) else '_'.toInt)
+            j += 1
+          }
+          th(i) = p
+          i += 1
+        }
+        val out = new Array[Long](ws.length - SPAN_W + 1)
+        var k = 0
+        while (k <= ws.length - SPAN_W) {
+          var acc = 0L
+          var j = 0
+          while (j < SPAN_W) { acc = (acc * 31 + th(k + j)) % P; j += 1 }
+          out(k) = acc
+          k += 1
+        }
+        out
+      }
+    }
+  }
+
+  /** (doc_id, pos, h) shingle-occurrence rows for a (doc_id, text)
+    * corpus, hot-capped at [[SPAN_DF_CAP]] (shared by d12 and t19). */
+  private[ops] def spanOccurrences(corpus: DataFrame): DataFrame = {
+    val occ = corpus
+      .select(col("doc_id"),
+        posexplode(spanShingleUdf(col("text"))).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+    val hot = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > SPAN_DF_CAP).select(col("h"))
+    occ.join(hot, Seq("h"), "left_anti")
+  }
+
   val d12_substring_spans: Q = (s, d) => {
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val corpus = base.unionByName(
       base.withColumn("doc_id", col("doc_id") + lit(copyShift(s, d)))
         .withColumn("text", concat(col("text"), lit(" mutated tail"))))
-    val shUdf = udf { (text: String) =>
-      if (text == null) Array.empty[Long]
-      else {
-        val ws = text.split(" ", -1)
-        if (ws.length < SPAN_W) Array.empty[Long]
-        else {
-          // 8-char rpad('_') Horner base 31 over CODE POINTS == the
-          // oracle's unicode() polynomial (d03's recipe widened to 8)
-          val th = new Array[Long](ws.length)
-          var i = 0
-          while (i < ws.length) {
-            val wc = ws(i).codePoints().toArray
-            var p = 0L
-            var j = 0
-            while (j < 8) {
-              p = p * 31 + (if (j < wc.length) wc(j) else '_'.toInt)
-              j += 1
-            }
-            th(i) = p
-            i += 1
-          }
-          val out = new Array[Long](ws.length - SPAN_W + 1)
-          var k = 0
-          while (k <= ws.length - SPAN_W) {
-            var acc = 0L
-            var j = 0
-            while (j < SPAN_W) { acc = (acc * 31 + th(k + j)) % P; j += 1 }
-            out(k) = acc
-            k += 1
-          }
-          out
-        }
-      }
-    }
-    val occ = corpus
-      .select(col("doc_id"), posexplode(shUdf(col("text"))).as(Seq("p0", "h")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
     // hot-shingle cap as an anti-join (d02's shape: the over-cap census is
     // tiny — only boilerplate shingles exceed it)
-    val hot = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > SPAN_DF_CAP).select(col("h"))
-    val capped = occ.join(hot, Seq("h"), "left_anti").cache()
+    val capped = spanOccurrences(corpus).cache()
     capped.count() // materialize before the self-join (no build race)
     val matches = capped.as("x").join(capped.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))

@@ -576,6 +576,43 @@ object ScaleQueries {
     * Scale shape: d02's pair set is the expensive artifact (computed
     * once, capped by BUCKET_CAP); the audit itself is a narrow
     * projection + a ≤ 6-row aggregate. */
+  /** p13: SPLIT-LEAKAGE REPAIR — the fix to the condition p11 measures:
+    * every near-dup CLUSTER (c02's transitive components over d02's pair
+    * artifact) is reassigned wholesale to its representative's split
+    * (the component label = min doc_id — deterministic, and the member
+    * whose hash-split the cluster inherits), so no d02 near-dup pair can
+    * cross a train/val/test boundary afterwards. Emits only the MOVED
+    * docs (doc, cluster, old → new split) — the delta a pipeline applies
+    * and logs, not a full re-listing.
+    *
+    * Scale shape: consumes the memoized label artifact (ArtifactCache —
+    * zero marginal near-dup cost after c02); the repair itself is one
+    * left join of corpus ids against the thin label table + a narrow
+    * hash projection. Unclustered docs keep their split by construction
+    * (coalesce to own id), so the output is O(docs-in-clusters), never
+    * corpus-sized. */
+  val p13_split_repair: Q = (s, d) => {
+    def splitOf(c: String): String =
+      s"""CASE WHEN pmod($c * 2654435761, 1000) < 800 THEN 'train'
+         |     WHEN pmod($c * 2654435761, 1000) < 900 THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    val base = Tables.documents(s, d).select(col("doc_id"))
+    val corpus = base.unionByName(base.select(
+      (col("doc_id") + lit(DedupQueries.copyShift(s, d))).as("doc_id")))
+    // the label artifact is a stats-less LogicalRDD — dispatch the join
+    // by hash explicitly (the repo's no-SortMergeJoin discipline; labels
+    // are thin, so the hash build side is cheap at any corpus size)
+    corpus
+      .join(CurationQueries.d02Labels(s, d).hint("SHUFFLE_HASH"),
+        Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS cluster_id")
+      .selectExpr("doc_id", "cluster_id",
+        s"${splitOf("doc_id")} AS old_split",
+        s"${splitOf("cluster_id")} AS new_split")
+      .filter(col("old_split") =!= col("new_split"))
+      .orderBy(col("doc_id"))
+  }
+
   val p11_split_leakage: Q = (s, d) => {
     def splitOf(c: String): String =
       s"""CASE WHEN pmod($c * 2654435761, 1000) < 800 THEN 'train'
@@ -652,6 +689,7 @@ object ScaleQueries {
     "p12_interleave_order" -> p12_interleave_order,
     "h06_log_histogram" -> h06_log_histogram,
     "p11_split_leakage" -> p11_split_leakage,
+    "p13_split_repair" -> p13_split_repair,
     "p10_budget_alloc" -> p10_budget_alloc,
     "p09_dsir_weights" -> p09_dsir_weights,
     "p08_curriculum" -> p08_curriculum,
@@ -700,6 +738,31 @@ object ScaleQueries {
         |      FROM events)
         |GROUP BY event_type, bucket
         |ORDER BY event_type, bucket""".stripMargin,
+    // p13: d02's pair CTEs + c02's unrolled closure + p02's split rule;
+    // the repair target is the closure's min-id label
+    "p13_split_repair" -> {
+      def splitDuck(c: String): String =
+        s"""CASE WHEN ($c * 2654435761) % 1000 < 800 THEN 'train'
+           |     WHEN ($c * 2654435761) % 1000 < 900 THEN 'val'
+           |     ELSE 'test' END""".stripMargin
+      s"""WITH ${DedupQueries.d02OracleCtes},
+         |near AS (${DedupQueries.d02OraclePairSelect}),
+         |${CurationQueries.duckClosureCtes},
+         |corpus_ids AS (
+         |  SELECT doc_id FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
+         |  FROM documents),
+         |assigned AS (
+         |  SELECT c.doc_id, coalesce(cl.lbl, c.doc_id) AS cluster_id
+         |  FROM corpus_ids c LEFT JOIN clusters cl ON cl.doc_id = c.doc_id)
+         |SELECT doc_id, cluster_id,
+         |       ${splitDuck("doc_id")} AS old_split,
+         |       ${splitDuck("cluster_id")} AS new_split
+         |FROM assigned
+         |WHERE ${splitDuck("doc_id")} <> ${splitDuck("cluster_id")}
+         |ORDER BY doc_id""".stripMargin
+    },
     // p11: d02's shared pair CTEs + p02's split rule as a projection
     "p11_split_leakage" ->
       s"""WITH ${DedupQueries.d02OracleCtes},

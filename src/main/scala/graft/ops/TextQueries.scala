@@ -725,7 +725,52 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** t19: WITHIN-DOCUMENT REPETITION SPANS — the Gopher/C4 "duplicated
+    * passage inside one document" detector (copy-paste spam, boilerplate
+    * stutter), the intra-doc twin of d12's cross-doc span dedup: same
+    * compiled W-token rolling shingles, same occurrence cap, but the
+    * equi-join is WITHIN doc_id (pos_a < pos_b) and islands run per
+    * (doc, pos_b − pos_a) diagonal, emitting every maximal self-repeated
+    * span ≥ SPAN_MIN tokens with both offsets. t06 scores repetition
+    * statistically; this returns the actual spans a cleaner would cut.
+    * Corpus: docs with doc_id % 3 = 0 get their first 16 tokens
+    * re-appended (the d01/d02 planting discipline — the natural corpus
+    * has no ≥ 8-token self-repeats, verified empirically), so planted
+    * docs must surface exactly their prefix echo.
+    *
+    * Scale shape: inherits d12's bounds — narrow compiled shingle pass,
+    * (doc, pos, h) rows only, cap-bounded join; the within-doc join is
+    * additionally keyed by doc_id, so candidate pairs are per-document
+    * local and the shuffle co-locates by (h) with doc equality as a
+    * cheap post-predicate. */
+  val t19_repetition_spans: Q = (s, d) => {
+    val W = DedupQueries.SPAN_W
+    val corpus = Tables.documents(s, d).selectExpr("doc_id",
+      """CASE WHEN doc_id % 3 = 0
+        |     THEN concat(text, ' ', array_join(slice(split(text, ' '), 1, 16), ' '))
+        |     ELSE text END AS text""".stripMargin)
+    val capped = DedupQueries.spanOccurrences(corpus).cache()
+    capped.count() // materialize before the self-join (no build race)
+    val matches = capped.as("x").join(capped.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") === col("y.doc_id") &&
+          col("x.pos") < col("y.pos"))
+      .select(col("x.doc_id").as("doc_id"), col("x.pos").as("pos_a"),
+        col("y.pos").as("pos_b"))
+    val w = Window.partitionBy(col("doc_id"), col("pos_b") - col("pos_a"))
+      .orderBy(col("pos_a"))
+    matches
+      .withColumn("diag", col("pos_b") - col("pos_a"))
+      .withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_id"), col("diag"), col("grp"))
+      .agg(min(col("pos_a")).as("a_start"), min(col("pos_b")).as("b_start"),
+        (max(col("pos_a")) - min(col("pos_a")) + W).as("span_len"))
+      .filter(col("span_len") >= DedupQueries.SPAN_MIN)
+      .select(col("doc_id"), col("a_start"), col("b_start"), col("span_len"))
+      .orderBy(col("doc_id"), col("a_start"), col("b_start"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "t19_repetition_spans" -> t19_repetition_spans,
     "t18_source_report" -> t18_source_report,
     "t17_lang_confusion" -> t17_lang_confusion,
     "t16_zipf_fit" -> t16_zipf_fit,
@@ -786,6 +831,45 @@ object TextQueries {
     val t12Union = (1 to BPE_ROUNDS)
       .map(r => s"SELECT * FROM top$r").mkString(" UNION ALL ")
     Map(
+      // t19: d12's shingle/fold/cap fragments verbatim, within-doc join
+      "t19_repetition_spans" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 3 = 0
+           |              THEN text || ' ' ||
+           |                   array_to_string(string_split(text, ' ')[1:16], ' ')
+           |              ELSE text END AS text
+           |  FROM documents),
+           |th AS (
+           |  SELECT doc_id,
+           |         list_transform(string_split(text, ' '),
+           |           t -> (${DedupQueries.tokPolyDuck})) AS th
+           |  FROM corpus),
+           |occ AS (
+           |  SELECT doc_id, e.pos AS pos, e.h AS h
+           |  FROM th, unnest(list_transform(
+           |    range(1, len(th) - ${DedupQueries.SPAN_W - 2}),
+           |    i -> {'pos': i,
+           |          'h': ${DedupQueries.spanFold(j => s"th[i + $j]")}})) AS u(e)),
+           |capped AS (
+           |  SELECT doc_id, pos, h FROM occ
+           |  QUALIFY count(*) OVER (PARTITION BY h) <= ${DedupQueries.SPAN_DF_CAP}),
+           |m AS (
+           |  SELECT x.doc_id AS doc_id, x.pos AS pos_a, y.pos AS pos_b
+           |  FROM capped x JOIN capped y
+           |    ON x.h = y.h AND x.doc_id = y.doc_id AND x.pos < y.pos),
+           |isl AS (
+           |  SELECT doc_id, pos_b - pos_a AS diag, pos_a, pos_b,
+           |         pos_a - row_number() OVER (
+           |           PARTITION BY doc_id, pos_b - pos_a
+           |           ORDER BY pos_a) AS grp
+           |  FROM m)
+           |SELECT doc_id, min(pos_a) AS a_start, min(pos_b) AS b_start,
+           |       max(pos_a) - min(pos_a) + ${DedupQueries.SPAN_W} AS span_len
+           |FROM isl GROUP BY doc_id, diag, grp
+           |HAVING max(pos_a) - min(pos_a) + ${DedupQueries.SPAN_W}
+           |         >= ${DedupQueries.SPAN_MIN}
+           |ORDER BY doc_id, a_start, b_start""".stripMargin,
       // t14: identical fixed-point centibit arithmetic — FixedLog splices
       // the SAME 256-entry constant table into both engines
       // t16: same vocab census, same (tf DESC, term ASC) rank, same

@@ -1726,6 +1726,98 @@ class OperatorBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("p13: after the repair no d02 near-dup pair crosses a split, and " +
+    "the output is exactly the moved docs") {
+    def splitOf(id: Long): String = {
+      val b = java.lang.Math.floorMod(id * 2654435761L, 1000L)
+      if (b < 800) "train" else if (b < 900) "val" else "test"
+    }
+    val labels = CurationQueries.c02_dedup_clusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val shift = docs.max + 1
+    val corpus = docs ++ docs.map(_ + shift)
+    def effective(id: Long): String = splitOf(labels.getOrElse(id, id))
+    val expected = corpus.toSeq.sorted
+      .map(id => (id, labels.getOrElse(id, id), splitOf(id), effective(id)))
+      .filter(x => x._3 != x._4)
+    val got = ScaleQueries.p13_split_repair(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
+    assert(got == expected)
+    // the repaired assignment closes every leak p11 measures
+    val pairs = DedupQueries.d02_minhash_lsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(effective(a) == effective(b), s"pair ($a,$b) must co-locate") }
+  }
+
+  test("t19: self-repetition spans match a driver re-derivation, and " +
+    "every span sits in a planted doc surfacing its prefix echo") {
+    val P = 1000000007L
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def tokHash(t: String): Long = {
+      val cp = t.codePoints().toArray
+      (0 until 8).foldLeft(0L)((a, j) =>
+        a * 31 + (if (j < cp.length) cp(j) else '_'.toInt))
+    }
+    val corpus = docs.map { case (id, t) =>
+      val aug = if (id % 3 == 0)
+        t + " " + t.split(" ", -1).take(16).mkString(" ") else t
+      (id, aug)
+    }
+    val occ = corpus.flatMap { case (id, text) =>
+      val th = text.split(" ", -1).map(tokHash)
+      (0 to th.length - DedupQueries.SPAN_W).map { k =>
+        val h = (0 until DedupQueries.SPAN_W)
+          .foldLeft(0L)((a, j) => (a * 31 + th(k + j)) % P)
+        (id, (k + 1).toLong, h)
+      }
+    }
+    val hot = occ.groupBy(_._3).collect {
+      case (h, v) if v.size > DedupQueries.SPAN_DF_CAP => h }.toSet
+    val capped = occ.filterNot(o => hot(o._3))
+    val matches = capped.groupBy(o => (o._1, o._3)).values.toSeq.flatMap { v =>
+      v.toSeq.flatMap(a => v.toSeq.collect {
+        case b if a._2 < b._2 => (a._1, a._2, b._2) }) }
+    val expected = matches
+      .groupBy { case (id, pa, pb) => (id, pb - pa) }
+      .toSeq.flatMap { case (_, ms) =>
+        val sorted = ms.sortBy(_._2)
+        sorted.zipWithIndex.groupBy { case (m, i) => m._2 - i }.values.map { isl =>
+          val ps = isl.map(_._1)
+          (ps.head._1, ps.map(_._2).min, ps.map(_._3).min,
+            ps.map(_._2).max - ps.map(_._2).min + DedupQueries.SPAN_W)
+        }
+      }
+      .filter(_._4 >= DedupQueries.SPAN_MIN)
+      .sortBy(x => (x._1, x._2, x._3))
+    val got = TextQueries.t19_repetition_spans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "the planted echoes must surface")
+    got.foreach { g =>
+      assert(g._1 % 3 == 0, s"span in unplanted doc ${g._1}")
+      assert(g._4 >= DedupQueries.SPAN_MIN)
+    }
+    // the planted contract on a clean doc: prefix echo at (1, n+1)
+    val byDoc = got.groupBy(_._1)
+    docs.foreach { case (id, t) =>
+      val n = t.split(" ", -1).length
+      val aug = corpus.toMap.apply(id)
+      val augOcc = occ.filter(_._1 == id)
+      if (id % 3 == 0 && n >= DedupQueries.SPAN_MIN &&
+          augOcc.forall(o => !hot(o._3))) {
+        val spans = byDoc.getOrElse(id, Array.empty[(Long, Long, Long, Long)].toSeq)
+        val expLen = math.min(16, n).toLong
+        assert(spans.exists(sp => sp._2 == 1L && sp._3 == n + 1L && sp._4 == expLen),
+          s"doc $id (n=$n, aug=${aug.length} chars) must echo its prefix")
+      }
+    }
+  }
+
   test("d12: shared spans match a full driver re-derivation (shingle " +
     "hashes, cap, diagonal islands), and every planted copy pair keeps " +
     "its full-prefix span when uncapped") {
