@@ -600,7 +600,51 @@ object AnnQueries {
       .limit(10)
   }
 
+  /** n16: K-MEANS LLOYD-STEP INERTIA AUDIT — the training-loop metric the
+    * ANN monitoring set still lacked (n10 watches recall, n13 cell
+    * balance, n15 quantization loss; THIS is the number the trainer
+    * itself descends): assign every vector to its nearest codebook
+    * centroid in EXACT integer arithmetic and emit per-cell population +
+    * inertia (Σ squared L2). The codebook is the iters=0 convention
+    * (first 16 embeddings in id order — n04's sf-agnostic trick), so
+    * DuckDB derives the identical centroids from the same table.
+    *
+    * Arithmetic: micro-unit BIGINT per dimension (v08's floor(x·10⁶+0.5)
+    * recipe) — per-pair squared L2 of unit-norm vectors ≤ 4·10¹² and the
+    * 64-dim sum < 2⁶³ with room for ~10⁶-vector cells; beyond that the
+    * inertia sum widens to DECIMAL(38) (v08's discipline), noted here so
+    * the 100 TB reader knows the one line to change. Ties break to the
+    * lower cell id on both engines.
+    *
+    * Scale shape: the codebook (16 rows) broadcasts; the distance table
+    * is corpus × 16 thin (vec, cell, dist) rows aggregated map-side from
+    * the exploded micro view; the argmin is one vec-keyed window; output
+    * is cell-sized. One corpus pass, no self-join. */
+  val n16_kmeans_inertia: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    def micro(df: org.apache.spark.sql.DataFrame, idAs: String) = df
+      .select(col("vec_id"), posexplode($"embedding").as(Seq("pos", "x")))
+      .selectExpr(s"vec_id AS $idAs", "pos",
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT) AS mi")
+    val cb = micro(emb.orderBy(col("vec_id")).limit(16), "cell")
+      .withColumnRenamed("mi", "cmi")
+    val dist = micro(emb, "vec_id")
+      .join(broadcast(cb), "pos")
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum((col("mi") - col("cmi")) * (col("mi") - col("cmi"))).as("dist"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("cell").asc)
+    dist
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("dist")).as("inertia"))
+      .orderBy(col("cell"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "n16_kmeans_inertia" -> n16_kmeans_inertia,
     "n01_ann_ivf" -> n01_ann_ivf,
     "n02_ann_lsh_topk" -> n02_ann_lsh_topk,
     "n03_ann_batch" -> n03_ann_batch,
@@ -668,6 +712,32 @@ object AnnQueries {
       .map(t => s"(${Lsh.duckBucketExpr(t)}) = (${Lsh.duckBucketExpr(t, "qvec")})")
       .mkString("(", "\n       OR ", ")")
     Map(
+      // n16: same iters=0 codebook (first 16 rows in id order), same
+      // micro-unit floor(x·10⁶+0.5) BIGINT squared-L2, same (dist, cell)
+      // tie-break
+      "n16_kmeans_inertia" ->
+        """WITH mic AS (
+          |  SELECT vec_id, i - 1 AS pos,
+          |         CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS mi
+          |  FROM (SELECT vec_id, unnest(embedding) AS x,
+          |               unnest(range(1, len(embedding)+1)) AS i
+          |        FROM embeddings)),
+          |cb AS (
+          |  SELECT vec_id AS cell, pos, mi AS cmi FROM mic
+          |  WHERE vec_id IN (SELECT vec_id FROM embeddings
+          |                   ORDER BY vec_id LIMIT 16)),
+          |dist AS (
+          |  SELECT m.vec_id, c.cell,
+          |         sum((m.mi - c.cmi) * (m.mi - c.cmi))::BIGINT AS dist
+          |  FROM mic m JOIN cb c ON c.pos = m.pos
+          |  GROUP BY m.vec_id, c.cell),
+          |assigned AS (
+          |  SELECT vec_id, cell, dist FROM dist
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id
+          |                             ORDER BY dist ASC, cell ASC) = 1)
+          |SELECT cell, count(*)::BIGINT AS n_assigned,
+          |       sum(dist)::BIGINT AS inertia
+          |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin,
       "n01_ann_ivf" ->
         s"""WITH $centroidCte,
            |probes AS (

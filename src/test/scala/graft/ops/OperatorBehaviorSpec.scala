@@ -1726,6 +1726,35 @@ class OperatorBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("n16: per-cell population and inertia match a driver Lloyd-step " +
+    "re-derivation, and the assignment conserves the corpus") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def micro(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1000000.0 + 0.5).toLong)
+    val cb = rows.take(16).map { case (id, v) => (id, micro(v)) }
+    val assigned = rows.map { case (id, v) =>
+      val m = micro(v)
+      val best = cb.map { case (cell, c) =>
+        val d2 = (0 until m.length).map(i => (m(i) - c(i)) * (m(i) - c(i))).sum
+        (d2, cell)
+      }.minBy(identity) // (dist, cell) lexicographic = the engine tie-break
+      (best._2, best._1)
+    }
+    val expected = assigned.groupBy(_._1).toSeq
+      .map { case (cell, v) => (cell, v.length.toLong, v.map(_._2).sum) }
+      .sortBy(_._1)
+    val got = AnnQueries.n16_kmeans_inertia(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.map(_._2).sum == rows.length, "every vector assigned once")
+    // the codebook's own rows must self-assign at zero distance
+    cb.foreach { case (id, _) =>
+      assert(assigned(rows.indexWhere(_._1 == id))._1 == id)
+    }
+  }
+
   test("p13: after the repair no d02 near-dup pair crosses a split, and " +
     "the output is exactly the moved docs") {
     def splitOf(id: Long): String = {
