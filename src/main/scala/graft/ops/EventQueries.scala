@@ -488,7 +488,47 @@ object EventQueries {
       .orderBy(col("purchase_id"))
   }
 
+  /** e19: CONVERSION-LAG QUANTILES — the funnel LATENCY summary (e08
+    * counts who converts; this measures how long conversion takes):
+    * per-user first view → first purchase lag in exact BIGINT micros,
+    * with exact p50/p90/p99 (h03/e16's ⌈q·n⌉ type-1 ranks — the tails
+    * are where approx_percentile error concentrates and where latency
+    * SLOs live) plus the viewer→converter permille. One row out.
+    *
+    * Scale shape: the corpus collapses to one row per VIEWER in a single
+    * (user-keyed, map-side-combinable) min-aggregate pass; the quantile
+    * rank is one window over that user census with converted lags
+    * sorted first (nulls-last key), so non-converts never perturb the
+    * ⌈q·n⌉ rank; the final aggregate is one row. Only the user census
+    * ever shuffles. */
+  val e19_conversion_lag: Q = (s, d) => {
+    val viewers = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("us"))).as("fv"),
+        min(when(col("event_type") === "purchase", col("us"))).as("fp"))
+      .filter(col("fv").isNotNull)
+      .selectExpr("user_id",
+        "CASE WHEN fp IS NOT NULL AND fp > fv THEN fp - fv END AS lag")
+    val w = Window.orderBy(
+      expr("CASE WHEN lag IS NULL THEN 1 ELSE 0 END").asc,
+      col("lag").asc, col("user_id").asc)
+    def pick(q: String, out: String) =
+      expr(s"max(CASE WHEN lag IS NOT NULL AND " +
+        s"rn = greatest(1, CAST(ceil(n * $q) AS BIGINT)) THEN lag END)").as(out)
+    viewers
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(col("lag")).over(Window.partitionBy()))
+      .agg(count(lit(1)).as("n_viewers"), count(col("lag")).as("n_converted"),
+        pick("0.5D", "p50_us"), pick("0.9D", "p90_us"), pick("0.99D", "p99_us"))
+      .selectExpr("n_viewers", "n_converted",
+        "CAST(n_converted * 1000 div n_viewers AS BIGINT) AS conv_permille",
+        "p50_us", "p90_us", "p99_us")
+  }
+
   def queries: Map[String, Q] = Map(
+    "e19_conversion_lag" -> e19_conversion_lag,
     "e17_session_spectrum" -> e17_session_spectrum,
     "e18_asof_tolerance" -> e18_asof_tolerance,
     "e16_gap_quantiles" -> e16_gap_quantiles,
@@ -547,6 +587,38 @@ object EventQueries {
         |WHERE p.event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
     // e16: same lag-window gap stream, same ⌈q·n⌉ discrete ranks (h03)
+    // e19: same first-touch min-aggregate, same nulls-last rank ordering,
+    // same ⌈q·n⌉ picks over the converted prefix
+    "e19_conversion_lag" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view'
+        |                  THEN epoch_us(ts) END) AS fv,
+        |         min(CASE WHEN event_type = 'purchase'
+        |                  THEN epoch_us(ts) END) AS fp
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY user_id),
+        |v AS (
+        |  SELECT user_id,
+        |         CASE WHEN fp IS NOT NULL AND fp > fv THEN fp - fv END AS lag
+        |  FROM f WHERE fv IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, lag,
+        |         row_number() OVER (
+        |           ORDER BY CASE WHEN lag IS NULL THEN 1 ELSE 0 END,
+        |                    lag, user_id) AS rn,
+        |         count(lag) OVER () AS n
+        |  FROM v)
+        |SELECT count(*)::BIGINT AS n_viewers,
+        |       count(lag)::BIGINT AS n_converted,
+        |       (count(lag) * 1000 // count(*))::BIGINT AS conv_permille,
+        |       max(CASE WHEN lag IS NOT NULL
+        |                AND rn = greatest(1, ceil(n * 0.5)) THEN lag END)::BIGINT AS p50_us,
+        |       max(CASE WHEN lag IS NOT NULL
+        |                AND rn = greatest(1, ceil(n * 0.9)) THEN lag END)::BIGINT AS p90_us,
+        |       max(CASE WHEN lag IS NOT NULL
+        |                AND rn = greatest(1, ceil(n * 0.99)) THEN lag END)::BIGINT AS p99_us
+        |FROM r""".stripMargin,
     "e16_gap_quantiles" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us

@@ -1726,6 +1726,30 @@ class OperatorBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("e19: conversion lags and quantiles match a driver re-derivation " +
+    "of first-touch pairs and type-1 ranks") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val viewers = byUser.toSeq.flatMap { case (u, es) =>
+      val fv = es.collect { case (_, "view", us) => us }.minOption
+      val fp = es.collect { case (_, "purchase", us) => us }.minOption
+      fv.map(v => (u, fp.filter(_ > v).map(_ - v)))
+    }
+    val lags = viewers.collect { case (u, Some(l)) => (l, u) }.sorted
+    def q(p: Double): Long = lags(math.max(1, math.ceil(lags.size * p).toInt) - 1)._1
+    val r = EventQueries.e19_conversion_lag(spark, sf).collect()(0)
+    assert(r.getLong(0) == viewers.size, "n_viewers")
+    assert(r.getLong(1) == lags.size, "n_converted")
+    assert(r.getLong(2) == lags.size.toLong * 1000 / viewers.size, "permille")
+    assert(r.getLong(3) == q(0.5), "p50")
+    assert(r.getLong(4) == q(0.9), "p90")
+    assert(r.getLong(5) == q(0.99), "p99")
+    assert(q(0.5) <= q(0.9) && q(0.9) <= q(0.99), "monotone quantiles")
+  }
+
   test("n16: per-cell population and inertia match a driver Lloyd-step " +
     "re-derivation, and the assignment conserves the corpus") {
     val rows = spark.read.parquet(s"$sf/embeddings.parquet")
