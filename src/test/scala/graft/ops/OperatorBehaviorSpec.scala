@@ -1932,4 +1932,35 @@ class OperatorBehaviorSpec extends SparkSpec {
       }
     }
   }
+
+  test("t20: hashed-classifier scores match a driver re-derivation " +
+    "(unigram fold, bigram combine, slot weight), and feature counts " +
+    "are exactly 2n-1") {
+    val P = 1000000007L
+    def uniHash(t: String): Long =
+      t.codePoints().toArray.take(12)
+        .foldLeft(0L)((a, c) => (a * 31 + c) % P)
+    def weight(h: Long): Long =
+      (h % TextQueries.CLS_BUCKETS) * 2654435761L % 2147483647L % 2001L - 1000L
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1).filter(_.nonEmpty)
+      val uhs = toks.map(uniHash)
+      val bhs = uhs.zip(uhs.drop(1)).map { case (a, b) => (a * 33 + b) % P }
+      val fs = uhs ++ bhs
+      val score = fs.map(weight).sum
+      (id, fs.length.toLong, score, if (score > 0) 1 else 0)
+    }.sortBy(_._1).toSeq
+    val got = TextQueries.t20_hash_classifier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == expected)
+    // every weight the slot table can emit is in [-1000, 1000]
+    (0L until TextQueries.CLS_BUCKETS).foreach { b =>
+      val w = b * 2654435761L % 2147483647L % 2001L - 1000L
+      assert(w >= -1000 && w <= 1000)
+    }
+    got.foreach { case (_, nf, _, _) => assert(nf % 2 == 1 || nf == 0) }
+  }
 }
