@@ -534,6 +534,68 @@ object CurationQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Synchronous power-iteration rounds for c11. 10 is the conventional
+    * fixed-budget PageRank cut (residual ∝ 0.85^r; rank ORDER stabilizes
+    * long before values converge — Page et al. 1999 report ~50 rounds to
+    * full convergence but usable orderings in ~10). The operator is
+    * DEFINED as the 10-round iterate, so both engines run the identical
+    * recurrence and the output is hash-exact, not convergence-dependent. */
+  val PR_ROUNDS = 10
+
+  /** Rank mass is integer PARTS-PER-BILLION of the unit distribution —
+    * every division is a BIGINT floor, so no float ever materializes. */
+  val PR_SCALE = 1000000000L
+
+  /** c11: PAGERANK CORPUS IMPORTANCE — fixed-budget power iteration
+    * over the n09 k-NN graph, the graph-centrality signal curation
+    * pipelines use to weight training data (a vector many vectors name
+    * as a near neighbor is a dense-region representative; isolated
+    * tails rank at teleport mass). The graph is n09's edge set VERBATIM
+    * (same builder, same oracle CTEs — c08's discipline), nodes are ALL
+    * vectors (bucket-isolated ones receive teleport only). Per round:
+    * contrib(u) = r(u) div outdeg(u), r'(v) = teleport + (85·Σ contrib)
+    * div 100 — all BIGINT floor divisions, so Spark `div` ≡ DuckDB `//`
+    * on the non-negative domain and the ranks are hash-exact. Dangling
+    * mass (nodes the cap isolated) and floor remainders are DROPPED,
+    * not redistributed — deterministic and identical on both engines,
+    * documented in lieu of the stochastic-matrix renormalization a
+    * float implementation would apply.
+    *
+    * Scale shape: the corpus appears only in the edge build (memoized
+    * artifact); each round is one (src)-keyed broadcast-free join of
+    * the thin rank table against ≤ 3N edges + one (nbr) aggregate +
+    * one left join back to N node rows — O(rounds·(V+E)) with 8-byte
+    * values riding the shuffles. Per-round localCheckpoint truncates
+    * the iterative lineage (c02's discipline). At 100 TB the rank
+    * table is a thin column store beside the edge artifact; rounds are
+    * embarrassingly shuffle-bound, the classic distributed-PageRank
+    * shape. */
+  val c11_pagerank: Q = (s, d) => {
+    val edges = AnnQueries.n09Graph(s, d)
+    val nodes = Tables.embeddings(s, d).select(col("vec_id"))
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val teleport = (15L * PR_SCALE) / (100L * n)
+    val outd = edges.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("outdeg"))
+      .localCheckpoint(true)
+    var rank = nodes.withColumn("r", lit(PR_SCALE / n))
+    for (_ <- 1 to PR_ROUNDS) {
+      val in = edges
+        .join(rank.select(col("vec_id").as("src"), col("r")), "src")
+        .join(outd, "src")
+        .groupBy(col("nbr"))
+        .agg(sum(expr("r div outdeg")).as("inr"))
+      rank = nodes
+        .join(in.select(col("nbr").as("vec_id"), col("inr")), Seq("vec_id"), "left")
+        .selectExpr("vec_id",
+          s"CAST($teleport + 85 * coalesce(inr, CAST(0 AS BIGINT)) div 100 AS BIGINT) AS r")
+        .localCheckpoint(true)
+    }
+    rank.select(col("vec_id"), col("r").as("rank_ppb"))
+      .orderBy(col("rank_ppb").desc, col("vec_id").asc)
+  }
+
   /** c09: CLUSTER-SIZE SPECTRUM — t13's count-of-counts applied to
     * c02's near-dup clusters: for every cluster size k, how many
     * clusters and how many docs they hold. This is the dedup-health
@@ -595,6 +657,7 @@ object CurationQueries {
   def queries: Map[String, Q] = Map(
     "c10_corpus_drift" -> c10_corpus_drift,
     "c09_cluster_spectrum" -> c09_cluster_spectrum,
+    "c11_pagerank" -> c11_pagerank,
     "c08_label_propagation" -> c08_label_propagation,
     "c01_curation_pipeline" -> c01_curation_pipeline,
     "c02_dedup_clusters" -> c02_dedup_clusters,
@@ -849,6 +912,37 @@ object CurationQueries {
          |        - (2 * sq_o + n_old) // (2 * n_old))::BIGINT AS delta_q4
          |FROM o JOIN n ON n.lang = o.lang
          |ORDER BY o.lang""".stripMargin,
+    // c11: n09's edge CTEs (shared definition) + PR_ROUNDS unrolled
+    // power-iteration rounds, every one MATERIALIZED (each references
+    // its predecessor through a join; materialization keeps the plan
+    // O(rounds), c02's closure discipline). Identical BIGINT floor
+    // arithmetic: teleport + (85·Σ r//outdeg) // 100.
+    "c11_pagerank" -> {
+      val rounds = (1 to PR_ROUNDS).map { r =>
+        s"""pr$r AS MATERIALIZED (
+           |  SELECT nodes.vec_id,
+           |         (SELECT (15 * $PR_SCALE::BIGINT) // (100 * n) FROM nn)
+           |         + 85 * coalesce(c.inr, 0) // 100 AS r
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.nbr, sum(p.r // o.outdeg)::BIGINT AS inr
+           |    FROM pr_edges e JOIN pr${r - 1} p ON e.src = p.vec_id
+           |                    JOIN outd o ON e.src = o.src
+           |    GROUP BY e.nbr) c ON nodes.vec_id = c.nbr)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${AnnQueries.knnOracleCtes},
+         |pr_edges AS MATERIALIZED (
+         |  SELECT src, nbr FROM ranked WHERE rn <= 3),
+         |nodes AS MATERIALIZED (SELECT vec_id FROM embeddings),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+         |outd AS MATERIALIZED (
+         |  SELECT src, count(*)::BIGINT AS outdeg FROM pr_edges GROUP BY src),
+         |pr0 AS MATERIALIZED (
+         |  SELECT vec_id, (SELECT $PR_SCALE::BIGINT // n FROM nn) AS r
+         |  FROM nodes),
+         |$rounds
+         |SELECT vec_id, r::BIGINT AS rank_ppb FROM pr$PR_ROUNDS
+         |ORDER BY rank_ppb DESC, vec_id ASC""".stripMargin
+    },
     // c09: c02's closure CTEs (shared definition), then the two-level
     // census — cluster sizes, then the size spectrum
     "c09_cluster_spectrum" ->

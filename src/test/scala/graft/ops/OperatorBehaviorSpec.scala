@@ -1963,4 +1963,34 @@ class OperatorBehaviorSpec extends SparkSpec {
     }
     got.foreach { case (_, nf, _, _) => assert(nf % 2 == 1 || nf == 0) }
   }
+
+  test("c11: pagerank matches a driver re-derivation of the integer " +
+    "recurrence over the real n09 edges, isolated nodes sit at teleport " +
+    "mass, and total mass never exceeds the scale") {
+    val edges = AnnQueries.n09Graph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    val n = nodes.length.toLong
+    val teleport = 15L * CurationQueries.PR_SCALE / (100L * n)
+    val outdeg = edges.groupBy(_._1).map { case (s2, es) => s2 -> es.length.toLong }
+    var rank = nodes.map(v => v -> CurationQueries.PR_SCALE / n).toMap
+    for (_ <- 1 to CurationQueries.PR_ROUNDS) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => rank(u) / outdeg(u) }.sum
+      }
+      rank = nodes.map(v => v -> (teleport + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+    }
+    val expected = nodes.map(v => (v, rank(v)))
+      .sortBy { case (v, r) => (-r, v) }.toSeq
+    val got = CurationQueries.c11_pagerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    val hasIn = edges.map(_._2).toSet
+    got.foreach { case (v, r) =>
+      if (!hasIn(v)) assert(r == teleport, s"isolated node $v at teleport")
+    }
+    assert(got.map(_._2).sum <= CurationQueries.PR_SCALE,
+      "floor arithmetic only drops mass, never creates it")
+  }
 }
