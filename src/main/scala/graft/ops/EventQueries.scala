@@ -527,7 +527,50 @@ object EventQueries {
         "p50_us", "p90_us", "p99_us")
   }
 
+  /** Allowed event-time delay for the e20 watermark audit (seconds) —
+    * structured streaming's `withWatermark("ts", "300 seconds")`. */
+  val WM_DELAY_S = 300L
+
+  /** e20: WATERMARK LATENESS AUDIT — the batch twin of a streaming
+    * job's dropped-late-rows accounting: replay the event log in
+    * arrival order (event_id), advance a per-user watermark =
+    * max event-time seen so far − [[WM_DELAY_S]], and count the events
+    * whose event time falls behind it. This is the audit a pipeline
+    * runs BEFORE picking a streaming watermark delay: the lateness
+    * spectrum per event type says what fraction of data a given delay
+    * would silently drop. The fixture's log is perfectly ordered
+    * (verified — zero native disorder), so late arrivals are PLANTED
+    * deterministically (t19's discipline): events with
+    * event_id % 17 = 4 report an event time (event_id % 5 + 1)·240 s
+    * earlier than their log position, the late-reporting-device shape.
+    * All arithmetic is integer microseconds (unix_micros/epoch_us), so
+    * counts, permilles and max lateness are hash-exact.
+    *
+    * Scale shape: one shuffle on user_id; the cummax window is
+    * per-user sequential, parallel across users (exactly how a
+    * streaming engine tracks per-key state), and the census that
+    * follows is map-side combinable. Nothing global is ordered. */
+  val e20_late_arrivals: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .selectExpr("event_id", "user_id", "event_type",
+        s"""unix_micros(ts) - CASE WHEN event_id % 17 = 4
+           |  THEN (event_id % 5 + 1) * 240000000 ELSE 0 END AS ev_us"""
+          .stripMargin)
+      .withColumn("wm_us", max(col("ev_us")).over(w) - lit(WM_DELAY_S * 1000000L))
+      .withColumn("late_us",
+        expr("CASE WHEN wm_us IS NOT NULL AND ev_us < wm_us THEN wm_us - ev_us END"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("late_us")).as("n_late"),
+        coalesce(max(col("late_us")), lit(0L)).as("max_late_us"))
+      .selectExpr("event_type", "n", "n_late",
+        "CAST(n_late * 1000 div n AS BIGINT) AS late_permille", "max_late_us")
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "e20_late_arrivals" -> e20_late_arrivals,
     "e19_conversion_lag" -> e19_conversion_lag,
     "e17_session_spectrum" -> e17_session_spectrum,
     "e18_asof_tolerance" -> e18_asof_tolerance,
@@ -549,6 +592,31 @@ object EventQueries {
     "e11_transitions" -> e11_transitions)
 
   def oracleSql: Map[String, String] = Map(
+    // e20: identical planted shift, per-user cummax watermark over
+    // arrival (event_id) order, integer-microsecond lateness census
+    "e20_late_arrivals" ->
+      s"""WITH shifted AS (
+         |  SELECT event_id, user_id, event_type,
+         |         epoch_us(ts) - CASE WHEN event_id % 17 = 4
+         |           THEN (event_id % 5 + 1) * 240000000 ELSE 0 END AS ev_us
+         |  FROM events),
+         |wm AS (
+         |  SELECT event_type,
+         |         max(ev_us) OVER (PARTITION BY user_id ORDER BY event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           - ${WM_DELAY_S * 1000000L} AS wm_us,
+         |         ev_us
+         |  FROM shifted),
+         |l AS (
+         |  SELECT event_type,
+         |         CASE WHEN wm_us IS NOT NULL AND ev_us < wm_us
+         |              THEN wm_us - ev_us END AS late_us
+         |  FROM wm)
+         |SELECT event_type, count(*)::BIGINT AS n,
+         |       count(late_us)::BIGINT AS n_late,
+         |       (count(late_us) * 1000 // count(*))::BIGINT AS late_permille,
+         |       coalesce(max(late_us), 0)::BIGINT AS max_late_us
+         |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
     // e17: e01's boundary rule + running-sum session ids + the spectrum
     "e17_session_spectrum" ->
       """WITH b AS (

@@ -1993,4 +1993,39 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(got.map(_._2).sum <= CurationQueries.PR_SCALE,
       "floor arithmetic only drops mass, never creates it")
   }
+
+  test("e20: lateness census matches a driver replay of the per-user " +
+    "watermark, and an unshifted log yields zero late rows") {
+    val rows = graft.model.Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val delay = EventQueries.WM_DELAY_S * 1000000L
+    def census(shifted: Boolean) = rows
+      .map { case (id, u, t, us) =>
+        val ev = if (shifted && id % 17 == 4) us - (id % 5 + 1) * 240000000L else us
+        (id, u, t, ev)
+      }
+      .groupBy(_._2).values.flatMap { es =>
+        var wmMax = Long.MinValue
+        es.sortBy(_._1).map { case (_, _, t, ev) =>
+          val late = if (wmMax != Long.MinValue && ev < wmMax - delay)
+            Some(wmMax - delay - ev) else None
+          wmMax = math.max(wmMax, ev)
+          (t, late)
+        }
+      }
+      .groupBy(_._1).map { case (t, es) =>
+        val lates = es.flatMap(_._2)
+        (t, es.size.toLong, lates.size.toLong,
+          lates.size.toLong * 1000 / es.size,
+          if (lates.isEmpty) 0L else lates.max)
+      }.toSeq.sortBy(_._1)
+    val got = EventQueries.e20_late_arrivals(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == census(shifted = true))
+    assert(census(shifted = false).forall(_._3 == 0L),
+      "the native log is watermark-clean; every late row is planted")
+  }
 }
