@@ -326,7 +326,78 @@ object VectorQueries {
       .orderBy(col("label"))
   }
 
+  /** Power-iteration budget for v11. The operator is DEFINED as the
+    * 8-round integer iterate (c11's fixed-budget discipline), so
+    * hash-exactness never depends on a convergence test. Alignment with
+    * the asymptotic PC1 is DATA-dependent — error decays as (λ2/λ1)^r,
+    * so a decaying spectrum (real text/image embeddings: top component
+    * is the anisotropy direction, ratios ≈ 0.3-0.7) converges in a few
+    * rounds, while the near-isotropic synthetic fixture (λ2/λ1 ≈ 0.93)
+    * would need ~50; production tunes the budget to the measured gap.
+    * The spec therefore pins the iterate against its FLOAT TWIN at the
+    * same budget (arithmetic fidelity) plus strict Rayleigh ascent. */
+  val PCA_ROUNDS = 8
+
+  /** v11 fixed-point scales: eigenvector components live in
+    * [−VSCALE, VSCALE]; the per-vector projection u is truncated by
+    * USCALE before the second matrix touch so y = Xᵀ(Xv) stays under
+    * 2⁶³ at any realistic corpus size (N·1.16·10⁶·1.5·10⁶ ≈ N·1.7·10¹²
+    * — safe past 10⁶ rows; at true 100 TB widen y to DECIMAL(38)). */
+  val PCA_VSCALE = 1000000L
+  val PCA_USCALE = 100000000L
+
+  /** v11: PRINCIPAL COMPONENT via fixed-point power iteration — the
+    * top PCA direction of the (centered) embedding cloud, the
+    * embedding-space health audit behind whitening, anisotropy checks
+    * ("is the space collapsing to one axis?") and drift dashboards.
+    * Everything is BIGINT: micro-unit quantization (v07's half-up
+    * floor), integer-mean centering, and per-round
+    * u = Xv (per-vector window sum) → truncate → y = Xᵀu → L∞
+    * renormalize. Signed truncation is ALWAYS written
+    * sign(x)·(abs(x) div k): Spark `div` truncates toward zero while
+    * DuckDB `//` floors, so the sign/abs factoring is what keeps the
+    * two engines on one arithmetic (the negative-domain divergence
+    * trap). The normalizer k = max(1, max|y| div VSCALE) keeps every
+    * division non-negative and the iterate's scale pinned.
+    *
+    * The matrix never materializes: per round ONE window over the
+    * cached (vec_id, dim, qc) rows + ONE dim-keyed aggregate, then a
+    * 64-value driver fold (t12's driver-held-table discipline; the
+    * collect is dims-bounded). At 100 TB each round is two map-side-
+    * combinable passes over a thin quantized table — the textbook
+    * distributed power iteration. */
+  val v11_principal_component: Q = (s, d) => {
+    import s.implicits._
+    val tq0 = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode($"embedding").as(Seq("pos", "x")))
+      .selectExpr("vec_id", "CAST(pos + 1 AS BIGINT) AS dim",
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT) AS q")
+    val m = tq0.groupBy(col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .selectExpr("dim", "CAST(sign(sq) AS BIGINT) * (abs(sq) div n) AS md")
+    val tq = tq0.join(m, "dim").selectExpr("vec_id", "dim", "q - md AS qc")
+      .localCheckpoint(true)
+    val dims = tq.agg(max(col("dim"))).head().getLong(0).toInt
+    var v = Array.fill(dims)(PCA_VSCALE)
+    for (_ <- 1 to PCA_ROUNDS) {
+      val vlit = s"array(${v.mkString("L,")}L)"
+      val y = tq
+        .withColumn("u", expr(s"sum(qc * element_at($vlit, CAST(dim AS INT)))" +
+          " OVER (PARTITION BY vec_id)"))
+        .selectExpr("dim",
+          s"qc * (CAST(sign(u) AS BIGINT) * (abs(u) div $PCA_USCALE)) AS p")
+        .groupBy(col("dim")).agg(sum(col("p")).as("y"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ys = (1 to dims).map(i => y.getOrElse(i.toLong, 0L))
+      val k = math.max(1L, ys.map(math.abs).max / PCA_VSCALE)
+      v = ys.map(yv => math.signum(yv) * (math.abs(yv) / k)).toArray
+    }
+    (1 to dims).map(i => (i.toLong, v(i - 1))).toDF("dim", "pc1_fp")
+      .orderBy(col("dim"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "v11_principal_component" -> v11_principal_component,
     "v10_centroid_drift" -> v10_centroid_drift,
     "v09_norm_outliers" -> v09_norm_outliers,
     "v08_centroid_geometry" -> v08_centroid_geometry,
@@ -338,6 +409,39 @@ object VectorQueries {
     "v07_dim_calibration" -> v07_dim_calibration)
 
   def oracleSql: Map[String, String] = Map(
+    // v11: the identical integer recurrence, rounds unrolled as
+    // MATERIALIZED CTEs (c11's discipline); v lives as a dims-row CTE
+    // joined per round where the engine interpolates a driver literal
+    "v11_principal_component" -> {
+      val rounds = (1 to PCA_ROUNDS).map { r =>
+        s"""u$r AS MATERIALIZED (
+           |  SELECT vec_id, sum(qc * v.r)::BIGINT AS u
+           |  FROM tq JOIN v${r - 1} v ON tq.dim = v.dim GROUP BY vec_id),
+           |y$r AS MATERIALIZED (
+           |  SELECT tq.dim,
+           |         sum(qc * (sign(u)::BIGINT * (abs(u) // $PCA_USCALE)))::BIGINT AS y
+           |  FROM tq JOIN u$r USING (vec_id) GROUP BY tq.dim),
+           |k$r AS (SELECT greatest(1, max(abs(y)) // $PCA_VSCALE) AS k FROM y$r),
+           |v$r AS MATERIALIZED (
+           |  SELECT dim, sign(y)::BIGINT * (abs(y) // (SELECT k FROM k$r)) AS r
+           |  FROM y$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tq0 AS MATERIALIZED (
+         |  SELECT vec_id, i AS dim, floor(x * 1000000 + 0.5)::BIGINT AS q
+         |  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         |               unnest(range(1, len(embedding) + 1)) AS i
+         |        FROM embeddings)),
+         |m AS (
+         |  SELECT dim, sign(sum(q))::BIGINT * (abs(sum(q)) // count(*)) AS md
+         |  FROM tq0 GROUP BY dim),
+         |tq AS MATERIALIZED (
+         |  SELECT vec_id, tq0.dim AS dim, q - md AS qc
+         |  FROM tq0 JOIN m ON tq0.dim = m.dim),
+         |v0 AS (SELECT dim, $PCA_VSCALE::BIGINT AS r FROM m),
+         |$rounds
+         |SELECT dim, r::BIGINT AS pc1_fp FROM v$PCA_ROUNDS ORDER BY dim"""
+        .stripMargin
+    },
     // v10: same snapshot views, same micro-mean centroids (v08's
     // formula), same BIGINT squared-L2 drift
     "v10_centroid_drift" ->
