@@ -643,7 +643,57 @@ object AnnQueries {
       .orderBy(col("cell"))
   }
 
+  /** n17 beam-search geometry: width-10 beam, 4 expansion steps, 5
+    * smallest-id entry points. Fixed budget (c11's discipline): the
+    * operator is DEFINED as this walk, so both engines run the same
+    * deterministic frontier whatever the graph looks like. */
+  val BEAM_WIDTH = 10
+  val BEAM_STEPS = 4
+  val BEAM_ENTRIES = 5
+
+  /** n17: GRAPH BEAM SEARCH — greedy best-first ANN over the persisted
+    * n09 k-NN graph, the NSW/HNSW-family serving path (Malkov &
+    * Yashunin 2018) re-expressed as bounded artifact lookups: start
+    * from [[BEAM_ENTRIES]] fixed entry nodes, repeatedly score the
+    * frontier ∪ its out-neighbors against the flagship query (n02's
+    * rounded dot, id tiebreak) and keep the best [[BEAM_WIDTH]], for
+    * [[BEAM_STEPS]] steps. The frontier is driver-held (t12's
+    * bounded-driver-state discipline — ≤ width·(k+1) ids per step);
+    * every score and neighbor expansion is an engine-side lookup
+    * against the memoized edge artifact and the vector table.
+    *
+    * Scale shape: this is the SERVING-path operator — per step one
+    * id-pruned edge probe (≤ 3·width thin rows) and one id-pruned
+    * vector scoring scan; nothing corpus-sized moves after the graph
+    * build. At 100 TB the edge artifact is id-bucketed parquet and each
+    * probe is a partition-pruned point read; batched query sets
+    * vectorize the same walk with query_id as one more key (n03's
+    * shape). */
+  val n17_beam_search: Q = (s, d) => {
+    val q = VectorQueries.flagshipVec
+    val edges = n09Graph(s, d)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    def scored(ids: Seq[Long]) = emb
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"),
+        (round(VectorOps.dotQueryNative(col("embedding"), q), 4) + lit(0.0))
+          .as("score"))
+    var beam: Seq[Long] = emb.select(col("vec_id"))
+      .orderBy(col("vec_id").asc).limit(BEAM_ENTRIES)
+      .collect().map(_.getLong(0)).toSeq
+    for (_ <- 1 to BEAM_STEPS) {
+      val nbrs = edges.filter(col("src").isin(beam: _*))
+        .select(col("nbr")).distinct().collect().map(_.getLong(0)).toSeq
+      val cand = (beam ++ nbrs).distinct
+      beam = scored(cand)
+        .orderBy(col("score").desc, col("vec_id").asc).limit(BEAM_WIDTH)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    scored(beam).orderBy(col("score").desc, col("vec_id").asc)
+  }
+
   def queries: Map[String, Q] = Map(
+    "n17_beam_search" -> n17_beam_search,
     "n16_kmeans_inertia" -> n16_kmeans_inertia,
     "n01_ann_ivf" -> n01_ann_ivf,
     "n02_ann_lsh_topk" -> n02_ann_lsh_topk,
@@ -712,6 +762,35 @@ object AnnQueries {
       .map(t => s"(${Lsh.duckBucketExpr(t)}) = (${Lsh.duckBucketExpr(t, "qvec")})")
       .mkString("(", "\n       OR ", ")")
     Map(
+      // n17: n09's edge CTEs + BEAM_STEPS unrolled frontier expansions;
+      // UNION dedups candidates, every beam cut is the same rounded
+      // (score DESC, vec_id ASC) LIMIT
+      "n17_beam_search" -> {
+        val steps = (1 to BEAM_STEPS).map { r =>
+          s"""c$r AS (
+             |  SELECT vec_id FROM b${r - 1}
+             |  UNION
+             |  SELECT e.nbr FROM gs_edges e JOIN b${r - 1} b ON e.src = b.vec_id),
+             |b$r AS MATERIALIZED (
+             |  SELECT c.vec_id FROM c$r c JOIN sc ON sc.vec_id = c.vec_id
+             |  ORDER BY sc.score DESC, c.vec_id ASC LIMIT $BEAM_WIDTH)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH $knnOracleCtes,
+           |gs_edges AS MATERIALIZED (
+           |  SELECT src, nbr FROM ranked WHERE rn <= 3),
+           |sc AS MATERIALIZED (
+           |  SELECT vec_id,
+           |         round(list_dot_product(embedding::DOUBLE[], $qLit), 4)
+           |           + 0.0 AS score
+           |  FROM embeddings),
+           |b0 AS (SELECT vec_id FROM embeddings
+           |       ORDER BY vec_id ASC LIMIT $BEAM_ENTRIES),
+           |$steps
+           |SELECT b.vec_id, sc.score FROM b$BEAM_STEPS b
+           |JOIN sc ON sc.vec_id = b.vec_id
+           |ORDER BY sc.score DESC, b.vec_id ASC""".stripMargin
+      },
       // n16: same iters=0 codebook (first 16 rows in id order), same
       // micro-unit floor(x·10⁶+0.5) BIGINT squared-L2, same (dist, cell)
       // tie-break

@@ -2069,4 +2069,35 @@ class OperatorBehaviorSpec extends SparkSpec {
     // one truncation step of VSCALE
     assert(got.map(math.abs).max <= VectorQueries.PCA_VSCALE * 1.01)
   }
+
+  test("n17: beam search matches a driver replay of the walk over the " +
+    "real edges, and the final beam strictly improves on the entry set") {
+    val q = VectorQueries.flagshipVec
+    val edges = AnnQueries.n09Graph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val sc = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val e = r.getSeq[Float](1)
+        val dot = e.indices.map(i => e(i).toDouble * q(i)).sum
+        r.getLong(0) -> (BigDecimal(dot)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+      }.toMap
+    def cut(ids: Seq[Long]): Seq[Long] =
+      ids.distinct.sortBy(v => (-sc(v), v)).take(AnnQueries.BEAM_WIDTH)
+    var beam = sc.keys.toSeq.sorted.take(AnnQueries.BEAM_ENTRIES)
+    val entryBest = beam.map(sc).max
+    for (_ <- 1 to AnnQueries.BEAM_STEPS)
+      beam = cut(beam ++ beam.flatMap(v => edges.getOrElse(v, Set.empty)))
+    val expected = beam.sortBy(v => (-sc(v), v)).map(v => (v, sc(v)))
+    val got = AnnQueries.n17_beam_search(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+    assert(got.head._2 >= entryBest,
+      "the walk never loses the best entry (it stays in the beam)")
+    assert(got.map(_._1).toSet.exists(v => !sc.keys.toSeq.sorted
+      .take(AnnQueries.BEAM_ENTRIES).contains(v)),
+      "the walk actually moved off the entry set")
+  }
 }
