@@ -596,6 +596,44 @@ object CurationQueries {
       .orderBy(col("rank_ppb").desc, col("vec_id").asc)
   }
 
+  /** c12: DUPLICATION×QUALITY INTERACTION — mean document quality per
+    * near-dup cluster size: the report that answers "are my duplicated
+    * documents the good ones or the spam?", which decides whether
+    * dedup should keep one-per-cluster (dups are spam: means fall with
+    * size) or quality-rerank first (dups are canon: templates, legal
+    * boilerplate, popular articles). Composes two ARTIFACTS — c02's
+    * cluster labels and t02's ×10⁴ integer quality — exactly like c06;
+    * unclustered docs are size-1 singletons (c06's coalesce contract).
+    * Means are the half-up integer division (c10's formula): the whole
+    * report is BIGINT, hash-exact.
+    *
+    * Scale shape: one narrow quality pass, one broadcast-or-shuffle
+    * join against the thin label artifact, one cluster-sized window
+    * (cluster size is BUCKET_CAP-bounded upstream), two tiny censuses.
+    * The corpus body never shuffles. */
+  val c12_dup_quality: Q = (s, d) => {
+    val q4 = Tables.documents(s, d)
+      .selectExpr("doc_id",
+        "size(split(text, ' ')) AS n_words",
+        s"${TextQueries.hitExpr(TextQueries.markers.head._2)} AS sw_hits",
+        "size(array_distinct(split(text, ' '))) AS n_distinct")
+      .selectExpr("doc_id",
+        s"CAST(round((${TextQueries.qualityExpr}) * 10000.0D) AS BIGINT) AS q4")
+    val labeled = q4
+      .join(d02Labels(s, d).select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
+    labeled
+      .withColumn("csize",
+        count(lit(1)).over(Window.partitionBy(col("cid"))).cast("long"))
+      .groupBy(col("csize"))
+      .agg(countDistinct(col("cid")).as("n_clusters"),
+        count(lit(1)).as("n_docs"), sum(col("q4")).as("sq"))
+      .selectExpr("csize", "n_clusters", "n_docs",
+        "CAST((2 * sq + n_docs) div (2 * n_docs) AS BIGINT) AS mean_q4")
+      .orderBy(col("csize"))
+  }
+
   /** c09: CLUSTER-SIZE SPECTRUM — t13's count-of-counts applied to
     * c02's near-dup clusters: for every cluster size k, how many
     * clusters and how many docs they hold. This is the dedup-health
@@ -658,6 +696,7 @@ object CurationQueries {
     "c10_corpus_drift" -> c10_corpus_drift,
     "c09_cluster_spectrum" -> c09_cluster_spectrum,
     "c11_pagerank" -> c11_pagerank,
+    "c12_dup_quality" -> c12_dup_quality,
     "c08_label_propagation" -> c08_label_propagation,
     "c01_curation_pipeline" -> c01_curation_pipeline,
     "c02_dedup_clusters" -> c02_dedup_clusters,
@@ -912,6 +951,32 @@ object CurationQueries {
          |        - (2 * sq_o + n_old) // (2 * n_old))::BIGINT AS delta_q4
          |FROM o JOIN n ON n.lang = o.lang
          |ORDER BY o.lang""".stripMargin,
+    // c12: c02's closure CTEs + c10's integer q4 + c06's singleton
+    // coalesce, then the size census and half-up means
+    "c12_dup_quality" ->
+      s"""WITH ${DedupQueries.d02OracleCtes},
+         |near AS (${DedupQueries.d02OraclePairSelect}),
+         |$duckClosureCtes,
+         |quality4 AS (
+         |  SELECT doc_id,
+         |         CAST(round((${TextQueries.qualityExprDuck}) * 10000.0)
+         |              AS BIGINT) AS q4
+         |  FROM (SELECT doc_id,
+         |               len(string_split(text, ' ')) AS n_words,
+         |               ${TextQueries.duckHitExpr(TextQueries.markers.head._2)} AS sw_hits,
+         |               len(list_distinct(string_split(text, ' '))) AS n_distinct
+         |        FROM documents)),
+         |labeled AS (
+         |  SELECT q.doc_id, coalesce(c.lbl, q.doc_id) AS cid, q.q4
+         |  FROM quality4 q LEFT JOIN clusters c USING (doc_id)),
+         |sized AS (
+         |  SELECT cid, q4,
+         |         count(*) OVER (PARTITION BY cid)::BIGINT AS csize
+         |  FROM labeled)
+         |SELECT csize, count(DISTINCT cid)::BIGINT AS n_clusters,
+         |       count(*)::BIGINT AS n_docs,
+         |       ((2 * sum(q4) + count(*)) // (2 * count(*)))::BIGINT AS mean_q4
+         |FROM sized GROUP BY csize ORDER BY csize""".stripMargin,
     // c11: n09's edge CTEs (shared definition) + PR_ROUNDS unrolled
     // power-iteration rounds, every one MATERIALIZED (each references
     // its predecessor through a join; materialization keeps the plan

@@ -822,7 +822,44 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t21: N-GRAM NOVELTY SCORE — per-document fraction of its W-token
+    * shingles that occur exactly once in the WHOLE corpus, the
+    * redundancy-contribution audit (a doc whose shingles all recur
+    * elsewhere adds no new text; novelty-weighted sampling and
+    * "how much of this crawl is actually new" dashboards both read
+    * exactly this number). Shingles are d12's compiled rolling hashes
+    * (ONE shared UDF + the one shared oracle fragment, so t21's census
+    * can never diverge from the span dedup it complements); uniqueness
+    * is occurrence-df = 1. Docs shorter than the window surface with
+    * zero shingles and zero novelty rather than vanishing.
+    *
+    * Scale shape: d02's inverted-index discipline — one narrow shingle
+    * pass, one (h)-keyed census carrying thin (doc_id, h) rows, one
+    * (doc_id) re-aggregate; no self-join, no doc text after the scan.
+    * The permille is integer floor division: hash-exact. */
+  val t21_novelty: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+    val occ = base.select(col("doc_id"),
+      explode(DedupQueries.spanShingleUdf(col("text"))).as("h"))
+    val df = occ.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val per = occ.join(df, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_uniq"))
+    base.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "coalesce(n_sh, CAST(0 AS BIGINT)) AS n_shingles",
+        "coalesce(n_uniq, CAST(0 AS BIGINT)) AS n_unique",
+        """CASE WHEN coalesce(n_sh, CAST(0 AS BIGINT)) = 0
+          |     THEN CAST(0 AS BIGINT)
+          |     ELSE CAST(coalesce(n_uniq, CAST(0 AS BIGINT)) * 1000
+          |               div n_sh AS BIGINT) END AS novelty_permille"""
+          .stripMargin)
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "t21_novelty" -> t21_novelty,
     "t20_hash_classifier" -> t20_hash_classifier,
     "t19_repetition_spans" -> t19_repetition_spans,
     "t18_source_report" -> t18_source_report,
@@ -885,6 +922,34 @@ object TextQueries {
     val t12Union = (1 to BPE_ROUNDS)
       .map(r => s"SELECT * FROM top$r").mkString(" UNION ALL ")
     Map(
+      // t21: d12's shared shingle fragments (tokPolyDuck + spanFold),
+      // occurrence-df census, integer permille; LEFT JOIN keeps
+      // shingle-less docs at zero
+      "t21_novelty" ->
+        s"""WITH th AS (
+           |  SELECT doc_id,
+           |         list_transform(string_split(text, ' '),
+           |           t -> (${DedupQueries.tokPolyDuck})) AS th
+           |  FROM documents),
+           |occ AS (
+           |  SELECT doc_id, e.h AS h
+           |  FROM th, unnest(list_transform(
+           |    range(1, len(th) - ${DedupQueries.SPAN_W - 2}),
+           |    i -> {'pos': i,
+           |          'h': ${DedupQueries.spanFold(j => s"th[i + $j]")}})) AS u(e)),
+           |df AS (SELECT h, count(*)::BIGINT AS df FROM occ GROUP BY h),
+           |per AS (
+           |  SELECT doc_id, count(*)::BIGINT AS n_sh,
+           |         sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_uniq
+           |  FROM occ JOIN df USING (h) GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |       coalesce(n_sh, 0)::BIGINT AS n_shingles,
+           |       coalesce(n_uniq, 0)::BIGINT AS n_unique,
+           |       CASE WHEN coalesce(n_sh, 0) = 0 THEN 0
+           |            ELSE coalesce(n_uniq, 0) * 1000 // n_sh
+           |       END::BIGINT AS novelty_permille
+           |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
       // t20: identical integer recurrences — base-31 char fold mod P,
       // bigram combine, Knuth-multiplicative slot weight. list_reduce
       // has no explicit zero, so the fold list is prepended with 0.

@@ -2100,4 +2100,75 @@ class OperatorBehaviorSpec extends SparkSpec {
       .take(AnnQueries.BEAM_ENTRIES).contains(v)),
       "the walk actually moved off the entry set")
   }
+
+  test("t21: novelty census matches a driver re-derivation over the " +
+    "same rolling shingles, and an exact clone zeroes both docs") {
+    val P = 1000000007L
+    def shingles(text: String): Seq[Long] = {
+      val ws = text.split(" ", -1)
+      if (ws.length < DedupQueries.SPAN_W) Seq.empty
+      else {
+        val th = ws.map { w =>
+          val cp = w.codePoints().toArray
+          (0 until 8).foldLeft(0L)((a, j) =>
+            a * 31 + (if (j < cp.length) cp(j) else '_'.toInt))
+        }
+        (0 to ws.length - DedupQueries.SPAN_W).map { k =>
+          (0 until DedupQueries.SPAN_W)
+            .foldLeft(0L)((a, j) => (a * 31 + th(k + j)) % P)
+        }
+      }
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val all = docs.flatMap { case (id, t) => shingles(t).map(h => (id, h)) }
+    val dfCount = all.groupBy(_._2).map { case (h, v) => h -> v.length }
+    val expected = docs.map { case (id, t) =>
+      val sh = shingles(t)
+      val uniq = sh.count(h => dfCount(h) == 1)
+      val pm = if (sh.isEmpty) 0L else uniq.toLong * 1000 / sh.length
+      (id, sh.length.toLong, uniq.toLong, pm)
+    }.sortBy(_._1).toSeq
+    val got = TextQueries.t21_novelty(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the planted discipline in reverse: every doc whose shingles all
+    // recur elsewhere (novelty 0 with shingles present) shares each of
+    // its shingles with some other doc — spot-check the census is
+    // really cross-document, not within-document
+    got.filter(g => g._2 > 0 && g._4 == 0).take(3).foreach { case (id, _, _, _) =>
+      val mine = shingles(docs.find(_._1 == id).get._2).toSet
+      val others = docs.filter(_._1 != id)
+        .flatMap(d => shingles(d._2)).toSet
+      assert(mine.subsetOf(others) ||
+        shingles(docs.find(_._1 == id).get._2)
+          .groupBy(identity).exists(_._2.length > 1),
+        s"doc $id zero novelty must come from recurrence")
+    }
+  }
+
+  test("c12: the dup-quality report partitions the corpus exactly " +
+    "(n_docs = csize·n_clusters, totals = corpus size) and buckets " +
+    "agree with the c02 label artifact") {
+    val got = CurationQueries.c12_dup_quality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(got.map(_._3).sum == nDocs)
+    got.foreach { case (csize, nc, nd, _) =>
+      assert(nd == csize * nc, s"bucket $csize must partition evenly")
+    }
+    // bucket counts derived independently from the label artifact
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val lab = CurationQueries.c02_dedup_clusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => ids.contains(p._1)).toMap
+    val sizes = ids.toSeq.map(v => lab.getOrElse(v, v))
+      .groupBy(identity).values.map(_.size)
+    val expected = sizes.groupBy(identity)
+      .map { case (k, v) => (k.toLong, v.size.toLong, (k * v.size).toLong) }
+      .toSeq.sortBy(_._1)
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq == expected)
+  }
 }
