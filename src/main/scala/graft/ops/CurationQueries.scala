@@ -619,8 +619,12 @@ object CurationQueries {
         "size(array_distinct(split(text, ' '))) AS n_distinct")
       .selectExpr("doc_id",
         s"CAST(round((${TextQueries.qualityExpr}) * 10000.0D) AS BIGINT) AS q4")
+    // shuffle-hash dispatch (c06's discipline): the label artifact is a
+    // stats-less LogicalRDD, and at scale it is corpus-sized — SMJ's
+    // double sort buys nothing over a hash probe on thin (id, label) rows
     val labeled = q4
-      .join(d02Labels(s, d).select(col("doc_id"), col("cluster_id")),
+      .join(d02Labels(s, d).select(col("doc_id"), col("cluster_id"))
+          .hint("shuffle_hash"),
         Seq("doc_id"), "left")
       .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
     labeled
