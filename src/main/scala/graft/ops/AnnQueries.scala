@@ -692,7 +692,37 @@ object AnnQueries {
     scored(beam).orderBy(col("score").desc, col("vec_id").asc)
   }
 
+  /** n18: MULTIPROBE LSH top-k — n02's bucketed scan widened to the
+    * Hamming-1 neighborhood of the query's bucket in every table
+    * (Lv et al. 2007): the standard recall lever when re-hashing with
+    * more tables is too expensive — at BITS=3 each table probes 4 of
+    * its 8 buckets, roughly doubling candidate mass for strictly
+    * better recall than n02 (its probe set is a superset — the spec
+    * pins both dominances). The probe lists are driver literals (the
+    * query's bucket ids), so the scan is still ONE narrow predicate
+    * pass: per-row bucket arithmetic against IN-lists, codegen'd, no
+    * join, no index build.
+    *
+    * Scale shape: identical to n02 — a predicate+top-k fused scan
+    * (TakeOrderedAndProject over the filtered projection); candidate
+    * count is (probes/2^BITS)·N per table, tunable by dropping probes. */
+  val n18_multiprobe: Q = (s, d) => {
+    val q = VectorQueries.flagshipVec
+    val cond = (0 until Lsh.NUM_TABLES).map { t =>
+      val b = Lsh.bucketOf(q, t)
+      val probes = b +: (0 until Lsh.BITS).map(i => b ^ (1 << i))
+      Lsh.bucketCol(col("embedding"), t).isin(probes.map(Int.box): _*)
+    }.reduce(_ || _)
+    Tables.embeddings(s, d)
+      .filter(cond)
+      .select(col("vec_id"),
+        round(VectorOps.dotQueryNative(col("embedding"), q), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   def queries: Map[String, Q] = Map(
+    "n18_multiprobe" -> n18_multiprobe,
     "n17_beam_search" -> n17_beam_search,
     "n16_kmeans_inertia" -> n16_kmeans_inertia,
     "n01_ann_ivf" -> n01_ann_ivf,
@@ -762,6 +792,20 @@ object AnnQueries {
       .map(t => s"(${Lsh.duckBucketExpr(t)}) = (${Lsh.duckBucketExpr(t, "qvec")})")
       .mkString("(", "\n       OR ", ")")
     Map(
+      // n18: n02's scan predicate widened to the same driver-literal
+      // Hamming-1 probe lists per table
+      "n18_multiprobe" -> {
+        val cond = (0 until Lsh.NUM_TABLES).map { t =>
+          val b = Lsh.bucketOf(VectorQueries.flagshipVec, t)
+          val probes = b +: (0 until Lsh.BITS).map(i => b ^ (1 << i))
+          s"(${Lsh.duckBucketExpr(t)}) IN (${probes.mkString(", ")})"
+        }.mkString("(", "\n   OR ", ")")
+        s"""SELECT vec_id,
+           |       round(list_dot_product(embedding::DOUBLE[], $qLit), 4) AS score
+           |FROM embeddings
+           |WHERE $cond
+           |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+      },
       // n17: n09's edge CTEs + BEAM_STEPS unrolled frontier expansions;
       // UNION dedups candidates, every beam cut is the same rounded
       // (score DESC, vec_id ASC) LIMIT

@@ -527,9 +527,29 @@ object EventQueries {
         "p50_us", "p90_us", "p99_us")
   }
 
-  /** Allowed event-time delay for the e20 watermark audit (seconds) —
-    * structured streaming's `withWatermark("ts", "300 seconds")`. */
+  /** Allowed event-time delay for the e20/e21 watermark audits
+    * (seconds) — structured streaming's
+    * `withWatermark("ts", "300 seconds")`. */
   val WM_DELAY_S = 300L
+
+  /** The planted late-reporter shift shared by e20 and e21 (and e21's
+    * streaming equivalence test), in two populations: FREQUENT SMALL
+    * (event_id % 17 = 4 → (event_id % 5 + 1)·240 s — late against e20's
+    * tight per-user watermark, but inside e21's batch-granular slack)
+    * and RARE LARGE (event_id % 211 = 7 → (event_id % 7 + 1)·3600 s —
+    * hours-late devices, the rows a GLOBAL micro-batch watermark
+    * actually drops). ONE definition per engine so the audits can't
+    * drift; the first CASE arm wins overlaps identically on both. */
+  private[graft] val wmShiftSpark: String =
+    """unix_micros(ts) - CASE WHEN event_id % 17 = 4
+      |  THEN (event_id % 5 + 1) * 240000000
+      |  WHEN event_id % 211 = 7
+      |  THEN (event_id % 7 + 1) * 3600000000 ELSE 0 END""".stripMargin
+  private[graft] val wmShiftDuck: String =
+    """epoch_us(ts) - CASE WHEN event_id % 17 = 4
+      |  THEN (event_id % 5 + 1) * 240000000
+      |  WHEN event_id % 211 = 7
+      |  THEN (event_id % 7 + 1) * 3600000000 ELSE 0 END""".stripMargin
 
   /** e20: WATERMARK LATENESS AUDIT — the batch twin of a streaming
     * job's dropped-late-rows accounting: replay the event log in
@@ -555,9 +575,7 @@ object EventQueries {
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.events(s, d)
       .selectExpr("event_id", "user_id", "event_type",
-        s"""unix_micros(ts) - CASE WHEN event_id % 17 = 4
-           |  THEN (event_id % 5 + 1) * 240000000 ELSE 0 END AS ev_us"""
-          .stripMargin)
+        s"$wmShiftSpark AS ev_us")
       .withColumn("wm_us", max(col("ev_us")).over(w) - lit(WM_DELAY_S * 1000000L))
       .withColumn("late_us",
         expr("CASE WHEN wm_us IS NOT NULL AND ev_us < wm_us THEN wm_us - ev_us END"))
@@ -569,7 +587,60 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Micro-batch size for e21 — the arrival log replayed as
+    * event_id div 1000 batches. */
+  val WM_BATCH = 1000L
+
+  /** e21: MICRO-BATCH GLOBAL-WATERMARK DROP AUDIT — Structured
+    * Streaming's EXACT drop rule as a batch query: the engine advances
+    * ONE global watermark at each micro-batch boundary (max event time
+    * seen in completed batches − delay), and an arriving row whose
+    * event time is behind it is dropped from stateful operators. e20
+    * audits a per-key replay (what delay SHOULD be); this computes what
+    * a real `withWatermark(300s)` run WOULD drop, batch by batch —
+    * n, n_late, and the operative watermark per batch. The
+    * StreamingSpec equivalence test feeds the SAME shifted log through
+    * a real streaming dropDuplicates-with-watermark query one batch
+    * per trigger and pins `numRowsDroppedByWatermark` to this audit's
+    * n_late column — the batch query IS the streaming semantics.
+    *
+    * Scale shape: the corpus collapses to one (batch, max) row per
+    * micro-batch; the running max is a batch-count-sized window
+    * (single partition over ~log-size/1000 rows — bounded, not
+    * corpus-bound); the lateness census joins the thin watermark table
+    * back by batch_no and combines map-side. */
+  val e21_watermark_batches: Q = (s, d) =>
+    watermarkBatchAudit(s, d, WM_BATCH)
+
+  /** The audit with the batch size as a parameter (the equivalence test
+    * replays smaller batches over the small fixture). The watermark is
+    * MILLISECOND-truncated exactly like the engine's event-time stats —
+    * streaming tracks max event time in ms — so the audit reproduces the
+    * real drop boundary, not a µs idealization of it. */
+  private[graft] def watermarkBatchAudit(
+      s: SparkSession, d: String, batch: Long): DataFrame = {
+    val ev = Tables.events(s, d)
+      .selectExpr("event_id", s"$wmShiftSpark AS ev_us")
+      .withColumn("batch_no", expr(s"CAST(event_id div $batch AS BIGINT)"))
+    val w = Window.orderBy(col("batch_no"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = ev.groupBy(col("batch_no")).agg(max(col("ev_us")).as("bmax"))
+      .withColumn("cm", max(col("bmax")).over(w))
+      .selectExpr("batch_no",
+        s"""CASE WHEN cm IS NULL THEN CAST(NULL AS BIGINT)
+           |     ELSE (cm div 1000 - ${WM_DELAY_S * 1000L}) * 1000
+           |END AS wm_us""".stripMargin)
+    ev.join(wm, Seq("batch_no"), "left")
+      .groupBy(col("batch_no"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("wm_us").isNotNull && col("ev_us") < col("wm_us"), 1L)
+          .otherwise(0L)).as("n_late"),
+        coalesce(max(col("wm_us")), lit(-1L)).as("wm_us"))
+      .orderBy(col("batch_no"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "e21_watermark_batches" -> e21_watermark_batches,
     "e20_late_arrivals" -> e20_late_arrivals,
     "e19_conversion_lag" -> e19_conversion_lag,
     "e17_session_spectrum" -> e17_session_spectrum,
@@ -592,13 +663,31 @@ object EventQueries {
     "e11_transitions" -> e11_transitions)
 
   def oracleSql: Map[String, String] = Map(
+    // e21: same shift, batch max census, running-max watermark over
+    // COMPLETED batches, per-batch lateness census
+    "e21_watermark_batches" ->
+      s"""WITH shifted AS (
+         |  SELECT event_id, event_id // $WM_BATCH AS batch_no,
+         |         $wmShiftDuck AS ev_us
+         |  FROM events),
+         |wm AS (
+         |  SELECT batch_no,
+         |         (max(max(ev_us)) OVER (ORDER BY batch_no
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |          // 1000 - ${WM_DELAY_S * 1000L}) * 1000 AS wm_us
+         |  FROM shifted GROUP BY batch_no)
+         |SELECT s.batch_no, count(*)::BIGINT AS n,
+         |       sum(CASE WHEN wm_us IS NOT NULL AND ev_us < wm_us
+         |                THEN 1 ELSE 0 END)::BIGINT AS n_late,
+         |       coalesce(max(wm_us), -1)::BIGINT AS wm_us
+         |FROM shifted s JOIN wm ON s.batch_no = wm.batch_no
+         |GROUP BY s.batch_no ORDER BY s.batch_no""".stripMargin,
     // e20: identical planted shift, per-user cummax watermark over
     // arrival (event_id) order, integer-microsecond lateness census
     "e20_late_arrivals" ->
       s"""WITH shifted AS (
          |  SELECT event_id, user_id, event_type,
-         |         epoch_us(ts) - CASE WHEN event_id % 17 = 4
-         |           THEN (event_id % 5 + 1) * 240000000 ELSE 0 END AS ev_us
+         |         $wmShiftDuck AS ev_us
          |  FROM events),
          |wm AS (
          |  SELECT event_type,

@@ -2003,8 +2003,12 @@ class OperatorBehaviorSpec extends SparkSpec {
     val delay = EventQueries.WM_DELAY_S * 1000000L
     def census(shifted: Boolean) = rows
       .map { case (id, u, t, us) =>
-        val ev = if (shifted && id % 17 == 4) us - (id % 5 + 1) * 240000000L else us
-        (id, u, t, ev)
+        val shift =
+          if (!shifted) 0L
+          else if (id % 17 == 4) (id % 5 + 1) * 240000000L
+          else if (id % 211 == 7) (id % 7 + 1) * 3600000000L
+          else 0L
+        (id, u, t, us - shift)
       }
       .groupBy(_._2).values.flatMap { es =>
         var wmMax = Long.MinValue
@@ -2203,5 +2207,33 @@ class OperatorBehaviorSpec extends SparkSpec {
     val movedPm = got.map(_._3).sum * 1000 / ids.length
     assert(movedPm > 40 && movedPm < 250,
       s"moved $movedPm permille, expected near ${1000 / (S + 1)}")
+  }
+
+  test("n18: the multiprobe candidate set strictly contains n02's, and " +
+    "its top-10 dot scores dominate n02's rank for rank") {
+    val q = VectorQueries.flagshipVec
+    def candidates(probesPerTable: Int => Seq[Int]): Set[Long] = {
+      val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select("vec_id", "embedding").collect()
+      rows.filter { r =>
+        val e = r.getSeq[Float](1).toArray
+        (0 until graft.vec.Lsh.NUM_TABLES).exists(t =>
+          probesPerTable(t).contains(graft.vec.Lsh.bucketOf(e, t)))
+      }.map(_.getLong(0)).toSet
+    }
+    val exact = candidates(t => Seq(graft.vec.Lsh.bucketOf(q, t)))
+    val multi = candidates { t =>
+      val b = graft.vec.Lsh.bucketOf(q, t)
+      b +: (0 until graft.vec.Lsh.BITS).map(i => b ^ (1 << i))
+    }
+    assert(exact.subsetOf(multi) && multi.size > exact.size,
+      s"multiprobe must widen the pool (${exact.size} -> ${multi.size})")
+    val s02 = AnnQueries.n02_ann_lsh_topk(spark, sf).collect()
+      .map(_.getDouble(1))
+    val s18 = AnnQueries.n18_multiprobe(spark, sf).collect()
+      .map(_.getDouble(1))
+    assert(s18.length >= s02.length)
+    s02.indices.foreach(i => assert(s18(i) >= s02(i),
+      s"rank $i: multiprobe ${s18(i)} must dominate ${s02(i)}"))
   }
 }

@@ -351,4 +351,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     query.stop()
   }
+
+  test("e21 equivalence: a real withWatermark stream drops exactly the " +
+    "rows the batch audit predicts, batch by batch") {
+    import spark.implicits._
+    implicit val sq = spark
+    // the audit at sf0.01 and the streaming replay use the SAME batch
+    // size and the SAME planted shift, so numRowsDroppedByWatermark
+    // must equal the audit's n_late total
+    val sf001 = "/root/testdata/sf0.01"
+    val B = graft.ops.EventQueries.WM_BATCH
+    val audit = graft.ops.EventQueries
+      .watermarkBatchAudit(spark, sf001, B).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val rows = graft.model.Tables.events(spark, sf001)
+      .selectExpr("event_id",
+        s"${graft.ops.EventQueries.wmShiftSpark} AS ev_us")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mem = MemoryStream[(Long, Long)](spark)
+    val st = mem.toDF().toDF("event_id", "ev_us")
+      .withColumn("ev_ts", expr("timestamp_micros(ev_us)"))
+      .withWatermark("ev_ts",
+        s"${graft.ops.EventQueries.WM_DELAY_S} seconds")
+      .dropDuplicates(Seq("event_id", "ev_ts"))
+    val query = st.writeStream.format("memory").queryName("wmeq")
+      .outputMode("append").start()
+    rows.grouped(B.toInt).foreach { batch =>
+      mem.addData(batch.toIndexedSeq)
+      query.processAllAvailable()
+    }
+    val dropped = query.recentProgress
+      .groupBy(_.batchId).map(_._2.head) // one progress per micro-batch
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    val expected = audit.values.sum
+    assert(expected > 0, "the planted hours-late devices must register")
+    assert(dropped == expected,
+      s"streaming dropped $dropped, audit predicts $expected")
+    assert(spark.table("wmeq").count() == rows.length - expected)
+    query.stop()
+  }
 }
