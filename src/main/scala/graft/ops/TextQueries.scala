@@ -780,6 +780,52 @@ object TextQueries {
   val CLS_BUCKETS = 4096L
   private val CLS_P = 1000000007L
 
+  /** t20's feature pipeline as ONE compiled pass returning
+    * (n_feats, score): per-character folds in an interpreted HOF lambda
+    * are the fp_hof pathology (BASELINE.md micro: compiled UDF 240×
+    * faster for per-char work), so the engine path is a compiled UDF
+    * with the IDENTICAL integer recurrences the DuckDB oracle spells
+    * as list lambdas — the arithmetic, and therefore the hash, cannot
+    * differ. */
+  private val clsUdf = udf { (text: String) =>
+    if (text == null) Array(0L, 0L)
+    else {
+      val toks = text.split(" ", -1)
+      var n = 0
+      var i = 0
+      while (i < toks.length) { if (toks(i).nonEmpty) n += 1; i += 1 }
+      val uhs = new Array[Long](n)
+      var k = 0
+      i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        if (t.nonEmpty) {
+          val cp = t.codePoints().toArray
+          var h = 0L
+          var j = 0
+          val lim = math.min(cp.length, 12)
+          while (j < lim) { h = (h * 31 + cp(j)) % CLS_P; j += 1 }
+          uhs(k) = h
+          k += 1
+        }
+        i += 1
+      }
+      def w(h: Long): Long =
+        (h % CLS_BUCKETS) * 2654435761L % 2147483647L % 2001L - 1000L
+      var score = 0L
+      var nf = 0L
+      i = 0
+      while (i < n) { score += w(uhs(i)); nf += 1; i += 1 }
+      i = 0
+      while (i < n - 1) {
+        score += w((uhs(i) * 33 + uhs(i + 1)) % CLS_P)
+        nf += 1
+        i += 1
+      }
+      Array(nf, score)
+    }
+  }
+
   /** t20: HASHED LINEAR QUALITY CLASSIFIER — the fastText-style scorer
     * (Joulin et al. 2016) that CCNet/RefinedWeb-class pipelines run over
     * every crawl document: tokenize, hash unigrams AND bigrams into a
@@ -799,24 +845,9 @@ object TextQueries {
     * bounded memory per row. */
   val t20_hash_classifier: Q = (s, d) => {
     Tables.documents(s, d)
-      .selectExpr("doc_id", "filter(split(text, ' '), t -> t <> '') AS toks")
+      .select(col("doc_id"), clsUdf(col("text")).as("r"))
       .selectExpr("doc_id",
-        s"""transform(toks, t -> aggregate(
-           |  sequence(1, least(length(t), 12)),
-           |  CAST(0 AS BIGINT),
-           |  (a, i) -> (a * 31 + ascii(substring(t, i, 1))) % $CLS_P)) AS uhs"""
-          .stripMargin)
-      .selectExpr("doc_id",
-        s"""concat(uhs,
-           |  CASE WHEN size(uhs) < 2 THEN CAST(array() AS ARRAY<BIGINT>)
-           |       ELSE transform(sequence(1, size(uhs) - 1),
-           |              i -> (element_at(uhs, i) * 33
-           |                    + element_at(uhs, i + 1)) % $CLS_P) END) AS fs"""
-          .stripMargin)
-      .selectExpr("doc_id", "CAST(size(fs) AS BIGINT) AS n_feats",
-        s"""aggregate(fs, CAST(0 AS BIGINT), (acc, h) -> acc
-           |  + ((h % $CLS_BUCKETS) * 2654435761 % 2147483647 % 2001 - 1000))
-           | AS score""".stripMargin)
+        "element_at(r, 1) AS n_feats", "element_at(r, 2) AS score")
       .selectExpr("doc_id", "n_feats", "score",
         "CAST(score > 0 AS INT) AS keep")
       .orderBy(col("doc_id"))

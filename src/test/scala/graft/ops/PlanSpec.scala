@@ -369,4 +369,41 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(kind".r.findAllIn(p).length == 1, p)
     assert(!p.contains("Join"), p)
   }
+
+  test("t20 classifier: pure narrow scan — the compiled UDF rides the " +
+    "projection; no join, no window, no aggregate") {
+    val p = planOf(TextQueries.t20_hash_classifier)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("n18 multiprobe: predicate+top-k fused — TakeOrderedAndProject " +
+    "over the filtered scan, no shuffle, no join") {
+    val p = planOf(AnnQueries.n18_multiprobe)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join") && !p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("p14 rendezvous: no join anywhere — explode + one doc-keyed " +
+    "aggregate + one shard census") {
+    val p = planOf(ScaleQueries.p14_rendezvous)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("t21 novelty: inverted-index shape — shingle census joins back " +
+    "by h, never a self-join of occurrences against occurrences") {
+    val p = planOf(TextQueries.t21_novelty)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("e21 watermark batches: the running max runs over the BATCH " +
+    "census (one thin SinglePartition window), not the corpus") {
+    val p = planOf(EventQueries.e21_watermark_batches)
+    // the window input is the (batch_no, bmax) aggregate, so the
+    // single-partition exchange sits above a HashAggregate, and the
+    // corpus-sized side only ever hash-partitions by batch_no
+    assert(p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
 }
