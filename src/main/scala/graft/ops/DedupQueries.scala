@@ -153,20 +153,16 @@ object DedupQueries {
     * mutated copies (a tail edit ⇒ shingle-Jaccard ≈ 0.9). Pipeline:
     * signature (16 perms over 5-char shingle hashes) → 4-row band hashes
     * → explode → bucket equi-join → est-Jaccard ≥ 0.5 filter. */
-  val d02_minhash_lsh: Q = (s, d) => {
-    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val corpus = base.unionByName(
-      base.withColumn("doc_id", col("doc_id") + lit(copyShift(s, d)))
-        .withColumn("text", concat(col("text"), lit(" mutated tail"))))
-    // Signature in ONE compiled pass (shingle hash + 16 permutation mins
-    // per character position) — the interpreted-HOF equivalent
-    // (transform × array_min × 16) costs ~64M lambda evals at sf0.1
-    // (measured 11s → ~1s). Arithmetic is identical (Horner == the
-    // polynomial sum; single mod after the 5-char fold), so the DuckDB
-    // oracle is unchanged.
+  /** Signature in ONE compiled pass (shingle hash + 16 permutation mins
+    * per character position) — the interpreted-HOF equivalent
+    * (transform × array_min × 16) costs ~64M lambda evals at sf0.1
+    * (measured 11s → ~1s). Arithmetic is identical (Horner == the
+    * polynomial sum; single mod after the 5-char fold), so the DuckDB
+    * oracle is unchanged. Shared by d02 and d13's calibration audit. */
+  private val sigUdf = {
     val as = perms.map(_._1).toArray
     val bs = perms.map(_._2).toArray
-    val sigUdf = udf { (text: String) =>
+    udf { (text: String) =>
       // code points, not UTF-16 units: the oracle's unicode(substr(...))
       // counts/reads code points, so charAt would diverge on astral text
       val cps = if (text == null) null else text.codePoints().toArray
@@ -191,6 +187,43 @@ object DedupQueries {
         mins
       }
     }
+  }
+
+  /** The DISTINCT 5-char shingle hash set of a document (same Horner
+    * fold as [[sigUdf]]) — d13's exact-Jaccard ground truth side. */
+  private val shingleSetUdf = udf { (text: String) =>
+    val cps = if (text == null) null else text.codePoints().toArray
+    if (cps == null || cps.length < 5) Array.empty[Long]
+    else {
+      val set = new java.util.HashSet[Long]()
+      var i = 0
+      val end = cps.length - 4
+      while (i < end) {
+        var h = 0L
+        var j = 0
+        while (j < 5) { h = h * 31 + cps(i + j); j += 1 }
+        set.add(h % P)
+        i += 1
+      }
+      val out = new Array[Long](set.size)
+      val it = set.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      out
+    }
+  }
+
+  /** The d02 corpus (docs + planted near-dup copies) — ONE definition
+    * for d02 and d13. */
+  private def d02Corpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    base.unionByName(
+      base.withColumn("doc_id", col("doc_id") + lit(copyShift(s, d)))
+        .withColumn("text", concat(col("text"), lit(" mutated tail"))))
+  }
+
+  val d02_minhash_lsh: Q = (s, d) => {
+    val corpus = d02Corpus(s, d)
     val sigs = corpus
       .select(col("doc_id"), sigUdf(col("text")).as("sig"))
       .cache()
@@ -844,7 +877,73 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
   }
 
+  /** d13: MINHASH CALIBRATION AUDIT — estimated vs EXACT Jaccard for
+    * every pair d02 emits, summarized per estimate decile: the
+    * monitoring loop that tells a dedup deployment whether its 16-perm
+    * signatures still track truth on the current corpus (n10/n15's
+    * discipline pointed at MinHash — drift here means the dedup
+    * threshold no longer means what it was tuned to mean). Exact truth
+    * is the Jaccard of the DISTINCT 5-char shingle sets — the SAME
+    * feature space the signatures sketch, so the residual is purely
+    * estimation error, never featurization skew. All outputs are
+    * integer permilles with half-up means.
+    *
+    * Scale shape: signatures and shingle sets are narrow compiled
+    * passes; the shingle table is semi-join-pruned to pair docs before
+    * the intersection join, so the exact side costs
+    * O(pair-docs · shingles) — pair-bounded, like d05's guarded exact
+    * twin, NOT corpus²; the final census is decile-sized. */
+  val d13_minhash_calibration: Q = (s, d) => {
+    val corpus = d02Corpus(s, d).cache()
+    val pairs = d02Pairs(s, d)
+    val sigs = corpus.select(col("doc_id"), sigUdf(col("text")).as("sig"))
+      .cache()
+    sigs.count()
+    val est = pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb"))
+        .hint("shuffle_hash"), "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        s"CAST(round(($estJacSpark) * 1000.0D) AS BIGINT) AS est_pm")
+    val pairDocs = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val occ = corpus
+      .join(pairDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(shingleSetUdf(col("text"))).as("h"))
+      .cache()
+    occ.count()
+    val sizes = occ.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val inter = pairs
+      .join(occ.select(col("doc_id").as("doc_a"), col("h"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(occ.select(col("doc_id").as("doc_b"), col("h"))
+        .hint("shuffle_hash"), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    est
+      .join(inter.hint("shuffle_hash"), Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb"))
+        .hint("shuffle_hash"), "doc_b")
+      .selectExpr("est_pm div 100 AS band", "est_pm",
+        "CAST(inter * 1000 div (na + nb - inter) AS BIGINT) AS exact_pm")
+      .selectExpr("band", "est_pm", "exact_pm",
+        "abs(est_pm - exact_pm) AS err_pm")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("est_pm")).as("se"), sum(col("exact_pm")).as("sx"),
+        sum(col("err_pm")).as("sr"))
+      .selectExpr("band", "n_pairs",
+        "CAST((2 * se + n_pairs) div (2 * n_pairs) AS BIGINT) AS mean_est_pm",
+        "CAST((2 * sx + n_pairs) div (2 * n_pairs) AS BIGINT) AS mean_exact_pm",
+        "CAST((2 * sr + n_pairs) div (2 * n_pairs) AS BIGINT) AS mean_err_pm")
+      .orderBy(col("band"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "d13_minhash_calibration" -> d13_minhash_calibration,
     "d12_substring_spans" -> d12_substring_spans,
     "d10_lsh_recall_audit" -> d10_lsh_recall_audit,
     "d11_tfidf_cosine" -> d11_tfidf_cosine,
@@ -904,6 +1003,42 @@ object DedupQueries {
       s"(CASE WHEN list_sum(list_transform(th$s, h -> CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << (15 * s + b)} ELSE 0 END)"
     ).mkString(" + ")
     Map(
+      // d13: d02's shared corpus/sig/band/pair CTEs + distinct-shingle
+      // exact Jaccard, decile census with half-up permille means
+      "d13_minhash_calibration" ->
+        s"""WITH $d02OracleCtes,
+           |p2 AS MATERIALIZED (
+           |  SELECT doc_a, doc_b,
+           |         round(($estJacDuck) * 1000)::BIGINT AS est_pm
+           |  FROM pairs WHERE $estJacDuck >= 0.5),
+           |pdocs AS (
+           |  SELECT DISTINCT doc_id FROM (
+           |    SELECT doc_a AS doc_id FROM p2
+           |    UNION ALL SELECT doc_b FROM p2)),
+           |sh AS MATERIALIZED (
+           |  SELECT c.doc_id, unnest(list_distinct($shingleHashesDuck)) AS h
+           |  FROM corpus c JOIN pdocs USING (doc_id)),
+           |sz AS (SELECT doc_id, count(*)::BIGINT AS nsh FROM sh GROUP BY doc_id),
+           |it AS (
+           |  SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS inter
+           |  FROM p2 p JOIN sh a ON a.doc_id = p.doc_a
+           |            JOIN sh b ON b.doc_id = p.doc_b AND b.h = a.h
+           |  GROUP BY p.doc_a, p.doc_b),
+           |ex AS (
+           |  SELECT p.est_pm, p.est_pm // 100 AS band,
+           |         coalesce(it.inter, 0) * 1000
+           |           // (na.nsh + nb.nsh - coalesce(it.inter, 0)) AS exact_pm
+           |  FROM p2 p LEFT JOIN it ON it.doc_a = p.doc_a AND it.doc_b = p.doc_b
+           |  JOIN sz na ON na.doc_id = p.doc_a
+           |  JOIN sz nb ON nb.doc_id = p.doc_b)
+           |SELECT band, count(*)::BIGINT AS n_pairs,
+           |       ((2 * sum(est_pm) + count(*)) // (2 * count(*)))::BIGINT
+           |         AS mean_est_pm,
+           |       ((2 * sum(exact_pm) + count(*)) // (2 * count(*)))::BIGINT
+           |         AS mean_exact_pm,
+           |       ((2 * sum(abs(est_pm - exact_pm)) + count(*))
+           |        // (2 * count(*)))::BIGINT AS mean_err_pm
+           |FROM ex GROUP BY band ORDER BY band""".stripMargin,
       "d01_exact_dedup" ->
         """WITH doubled AS (
           |  SELECT doc_id, text FROM documents

@@ -2236,4 +2236,46 @@ class OperatorBehaviorSpec extends SparkSpec {
     s02.indices.foreach(i => assert(s18(i) >= s02(i),
       s"rank $i: multiprobe ${s18(i)} must dominate ${s02(i)}"))
   }
+
+  test("d13: per-pair exact Jaccard matches a driver set computation, " +
+    "pair mass equals the d02 artifact, and the census means cohere") {
+    val P = 1000000007L
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val shift = docs.map(_._1).max + 1
+    val corpus = (docs ++ docs.map { case (id, t) =>
+      (id + shift, t + " mutated tail") }).toMap
+    def shingleSet(t: String): Set[Long] = {
+      val cp = t.codePoints().toArray
+      (0 to cp.length - 5).map { i =>
+        (0 until 5).foldLeft(0L)((a, j) => a * 31 + cp(i + j)) % P
+      }.toSet
+    }
+    val pairs = DedupQueries.d02_minhash_lsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val got = DedupQueries.d13_minhash_calibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.map(_._2).sum == pairs.length,
+      "every d02 pair lands in exactly one calibration band")
+    // exact side: recompute the per-band mean exact permille from sets
+    val perBand = pairs.groupBy(p => math.round(p._3 * 1000) / 100).map {
+      case (band, ps) =>
+        val exacts = ps.map { case (a, b, _) =>
+          val sa = shingleSet(corpus(a)); val sb = shingleSet(corpus(b))
+          val in = (sa & sb).size.toLong
+          in * 1000 / (sa.size + sb.size - in)
+        }
+        band -> (2 * exacts.sum + exacts.length) / (2L * exacts.length)
+    }
+    got.foreach { case (band, _, _, meanExact, _) =>
+      assert(perBand(band) == meanExact,
+        s"band $band exact mean: driver ${perBand(band)} vs $meanExact")
+    }
+    // |mean(est) - mean(exact)| can never exceed mean|est - exact|
+    got.foreach { case (band, _, me, mx, mr) =>
+      assert(math.abs(me - mx) <= mr + 1, s"band $band incoherent census")
+    }
+  }
 }
