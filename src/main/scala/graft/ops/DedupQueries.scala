@@ -908,8 +908,9 @@ object DedupQueries {
         s"CAST(round(($estJacSpark) * 1000.0D) AS BIGINT) AS est_pm")
     val pairDocs = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // pair-doc id list is O(near-dups) — broadcast the semi-join probe
     val occ = corpus
-      .join(pairDocs, Seq("doc_id"), "left_semi")
+      .join(broadcast(pairDocs), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(shingleSetUdf(col("text"))).as("h"))
       .cache()
     occ.count()
@@ -942,7 +943,81 @@ object DedupQueries {
       .orderBy(col("band"))
   }
 
+  /** d14: INCREMENTAL DEDUP — a NEW ingest batch deduped against the
+    * persisted corpus MinHash band index, the continuous-crawl shape of
+    * [[d02_minhash_lsh]]: in deployment the corpus index is built once
+    * and maintained (capped buckets included), and each arriving batch
+    * pays only its OWN signatures plus a broadcast probe into the
+    * index — never a corpus × corpus re-pair. Batch construction is
+    * deterministic on both engines: docs with id%5=2 arrive as
+    * tail-mutated near-dups (shingle-Jaccard ≈ 0.9 ⇒ should match
+    * their source), docs with id%5=4 arrive vowel-substituted
+    * (translate aeiou→01234 rewrites nearly every 5-shingle ⇒ novel).
+    * Output: one row per batch doc — verdict ('dup'|'novel'), best
+    * match (highest est permille, min-id tiebreak, -1 when novel).
+    *
+    * Scale shape: the band index is the persisted artifact (bands are
+    * 8 bytes × 4 per doc); the batch band table and batch signatures
+    * are batch-sized and BROADCAST into the index's partitioning, so
+    * the per-increment cost is O(batch + touched buckets). The
+    * corpus-signature re-join builds on the CANDIDATE side
+    * (shuffle-hash), which is pair-bounded — the corpus only streams. */
+  val d14_incremental_dedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val shift = copyShift(s, d)
+    val batch = docs.filter(col("doc_id") % 5 === 2)
+      .select((col("doc_id") + lit(shift)).as("batch_id"),
+        concat(col("text"), lit(" incremental tail")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 5 === 4)
+        .select((col("doc_id") + lit(2 * shift)).as("batch_id"),
+          translate(col("text"), "aeiou", "01234").as("text")))
+    def bandsOf(sigs: DataFrame, idCol: String): DataFrame = sigs
+      .selectExpr(idCol, bandExprs("sig", atSpark).zipWithIndex
+        .map { case (e, i) => s"struct($i AS band, $e AS bh)" }
+        .mkString("array(", ", ", ") AS bandArr"))
+      .selectExpr(idCol, "explode(bandArr) AS b")
+      .select(col(idCol), col("b.band"), col("b.bh"))
+    // the persisted side: corpus signatures + capped band index
+    val csigs = docs.select(col("doc_id"), sigUdf(col("text")).as("sig"))
+      .cache()
+    csigs.count()
+    val cbands = bandsOf(csigs, "doc_id")
+    val hot = cbands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > BUCKET_CAP)
+      .select(col("band"), col("bh"))
+    val cIndex = cbands.join(hot, Seq("band", "bh"), "left_anti")
+    // the per-increment side: batch-sized, broadcast into the index
+    val bsigs = batch.select(col("batch_id"), sigUdf(col("text")).as("sig"))
+      .cache()
+    bsigs.count()
+    val cand = cIndex.join(broadcast(bandsOf(bsigs, "batch_id")),
+        Seq("band", "bh"))
+      .select(col("batch_id"), col("doc_id")).distinct()
+    val candSa = cand.join(
+      broadcast(bsigs.select(col("batch_id"), col("sig").as("sa"))),
+      "batch_id")
+    val scored = csigs.select(col("doc_id"), col("sig").as("sb"))
+      .join(candSa.hint("shuffle_hash"), "doc_id")
+      .selectExpr("batch_id", "doc_id",
+        s"CAST(round(($estJacSpark) * 1000.0D) AS BIGINT) AS est_pm")
+      .filter(col("est_pm") >= 500)
+    val best = scored
+      .withColumn("rn", row_number().over(Window.partitionBy(col("batch_id"))
+        .orderBy(col("est_pm").desc, col("doc_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("batch_id"), col("doc_id").as("match_id"), col("est_pm"))
+    batch.select(col("batch_id"))
+      .join(broadcast(best), Seq("batch_id"), "left")
+      .selectExpr("batch_id",
+        "CASE WHEN match_id IS NULL THEN 'novel' ELSE 'dup' END AS verdict",
+        "coalesce(match_id, -1L) AS match_id",
+        "coalesce(est_pm, 0L) AS est_pm")
+      .orderBy(col("batch_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "d14_incremental_dedup" -> d14_incremental_dedup,
     "d13_minhash_calibration" -> d13_minhash_calibration,
     "d12_substring_spans" -> d12_substring_spans,
     "d10_lsh_recall_audit" -> d10_lsh_recall_audit,
@@ -1003,6 +1078,60 @@ object DedupQueries {
       s"(CASE WHEN list_sum(list_transform(th$s, h -> CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << (15 * s + b)} ELSE 0 END)"
     ).mkString(" + ")
     Map(
+      // d14: batch-vs-index incremental MinHash dedup; same sig/band
+      // arithmetic as d02, corpus-only bucket cap, best-match verdicts
+      "d14_incremental_dedup" ->
+        s"""WITH batch AS (
+           |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
+           |           AS batch_id,
+           |         text || ' incremental tail' AS text
+           |  FROM documents WHERE doc_id % 5 = 2
+           |  UNION ALL
+           |  SELECT doc_id + 2 * (SELECT max(doc_id) + 1 FROM documents),
+           |         translate(text, 'aeiou', '01234')
+           |  FROM documents WHERE doc_id % 5 = 4),
+           |csigs AS MATERIALIZED (
+           |  SELECT doc_id, ${sigExprDuck(shingleHashesDuck)} AS sig
+           |  FROM documents),
+           |cbands AS (
+           |  SELECT doc_id, sig, b.band, b.bh
+           |  FROM csigs, unnest([${bandExprs("sig", atDuck).zipWithIndex
+                .map { case (e, i) => s"{'band': $i, 'bh': $e}" }
+                .mkString(", ")}]) AS u(b)),
+           |cindex AS (
+           |  SELECT doc_id, sig, band, bh FROM cbands
+           |  QUALIFY count(*) OVER (PARTITION BY band, bh) <= $BUCKET_CAP),
+           |bsigs AS MATERIALIZED (
+           |  SELECT batch_id, ${sigExprDuck(shingleHashesDuck)} AS sig
+           |  FROM batch),
+           |bbands AS (
+           |  SELECT batch_id, sig, b.band, b.bh
+           |  FROM bsigs, unnest([${bandExprs("sig", atDuck).zipWithIndex
+                .map { case (e, i) => s"{'band': $i, 'bh': $e}" }
+                .mkString(", ")}]) AS u(b)),
+           |cand AS (
+           |  SELECT DISTINCT b.batch_id, c.doc_id,
+           |         b.sig AS sa, c.sig AS sb
+           |  FROM bbands b JOIN cindex c
+           |    ON b.band = c.band AND b.bh = c.bh),
+           |scored AS (
+           |  SELECT batch_id, doc_id,
+           |         round(($estJacDuck) * 1000)::BIGINT AS est_pm
+           |  FROM cand
+           |  WHERE round(($estJacDuck) * 1000)::BIGINT >= 500),
+           |best AS (
+           |  SELECT batch_id, doc_id AS match_id, est_pm,
+           |         row_number() OVER (PARTITION BY batch_id
+           |           ORDER BY est_pm DESC, doc_id) AS rn
+           |  FROM scored)
+           |SELECT b.batch_id,
+           |       CASE WHEN w.match_id IS NULL THEN 'novel' ELSE 'dup' END
+           |         AS verdict,
+           |       coalesce(w.match_id, -1)::BIGINT AS match_id,
+           |       coalesce(w.est_pm, 0)::BIGINT AS est_pm
+           |FROM batch b
+           |LEFT JOIN (SELECT * FROM best WHERE rn = 1) w USING (batch_id)
+           |ORDER BY batch_id""".stripMargin,
       // d13: d02's shared corpus/sig/band/pair CTEs + distinct-shingle
       // exact Jaccard, decile census with half-up permille means
       "d13_minhash_calibration" ->

@@ -2278,4 +2278,69 @@ class OperatorBehaviorSpec extends SparkSpec {
       assert(math.abs(me - mx) <= mr + 1, s"band $band incoherent census")
     }
   }
+
+  test("d14: verdicts match a full driver recomputation of the " +
+    "incremental batch-vs-index pipeline") {
+    val P = 1000000007L
+    val rnd = new java.util.Random(7)
+    val perms = Seq.fill(16)((1L + rnd.nextInt((P - 1).toInt).toLong,
+      rnd.nextInt(P.toInt).toLong))
+    def sig(t: String): Option[Array[Long]] = {
+      val cp = t.codePoints().toArray
+      if (cp.length < 5) None
+      else Some {
+        val hs = (0 to cp.length - 5).map { i =>
+          (0 until 5).foldLeft(0L)((a, j) => a * 31 + cp(i + j)) % P
+        }
+        perms.map { case (a, b) => hs.map(h => (a * h + b) % P).min }.toArray
+      }
+    }
+    def bands(s: Array[Long]): Seq[(Int, Long)] =
+      (0 until 4).map(b => b ->
+        (0 until 4).foldLeft(0L)((acc, r) => acc * 31 + s(b * 4 + r)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val shift = docs.map(_._1).max + 1
+    val batch = docs.filter(_._1 % 5 == 2).map { case (id, t) =>
+      (id + shift, t + " incremental tail") } ++
+      docs.filter(_._1 % 5 == 4).map { case (id, t) =>
+        (id + 2 * shift, t.map(c => "aeiou".indexOf(c) match {
+          case -1 => c; case k => ('0' + k).toChar })) }
+    val csig = docs.flatMap { case (id, t) => sig(t).map(id -> _) }.toMap
+    val occ = csig.toSeq.flatMap { case (id, s) =>
+      bands(s).map { case (b, h) => (b, h) -> id } }
+    val bucket = occ.groupBy(_._1).filter(_._2.size <= 50)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val expected = batch.sortBy(_._1).map { case (bid, t) =>
+      sig(t) match {
+        case None => (bid, "novel", -1L, 0L)
+        case Some(bs) =>
+          val cands = bands(bs).flatMap(bucket.get).flatten.toSet
+          val scored = cands.toSeq.flatMap { cid =>
+            val cs = csig(cid)
+            val eq = (0 until 16).count(i => bs(i) == cs(i))
+            val pm = math.round(math.rint(eq / 16.0 * 10000) / 10000 * 1000)
+            if (pm >= 500) Some((cid, pm)) else None
+          }
+          if (scored.isEmpty) (bid, "novel", -1L, 0L)
+          else {
+            val (mid, pm) = scored.minBy { case (cid, pm) => (-pm, cid) }
+            (bid, "dup", mid, pm)
+          }
+      }
+    }
+    val got = DedupQueries.d14_incremental_dedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == expected.length, "one row per batch doc")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == e, s"batch doc ${e._1}: engine $g vs driver $e")
+    }
+    // the planted structure must be detected: every vowel-substituted doc
+    // novel, and ≥90% of tail-mutated docs dup of their own source
+    val mut = got.filter(_._1 < 2 * shift)
+    assert(got.filter(_._1 >= 2 * shift).forall(_._2 == "novel"))
+    assert(mut.count(r => r._2 == "dup" && r._3 == r._1 - shift) >=
+      mut.length * 9 / 10, "self-match recall below 90%")
+  }
 }
