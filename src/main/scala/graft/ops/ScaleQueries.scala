@@ -756,7 +756,87 @@ object ScaleQueries {
       .orderBy(col("pos_key"), col("source"), col("doc_id"))
   }
 
+  /** p15 probe rectangles over the 256×256 (xb, yb) bucket grid —
+    * fixed literals shared by both engines and the spec. Shapes chosen
+    * to exercise the trade: wide-x/narrow-y (a 1-D x-sort cannot prune
+    * at all), narrow-x/wide-y (the x-sort's home turf), squares at the
+    * corners/center, and two mid slabs. */
+  private[ops] val ZQ: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 255, 0, 31), (0, 255, 224, 255), (0, 31, 0, 255),
+    (96, 159, 96, 159), (0, 63, 0, 63), (192, 255, 192, 255),
+    (112, 143, 0, 255), (64, 191, 64, 95))
+
+  /** p15 file count per layout. */
+  private[ops] val ZF = 64
+
+  /** p15: Z-ORDER LAYOUT SKIPPING AUDIT — the lakehouse data-layout
+    * decision, measured: orders are bucketed onto a 256×256 equi-width
+    * grid over (o_custkey, price-cents), laid out into [[ZF]] equal
+    * files two ways — 1-D sorted by custkey bucket vs sorted by the
+    * 16-bit Morton (bit-interleaved) z-value — and each of the [[ZQ]]
+    * probe rectangles reports how many files each layout's per-file
+    * (min,max) zone maps fail to prune. This is exactly the min/max
+    * skipping a parquet reader applies from PushedFilters, so the
+    * report IS the scan-cost model for choosing a layout at 100 TB.
+    *
+    * Scale shape: bucket bounds are two scalar aggregates; the bucket
+    * and z columns are one narrow compiled pass. The file assignment
+    * uses ntile over the global order — the oracle-deterministic
+    * stand-in for the production writer's
+    * `repartitionByRange(F, z).sortWithinPartitions(z)` (sampled range
+    * boundaries; no global sort). Zone-map stats are one
+    * map-side-combinable groupBy per layout (ZF rows each); the probe
+    * evaluation stacks fixed literals — no joins, so the audit itself
+    * is shuffle-light at any corpus size. */
+  val p15_zorder_skipping: Q = (s, d) => {
+    val base = Tables.orders(s, d).selectExpr("o_orderkey",
+      "o_custkey AS xv",
+      "CAST(round(o_totalprice * 100.0D) AS BIGINT) AS yv")
+    val r = base.agg(min(col("xv")), max(col("xv")),
+      min(col("yv")), max(col("yv"))).head()
+    val (xmin, xmax, ymin, ymax) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val zExpr = (0 until 8).map(b =>
+      s"((xb div ${1L << b}) % 2) * ${1L << (2 * b)} + " +
+        s"((yb div ${1L << b}) % 2) * ${1L << (2 * b + 1)}").mkString(" + ")
+    val bz = base.selectExpr("o_orderkey",
+        s"((xv - $xmin) * 256) div ${xmax - xmin + 1} AS xb",
+        s"((yv - $ymin) * 256) div ${ymax - ymin + 1} AS yb")
+      .selectExpr("o_orderkey", "xb", "yb", s"CAST($zExpr AS BIGINT) AS z")
+      .cache()
+    def fileFlags(orderCol: String, tag: String): DataFrame = bz
+      .withColumn("fid", ntile(ZF).over(
+        Window.orderBy(col(orderCol), col("o_orderkey"))))
+      .groupBy(col("fid"))
+      .agg(min(col("xb")).as("mnx"), max(col("xb")).as("mxx"),
+        min(col("yb")).as("mny"), max(col("yb")).as("mxy"))
+      .selectExpr(s"'$tag' AS kind", s"stack(${ZQ.size}, " +
+        ZQ.zipWithIndex.map { case ((xl, xh, yl, yh), i) =>
+          s"$i, CASE WHEN mnx <= $xh AND mxx >= $xl AND mny <= $yh " +
+            s"AND mxy >= $yl THEN 1 ELSE 0 END"
+        }.mkString(", ") + ") AS (qid, hit)")
+    val rowFlags = bz.selectExpr("'row' AS kind", s"stack(${ZQ.size}, " +
+      ZQ.zipWithIndex.map { case ((xl, xh, yl, yh), i) =>
+        s"$i, CASE WHEN xb BETWEEN $xl AND $xh AND yb BETWEEN $yl " +
+          s"AND $yh THEN 1 ELSE 0 END"
+      }.mkString(", ") + ") AS (qid, hit)")
+    fileFlags("xb", "lin").unionByName(fileFlags("z", "zor"))
+      .unionByName(rowFlags)
+      .groupBy(col("qid"))
+      .agg(
+        sum(when(col("kind") === "row", col("hit")).otherwise(0))
+          .cast("long").as("rows_sel"),
+        sum(when(col("kind") === "lin", col("hit")).otherwise(0))
+          .cast("long").as("files_linear"),
+        sum(when(col("kind") === "zor", col("hit")).otherwise(0))
+          .cast("long").as("files_zorder"))
+      .selectExpr("CAST(qid AS BIGINT) AS query_id", "rows_sel",
+        "files_linear", "files_zorder")
+      .orderBy(col("query_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "p15_zorder_skipping" -> p15_zorder_skipping,
     "p12_interleave_order" -> p12_interleave_order,
     "h06_log_histogram" -> h06_log_histogram,
     "p11_split_leakage" -> p11_split_leakage,
@@ -784,6 +864,50 @@ object ScaleQueries {
     "p06_shuffle_order" -> p06_shuffle_order)
 
   def oracleSql: Map[String, String] = Map(
+    // p15: same grid/Morton/ntile arithmetic; per-query scalar probes
+    "p15_zorder_skipping" -> {
+      val zDuck = (0 until 8).map(b =>
+        s"((xb // ${1L << b}) % 2) * ${1L << (2 * b)} + " +
+          s"((yb // ${1L << b}) % 2) * ${1L << (2 * b + 1)}").mkString(" + ")
+      val probes = ZQ.zipWithIndex.map { case ((xl, xh, yl, yh), i) =>
+        s"""SELECT $i::BIGINT AS query_id,
+           |  (SELECT count(*) FROM bz
+           |   WHERE xb BETWEEN $xl AND $xh
+           |     AND yb BETWEEN $yl AND $yh)::BIGINT AS rows_sel,
+           |  (SELECT count(*) FROM lstat WHERE mnx <= $xh AND mxx >= $xl
+           |     AND mny <= $yh AND mxy >= $yl)::BIGINT AS files_linear,
+           |  (SELECT count(*) FROM zstat WHERE mnx <= $xh AND mxx >= $xl
+           |     AND mny <= $yh AND mxy >= $yl)::BIGINT AS files_zorder"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_custkey AS xv,
+         |         round(o_totalprice * 100)::BIGINT AS yv FROM orders),
+         |bnd AS (SELECT min(xv) AS mnx, max(xv) AS mxx,
+         |               min(yv) AS mny, max(yv) AS mxy FROM base),
+         |bz AS MATERIALIZED (
+         |  SELECT o_orderkey, xb, yb, ($zDuck) AS z FROM (
+         |    SELECT o_orderkey,
+         |      ((xv - (SELECT mnx FROM bnd)) * 256)
+         |        // ((SELECT mxx FROM bnd) - (SELECT mnx FROM bnd) + 1)
+         |        AS xb,
+         |      ((yv - (SELECT mny FROM bnd)) * 256)
+         |        // ((SELECT mxy FROM bnd) - (SELECT mny FROM bnd) + 1)
+         |        AS yb
+         |    FROM base)),
+         |lin AS (SELECT xb, yb,
+         |          ntile($ZF) OVER (ORDER BY xb, o_orderkey) AS fid FROM bz),
+         |zor AS (SELECT xb, yb,
+         |          ntile($ZF) OVER (ORDER BY z, o_orderkey) AS fid FROM bz),
+         |lstat AS (SELECT fid, min(xb) AS mnx, max(xb) AS mxx,
+         |                 min(yb) AS mny, max(yb) AS mxy
+         |          FROM lin GROUP BY fid),
+         |zstat AS (SELECT fid, min(xb) AS mnx, max(xb) AS mxx,
+         |                 min(yb) AS mny, max(yb) AS mxy
+         |          FROM zor GROUP BY fid)
+         |$probes
+         |ORDER BY query_id""".stripMargin
+    },
     // p12: same per-source ranks, census and Bresenham key
     "p12_interleave_order" ->
       """WITH census AS (

@@ -2343,4 +2343,53 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(mut.count(r => r._2 == "dup" && r._3 == r._1 - shift) >=
       mut.length * 9 / 10, "self-match recall below 90%")
   }
+
+  test("p15: zone-map skipping counts match a driver recomputation of " +
+    "both layouts, and z-order prunes where a 1-D sort cannot") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey",
+        "CAST(round(o_totalprice * 100.0D) AS BIGINT) AS yv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (xmin, xmax) = (orders.map(_._2).min, orders.map(_._2).max)
+    val (ymin, ymax) = (orders.map(_._3).min, orders.map(_._3).max)
+    val b = orders.map { case (id, x, y) =>
+      val xb = (x - xmin) * 256 / (xmax - xmin + 1)
+      val yb = (y - ymin) * 256 / (ymax - ymin + 1)
+      val z = (0 until 8).map(k =>
+        ((xb >> k) & 1) << (2 * k) | ((yb >> k) & 1) << (2 * k + 1)).sum
+      (id, xb, yb, z)
+    }
+    def fileStats(sorted: Array[(Long, Long, Long, Long)])
+        : Seq[(Long, Long, Long, Long)] = {
+      val n = sorted.length
+      val (base, extra) = (n / ScaleQueries.ZF, n % ScaleQueries.ZF)
+      val bounds = (0 until ScaleQueries.ZF).scanLeft(0) {
+        (acc, i) => acc + base + (if (i < extra) 1 else 0) }
+      bounds.sliding(2).map { w =>
+        val rows = sorted.slice(w(0), w(1))
+        (rows.map(_._2).min, rows.map(_._2).max,
+          rows.map(_._3).min, rows.map(_._3).max)
+      }.toSeq
+    }
+    val lin = fileStats(b.sortBy(t => (t._2, t._1)))
+    val zor = fileStats(b.sortBy(t => (t._4, t._1)))
+    val expected = ScaleQueries.ZQ.zipWithIndex.map {
+      case ((xl, xh, yl, yh), i) =>
+        def hits(st: Seq[(Long, Long, Long, Long)]) = st.count { case
+          (mnx, mxx, mny, mxy) =>
+            mnx <= xh && mxx >= xl && mny <= yh && mxy >= yl }.toLong
+        (i.toLong, b.count(t => t._2 >= xl && t._2 <= xh &&
+          t._3 >= yl && t._3 <= yh).toLong, hits(lin), hits(zor))
+    }
+    val got = ScaleQueries.p15_zorder_skipping(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected, s"${got.toSeq} vs $expected")
+    // the audit's reason to exist: on the wide-x/narrow-y probes the
+    // x-sorted layout can barely prune (tiny sf0.001 files may dodge a
+    // y-slab by luck) while z-order must cut the scan at least in half
+    got.take(2).foreach { case (q, _, fl, fz) =>
+      assert(fl >= ScaleQueries.ZF * 9 / 10 && fz < fl / 2,
+        s"probe $q: linear $fl zorder $fz")
+    }
+  }
 }
