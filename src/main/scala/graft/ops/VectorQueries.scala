@@ -396,7 +396,67 @@ object VectorQueries {
       .orderBy(col("dim"))
   }
 
+  /** v12 seeded ±1 Rademacher projection matrix (16 output dims × 64
+    * input dims) — generated once, embedded as literal sign patterns in
+    * BOTH dialects, replicated by the spec. */
+  private[ops] val jlSigns: Array[Array[Int]] = {
+    val rnd = new java.util.Random(11)
+    Array.fill(16, 64)(if (rnd.nextBoolean()) 1 else -1)
+  }
+
+  /** v12 pair stride: pair (v, v + 17) over vec_id — a deterministic,
+    * structure-free sample of the pair space on both engines. */
+  private[ops] val JL_STRIDE = 17
+
+  /** v12: JOHNSON–LINDENSTRAUSS PROJECTION AUDIT — the distance-
+    * preservation certificate for the cheap-prefilter trick a 100 TB
+    * similarity pipeline leans on: project 64-dim embeddings to 16 dims
+    * with a seeded ±1 (Rademacher) matrix and report, over a
+    * deterministic stride-[[JL_STRIDE]] pair sample, the census of
+    * dproj²/(16·dorig²) in permille (E[·] = 1 under JL; the band spread
+    * IS the ε you must budget when pre-filtering at 16 dims before
+    * exact 64-dim rerank). All arithmetic is exact BIGINT after a
+    * 1e4 quantization (micro-discipline of v06/v11): components ≤ 2.0
+    * ⇒ |p_k| ≤ 1.28e6 ⇒ dproj·1000 ≤ ~1e17 < 2⁶³ by construction.
+    *
+    * Scale shape: projection is one narrow compiled pass per vector
+    * (computed BEFORE the pair join, so each vector is projected once);
+    * the pair join is a thin equi-join on a shifted id; the census is
+    * band-sized. No windows, no state. */
+  val v12_jl_projection: Q = (s, d) => {
+    val pExprs = jlSigns.map(row => row.zipWithIndex.map { case (sg, j) =>
+      (if (sg > 0) " + " else " - ") + s"element_at(q, ${j + 1})"
+    }.mkString.stripPrefix(" + ")).map(e => s"($e)")
+    val proj = Tables.embeddings(s, d)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+          "* 10000.0D + 0.5D) AS BIGINT)) AS q")
+      .selectExpr("vec_id", "q", pExprs.mkString("array(", ", ", ") AS p"))
+    val b = proj.selectExpr(s"vec_id - $JL_STRIDE AS vec_id",
+      "q AS qb", "p AS pb")
+    proj.selectExpr("vec_id", "q AS qa", "p AS pa")
+      .join(b.hint("shuffle_hash"), "vec_id")
+      .selectExpr(
+        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS dorig",
+        "aggregate(zip_with(pa, pb, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS dproj")
+      .selectExpr("CASE WHEN dorig = 0 THEN CAST(1000 AS BIGINT) " +
+        "ELSE dproj * 1000 div (16 * dorig) END AS ratio_pm")
+      .groupBy(expr("ratio_pm div 250").as("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("ratio_pm")).as("sr"),
+        min(col("ratio_pm")).as("min_ratio_pm"),
+        max(col("ratio_pm")).as("max_ratio_pm"))
+      .selectExpr("CAST(band AS BIGINT) AS band", "n_pairs",
+        "CAST((2 * sr + n_pairs) div (2 * n_pairs) AS BIGINT) " +
+          "AS mean_ratio_pm",
+        "min_ratio_pm", "max_ratio_pm")
+      .orderBy(col("band"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "v12_jl_projection" -> v12_jl_projection,
     "v11_principal_component" -> v11_principal_component,
     "v10_centroid_drift" -> v10_centroid_drift,
     "v09_norm_outliers" -> v09_norm_outliers,
@@ -409,6 +469,40 @@ object VectorQueries {
     "v07_dim_calibration" -> v07_dim_calibration)
 
   def oracleSql: Map[String, String] = Map(
+    // v12: identical quantization, sign patterns and integer census
+    "v12_jl_projection" -> {
+      val pDuck = jlSigns.map(row => row.zipWithIndex.map { case (sg, j) =>
+        (if (sg > 0) " + " else " - ") + s"q[${j + 1}]"
+      }.mkString.stripPrefix(" + ")).map(e => s"($e)")
+        .mkString("[", ", ", "]")
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> floor(x::DOUBLE * 10000.0 + 0.5)::BIGINT) AS q
+         |  FROM embeddings),
+         |p AS MATERIALIZED (SELECT vec_id, q, $pDuck AS p FROM q),
+         |pr AS (
+         |  SELECT a.q AS qa, b.q AS qb, a.p AS pa, b.p AS pb
+         |  FROM p a JOIN p b ON b.vec_id = a.vec_id + $JL_STRIDE),
+         |m AS (
+         |  SELECT
+         |    list_sum(list_transform(range(1, len(qa) + 1),
+         |      i -> (qa[i] - qb[i]) * (qa[i] - qb[i])))::BIGINT AS dorig,
+         |    list_sum(list_transform(range(1, 17),
+         |      i -> (pa[i] - pb[i]) * (pa[i] - pb[i])))::BIGINT AS dproj
+         |  FROM pr),
+         |r AS (
+         |  SELECT CASE WHEN dorig = 0 THEN 1000::BIGINT
+         |         ELSE dproj * 1000 // (16 * dorig) END AS ratio_pm
+         |  FROM m)
+         |SELECT (ratio_pm // 250)::BIGINT AS band, count(*)::BIGINT
+         |         AS n_pairs,
+         |       ((2 * sum(ratio_pm) + count(*)) // (2 * count(*)))::BIGINT
+         |         AS mean_ratio_pm,
+         |       min(ratio_pm)::BIGINT AS min_ratio_pm,
+         |       max(ratio_pm)::BIGINT AS max_ratio_pm
+         |FROM r GROUP BY band ORDER BY band""".stripMargin
+    },
     // v11: the identical integer recurrence, rounds unrolled as
     // MATERIALIZED CTEs (c11's discipline); v lives as a dims-row CTE
     // joined per round where the engine interpolates a driver literal

@@ -2392,4 +2392,39 @@ class OperatorBehaviorSpec extends SparkSpec {
         s"probe $q: linear $fl zorder $fz")
     }
   }
+
+  test("v12: distortion census matches a driver recomputation and the " +
+    "pair-mass-weighted mean ratio sits near 1 (JL unbiasedness)") {
+    val rnd = new java.util.Random(11)
+    val signs = Array.fill(16, 64)(if (rnd.nextBoolean()) 1 else -1)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000.0 + 0.5)
+          .toLong).toArray).toMap
+    val ratios = emb.keys.toSeq.sorted.flatMap { a =>
+      emb.get(a + 17).map { qb =>
+        val qa = emb(a)
+        val dorig = qa.indices.map(j =>
+          (qa(j) - qb(j)) * (qa(j) - qb(j))).sum
+        val dproj = signs.map { row =>
+          val pa = row.indices.map(j => row(j) * qa(j)).sum
+          val pb = row.indices.map(j => row(j) * qb(j)).sum
+          (pa - pb) * (pa - pb)
+        }.sum
+        if (dorig == 0L) 1000L else dproj * 1000 / (16 * dorig)
+      }
+    }
+    val expected = ratios.groupBy(_ / 250).toSeq.sortBy(_._1).map {
+      case (band, rs) => (band, rs.length.toLong,
+        (2 * rs.sum + rs.length) / (2L * rs.length), rs.min, rs.max)
+    }
+    val got = VectorQueries.v12_jl_projection(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == expected, s"${got.toSeq} vs $expected")
+    // JL unbiasedness: the pair-weighted mean ratio is 1 ± 10%
+    val mean = ratios.sum.toDouble / ratios.length
+    assert(mean > 900 && mean < 1100, s"mean ratio_pm $mean")
+  }
 }
