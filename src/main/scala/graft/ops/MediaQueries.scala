@@ -83,7 +83,87 @@ object MediaQueries {
       .orderBy(col("kind"), col("shard_id"))
   }
 
+  /** m05 grid geometry: 6 rows × 11 columns of "pixels" (code points of
+    * the rpad'd blob head) → 10 horizontal-gradient bits per row =
+    * 60 fingerprint bits — 60, not 64, for d03's reason: every shift
+    * and term sum stays inside a signed BIGINT on both engines. */
+  private val PH_ROWS = 6
+  private val PH_COLS = 11
+  private[ops] val PH_CAP = 50
+
+  /** The dHash bit terms over a padded-text column `pt`, per dialect
+    * (`cp(pos)` renders "code point at 1-based pos"). Bit r·10+c is set
+    * iff pixel (r, c+1) > pixel (r, c) — the classic difference hash. */
+  private def phashExpr(cp: Int => String): String =
+    (0 until PH_ROWS).flatMap { r =>
+      (0 until PH_COLS - 1).map { c =>
+        val pos = r * PH_COLS + c + 1
+        s"(CASE WHEN ${cp(pos + 1)} > ${cp(pos)} " +
+          s"THEN ${1L << (r * (PH_COLS - 1) + c)} ELSE 0 END)"
+      }
+    }.mkString(" + ")
+
+  /** m05: PERCEPTUAL NEAR-DUP (dHash) over the media blobs — the image
+    * dedup a multimodal corpus runs BEFORE training: decode to a tiny
+    * grayscale grid, fingerprint the horizontal gradients (difference
+    * hash — robust to brightness/scale, unlike byte checksums), and
+    * find pairs within hamming ≤ 3 via d03's 4×15-bit pigeonhole block
+    * tables. The decode here is the `MediaDecoder` stub's deterministic
+    * stand-in (m04's discipline): the [[PH_ROWS]]×[[PH_COLS]] grid is
+    * the code points of the blob's rpad'd 66-char head; a production
+    * decoder swaps in real pixels and every downstream shape is
+    * unchanged. Near-dup copies are planted (docs with id%4=1 get a
+    * one-char-edit copy ⇒ hamming ≤ 2) so the operator has real work
+    * at every sf. The fingerprint is one compiled CASE-term pass — no
+    * UDF, no HOF (d03's 39 s lesson). Hot buckets (padded short blobs,
+    * boilerplate heads) are capped at [[PH_CAP]] by anti-join — d02's
+    * quadratic-bucket guard, mirrored in the oracle.
+    *
+    * Scale shape: fingerprints are a narrow projection of the catalog
+    * (blob bodies never move — the grid head is all a real decoder
+    * would emit per blob anyway); the self-join runs inside 2¹⁵-bucket
+    * block tables with the cap bounding any bucket's pair count. */
+  val m05_perceptual_dedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val shift = DedupQueries.copyShift(s, d)
+    val grid = PH_ROWS * PH_COLS
+    val corpus = docs.select(col("doc_id").as("media_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + lit(shift)).as("media_id"),
+          expr(s"concat(substring(rpad(text, $grid, '_'), 1, 29), '~', " +
+            s"substring(rpad(text, $grid, '_'), 31))").as("text")))
+    val fps = corpus
+      .selectExpr("media_id", s"rpad(text, $grid, '_') AS pt")
+      .selectExpr("media_id",
+        s"CAST(${phashExpr(p => s"ascii(substring(pt, $p, 1))")} " +
+          "AS BIGINT) AS fp")
+      .cache()
+    fps.count() // materialize before the self-join (d03's build race)
+    val blocked = fps.withColumn("tb", explode(array((0 until 4).map { t =>
+        struct(lit(t).as("tbl"),
+          expr(s"shiftright(fp, ${15 * t}) & 32767").as("bucket"))
+      }: _*)))
+      .select(col("media_id"), col("fp"), col("tb.tbl"), col("tb.bucket"))
+    val hot = blocked.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > PH_CAP)
+      .select(col("tbl"), col("bucket"))
+    val capped = blocked.join(hot, Seq("tbl", "bucket"), "left_anti")
+      .cache()
+    capped.count()
+    capped.as("x").join(capped.as("y"),
+        col("x.tbl") === col("y.tbl") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.media_id") < col("y.media_id"))
+      .selectExpr("x.media_id AS media_a", "y.media_id AS media_b",
+        "CAST(bit_count(x.fp ^ y.fp) AS INT) AS hamming")
+      .distinct() // a pair can share several blocks
+      .filter(col("hamming") <= 3)
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "m05_perceptual_dedup" -> m05_perceptual_dedup,
     "m03_shard_checksum" -> m03_shard_checksum,
     "m01_media_catalog" -> m01_media_catalog,
     "m02_shard_pack" -> m02_shard_pack,
@@ -133,6 +213,37 @@ object MediaQueries {
       |FROM documents""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // m05: same grid/dHash/block/cap arithmetic (unicode == ascii on
+    // the rpad'd non-empty head)
+    "m05_perceptual_dedup" -> {
+      val grid = PH_ROWS * PH_COLS
+      s"""WITH corpus AS (
+         |  SELECT doc_id AS media_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+         |         substr(rpad(text, $grid, '_'), 1, 29) || '~' ||
+         |           substr(rpad(text, $grid, '_'), 31)
+         |  FROM documents WHERE doc_id % 4 = 1),
+         |fps AS MATERIALIZED (
+         |  SELECT media_id,
+         |         (${phashExpr(p => s"unicode(substr(pt, $p, 1))")}) AS fp
+         |  FROM (SELECT media_id, rpad(text, $grid, '_') AS pt
+         |        FROM corpus)),
+         |blocked AS (
+         |  SELECT media_id, fp, t.s AS tbl,
+         |         (fp >> (15 * t.s)) & 32767 AS bucket
+         |  FROM fps, (SELECT unnest([0, 1, 2, 3]) AS s) t),
+         |capped AS (
+         |  SELECT media_id, fp, tbl, bucket FROM blocked
+         |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= $PH_CAP)
+         |SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+         |       bit_count(xor(x.fp, y.fp))::INT AS hamming
+         |FROM capped x JOIN capped y
+         |  ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |  AND x.media_id < y.media_id
+         |WHERE bit_count(xor(x.fp, y.fp)) <= 3
+         |ORDER BY media_a, media_b""".stripMargin
+    },
     // m03: m02's manifest CTE + the same rank-weighted modular checksum
     // (all operands positive, so % == pmod)
     "m03_shard_checksum" ->

@@ -2427,4 +2427,46 @@ class OperatorBehaviorSpec extends SparkSpec {
     val mean = ratios.sum.toDouble / ratios.length
     assert(mean > 900 && mean < 1100, s"mean ratio_pm $mean")
   }
+
+  test("m05: pair set matches a driver recomputation of the dHash " +
+    "pipeline and every surviving planted copy is recovered") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val shift = docs.map(_._1).max + 1
+    def pad(t: String): String =
+      if (t.length >= 66) t else t + "_" * (66 - t.length)
+    val corpus = docs.map { case (id, t) => id -> t } ++
+      docs.filter(_._1 % 4 == 1).map { case (id, t) =>
+        val p = pad(t)
+        (id + shift) -> (p.substring(0, 29) + "~" + p.substring(30))
+      }
+    def fp(t: String): Long = {
+      val cp = pad(t).codePoints().toArray
+      (0 until 6).flatMap(r => (0 until 10).map { c =>
+        val pos = r * 11 + c
+        if (cp(pos + 1) > cp(pos)) 1L << (r * 10 + c) else 0L
+      }).sum
+    }
+    val fps = corpus.toSeq.map { case (id, t) => id -> fp(t) }
+    val blocked = fps.flatMap { case (id, f) =>
+      (0 until 4).map(t => (t, (f >> (15 * t)) & 32767) -> (id, f)) }
+    val buckets = blocked.groupBy(_._1).filter(_._2.length <= 50)
+      .values.map(_.map(_._2))
+    val expected = buckets.flatMap { mem =>
+      for {
+        (a, fa) <- mem; (b, fb) <- mem if a < b
+        h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+      } yield (a, b, h)
+    }.toSet.toSeq.sorted.map { case (a, b, h) => (a, b, h) }
+    val got = MediaQueries.m05_perceptual_dedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == expected, s"${got.take(5)}... vs ${expected.take(5)}...")
+    // recall on the planted structure: every planted copy whose pair
+    // survived the cap must be found, and ≥90% must survive overall
+    val planted = got.count { case (a, b, _) => b - a == shift }
+    val nPlanted = docs.count(_._1 % 4 == 1)
+    assert(planted >= nPlanted * 9 / 10,
+      s"planted recall $planted/$nPlanted")
+  }
 }
