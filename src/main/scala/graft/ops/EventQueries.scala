@@ -639,7 +639,89 @@ object EventQueries {
       .orderBy(col("batch_no"))
   }
 
+  /** e22 candidate dedup-state horizons (seconds) — the state-TTL menu
+    * the audit prices. */
+  val DD_HORIZONS: Seq[Long] = Seq(21600L, 86400L, 259200L, 864000L)
+
+  /** e22: DEDUP-HORIZON AUDIT — what `dropDuplicatesWithinWatermark`
+    * would do to an at-least-once feed, per candidate state TTL: the
+    * third leg of the watermark trio (e20 prices LATENESS per key, e21
+    * prices the global drop rule, e22 prices DUPLICATE SUPPRESSION).
+    * Redeliveries are planted deterministically: events with
+    * event_id % 13 = 6 are delivered again 200-1400 arrival positions
+    * later with a 0-48 h re-stamped event time (the producer-retry
+    * shape, scaled to the fixture's ~260 s/position cadence so every
+    * outcome class populates across the horizon menu).
+    * For each horizon H the audit classifies every redelivery under the
+    * engine's exact micro-batch semantics — global watermark from
+    * completed batches (ms-truncated, e21's rule), late rows dropped
+    * before dedup, dedup state expiring at first-seen event time + H:
+    * `late` (dup behind the watermark), `sup` (state alive ⇒
+    * suppressed), `esc` (state expired ⇒ the key is EMITTED TWICE — the
+    * downstream poison the TTL exists to prevent), `solo` (the original
+    * itself was watermark-dropped, so the dup is first-seen). The
+    * StreamingSpec equivalence test replays the same feed through a
+    * real dropDuplicatesWithinWatermark query and pins emitted /
+    * dropped / double-emitted counts to this audit's arithmetic.
+    *
+    * Scale shape: the watermark table is batch-count-sized (broadcast);
+    * the orig↔dup pairing is one thin equi-join on the key; outcome
+    * classification stacks fixed horizon literals — no per-key state,
+    * no windows over the corpus, everything map-side combinable after
+    * the one pairing shuffle. */
+  private[graft] def dedupHorizonAudit(
+      s: SparkSession, d: String, batch: Long): DataFrame = {
+    val ev = Tables.events(s, d)
+    val orig = ev.selectExpr("event_id AS key",
+      "unix_micros(ts) AS ev_us", "event_id AS arr", "0 AS is_dup")
+    val dups = ev.filter(col("event_id") % 13 === 6)
+      .selectExpr("event_id AS key",
+        "unix_micros(ts) + (event_id % 5) * 43200000000 AS ev_us",
+        "event_id + (event_id % 7 + 1) * 200 AS arr", "1 AS is_dup")
+    val stream = orig.unionByName(dups)
+      .withColumn("batch_no", expr(s"CAST(arr div $batch AS BIGINT)"))
+    val w = Window.orderBy(col("batch_no"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = stream.groupBy(col("batch_no")).agg(max(col("ev_us")).as("bmax"))
+      .withColumn("cm", max(col("bmax")).over(w))
+      .select(col("batch_no"), col("cm"))
+    val rows = stream.join(broadcast(wm), Seq("batch_no"), "left")
+    val o = rows.filter(col("is_dup") === 0)
+      .selectExpr("key", "ev_us AS ev_o", "cm AS cm_o")
+    val du = rows.filter(col("is_dup") === 1)
+      .selectExpr("key", "ev_us AS ev_d", "cm AS cm_d")
+    val outcomes = DD_HORIZONS.map { h =>
+      val wmD = s"(cm_d div 1000 - ${h * 1000L}) * 1000"
+      val wmO = s"(cm_o div 1000 - ${h * 1000L}) * 1000"
+      s"""$h, CASE
+         |  WHEN cm_d IS NOT NULL AND ev_d < $wmD THEN 'late'
+         |  WHEN cm_o IS NOT NULL AND ev_o < $wmO THEN 'solo'
+         |  WHEN cm_d IS NULL OR $wmD <= ev_o + ${h * 1000000L} THEN 'sup'
+         |  ELSE 'esc' END""".stripMargin
+    }
+    du.join(o.hint("shuffle_hash"), "key")
+      .selectExpr(s"stack(${DD_HORIZONS.size}, " +
+        outcomes.mkString(", ") + ") AS (h_s, outcome)")
+      .groupBy(col("h_s"))
+      .agg(count(lit(1)).as("n_dups"),
+        sum(when(col("outcome") === "sup", 1L).otherwise(0L))
+          .as("n_suppressed"),
+        sum(when(col("outcome") === "late", 1L).otherwise(0L))
+          .as("n_late_dup"),
+        sum(when(col("outcome") === "esc", 1L).otherwise(0L))
+          .as("n_escaped"),
+        sum(when(col("outcome") === "solo", 1L).otherwise(0L))
+          .as("n_solo"))
+      .selectExpr("CAST(h_s AS BIGINT) AS h_s", "n_dups", "n_suppressed",
+        "n_late_dup", "n_escaped", "n_solo",
+        "CAST(n_escaped * 1000 div n_dups AS BIGINT) AS esc_permille")
+      .orderBy(col("h_s"))
+  }
+
+  val e22_dedup_horizon: Q = (s, d) => dedupHorizonAudit(s, d, WM_BATCH)
+
   def queries: Map[String, Q] = Map(
+    "e22_dedup_horizon" -> e22_dedup_horizon,
     "e21_watermark_batches" -> e21_watermark_batches,
     "e20_late_arrivals" -> e20_late_arrivals,
     "e19_conversion_lag" -> e19_conversion_lag,
@@ -663,6 +745,55 @@ object EventQueries {
     "e11_transitions" -> e11_transitions)
 
   def oracleSql: Map[String, String] = Map(
+    // e22: same planted redeliveries, completed-batch running max,
+    // per-horizon outcome CASE unioned over the horizon menu
+    "e22_dedup_horizon" -> {
+      val perH = DD_HORIZONS.map { h =>
+        val wmD = s"(cm_d // 1000 - ${h * 1000L}) * 1000"
+        val wmO = s"(cm_o // 1000 - ${h * 1000L}) * 1000"
+        s"""SELECT $h AS h_s, CASE
+           |  WHEN cm_d IS NOT NULL AND ev_d < $wmD THEN 'late'
+           |  WHEN cm_o IS NOT NULL AND ev_o < $wmO THEN 'solo'
+           |  WHEN cm_d IS NULL OR $wmD <= ev_o + ${h * 1000000L}
+           |    THEN 'sup'
+           |  ELSE 'esc' END AS outcome FROM j""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH stream AS (
+         |  SELECT event_id AS key, epoch_us(ts) AS ev_us,
+         |         event_id AS arr, 0 AS is_dup FROM events
+         |  UNION ALL
+         |  SELECT event_id, epoch_us(ts) + (event_id % 5) * 43200000000,
+         |         event_id + (event_id % 7 + 1) * 200, 1
+         |  FROM events WHERE event_id % 13 = 6),
+         |b AS (SELECT key, ev_us, is_dup, arr // $WM_BATCH AS batch_no
+         |      FROM stream),
+         |cmt AS (
+         |  SELECT batch_no,
+         |         max(max(ev_us)) OVER (ORDER BY batch_no
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS cm
+         |  FROM b GROUP BY batch_no),
+         |o AS (SELECT key, ev_us AS ev_o, cm AS cm_o
+         |      FROM b JOIN cmt USING (batch_no) WHERE is_dup = 0),
+         |du AS (SELECT key, ev_us AS ev_d, cm AS cm_d
+         |       FROM b JOIN cmt USING (batch_no) WHERE is_dup = 1),
+         |j AS (SELECT du.key, ev_d, cm_d, ev_o, cm_o
+         |      FROM du JOIN o USING (key)),
+         |cls AS (
+         |$perH)
+         |SELECT h_s::BIGINT AS h_s, count(*)::BIGINT AS n_dups,
+         |       sum(CASE WHEN outcome = 'sup' THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_suppressed,
+         |       sum(CASE WHEN outcome = 'late' THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_late_dup,
+         |       sum(CASE WHEN outcome = 'esc' THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_escaped,
+         |       sum(CASE WHEN outcome = 'solo' THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_solo,
+         |       (sum(CASE WHEN outcome = 'esc' THEN 1 ELSE 0 END) * 1000
+         |         // count(*))::BIGINT AS esc_permille
+         |FROM cls GROUP BY h_s ORDER BY h_s""".stripMargin
+    },
     // e21: same shift, batch max census, running-max watermark over
     // COMPLETED batches, per-batch lateness census
     "e21_watermark_batches" ->

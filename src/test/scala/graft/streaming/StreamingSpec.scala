@@ -391,4 +391,72 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("wmeq").count() == rows.length - expected)
     query.stop()
   }
+
+  test("e22 equivalence: a real dropDuplicatesWithinWatermark stream " +
+    "suppresses/escapes exactly what the horizon audit predicts") {
+    import graft.ops.EventQueries
+    import spark.implicits._
+    implicit val sq = spark
+    // sf0.01 at the audit's own batch size: the only scale/granularity
+    // where the fixture populates ALL FOUR outcome classes (sf0.001's
+    // 2592 s/position cadence makes escapes unreachable by arithmetic)
+    val sf001 = "/root/testdata/sf0.01"
+    val B = EventQueries.WM_BATCH
+    val H = 86400L // the 24h TTL row of the audit's horizon menu
+    // the planted feed, replicated from the audit's definition
+    val ev = graft.model.Tables.events(spark, sf001)
+      .selectExpr("event_id", "unix_micros(ts) AS ev_us")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val origs = ev.map { case (id, us) => (id, us, id) }
+    val dups = ev.filter(_._1 % 13 == 6).map { case (id, us) =>
+      (id, us + (id % 5) * 43200000000L, id + (id % 7 + 1) * 200) }
+    val feed = (origs ++ dups).sortBy(t => (t._3, t._1))
+    // driver watermark replay for ORIGINAL lateness (the audit reports
+    // dup outcomes; originals can go late too when a re-stamped dup
+    // bumps a batch max) — same completed-batch ms-truncated rule
+    val bmax = feed.groupBy(_._3 / B).view.mapValues(_.map(_._2).max).toMap
+    def wmOf(b: Long): Option[Long] = {
+      val prior = bmax.keys.filter(_ < b)
+      if (prior.isEmpty) None
+      else Some((prior.map(bmax).max / 1000 - H * 1000) * 1000)
+    }
+    val lateOrig = origs.count { case (_, us, arr) =>
+      wmOf(arr / B).exists(us < _) }
+    val auditRow = EventQueries.dedupHorizonAudit(spark, sf001, B)
+      .filter(col("h_s") === H).collect().head
+    val (nDups, nSup, nLate, nEsc, nSolo) = (auditRow.getLong(1),
+      auditRow.getLong(2), auditRow.getLong(3), auditRow.getLong(4),
+      auditRow.getLong(5))
+    assert(Seq(nSup, nLate, nEsc, nSolo).forall(_ > 0),
+      s"every outcome class must populate: $auditRow")
+    // the real stream, one audit micro-batch per trigger
+    val mem = MemoryStream[(Long, Long)](spark)
+    val st = mem.toDF().toDF("key", "ev_us")
+      .withColumn("ev_ts", expr("timestamp_micros(ev_us)"))
+      .withWatermark("ev_ts", s"$H seconds")
+      .dropDuplicatesWithinWatermark("key")
+    val query = st.writeStream.format("memory").queryName("ddweq")
+      .outputMode("append").start()
+    feed.groupBy(_._3 / B).toSeq.sortBy(_._1).foreach { case (_, batch) =>
+      mem.addData(batch.map(t => (t._1, t._2)).toIndexedSeq)
+      query.processAllAvailable()
+    }
+    val sink = spark.table("ddweq").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val perKey = sink.groupBy(_._1).view.mapValues(_.length).toMap
+    val droppedMetric = query.recentProgress
+      .groupBy(_.batchId).map(_._2.head)
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    query.stop()
+    // escaped keys are emitted twice — the downstream poison
+    assert(perKey.values.count(_ == 2).toLong == nEsc,
+      s"double-emitted ${perKey.values.count(_ == 2)} vs audit esc $nEsc")
+    // total drops = late dups + late originals
+    assert(droppedMetric == nLate + lateOrig,
+      s"dropped $droppedMetric vs ${nLate + lateOrig}")
+    // total emissions: surviving originals + escaped + solo dup rows
+    assert(sink.length.toLong == (origs.length - lateOrig) + nEsc + nSolo,
+      s"emitted ${sink.length}")
+  }
 }
