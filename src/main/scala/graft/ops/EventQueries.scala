@@ -720,7 +720,46 @@ object EventQueries {
 
   val e22_dedup_horizon: Q = (s, d) => dedupHorizonAudit(s, d, WM_BATCH)
 
+  /** e23: SCD TYPE-2 HISTORY — the warehouse history-table primitive:
+    * each user's event_type stream collapsed into run-length validity
+    * intervals (user_id, state, valid_from_us, valid_to_us, version,
+    * is_current). Only CHANGES open a new version (consecutive repeats
+    * extend the run — the collapse that makes SCD2 smaller than the
+    * log); valid_to is the next version's valid_from (half-open
+    * intervals, −1 = still current). All integer micros.
+    *
+    * Scale shape: one lag + one running-sum window and one lead window,
+    * ALL partitioned by user_id — a single user-keyed shuffle and
+    * per-user sequential scans, exactly how a 100 TB log builds
+    * dimension history; output is change-count-sized, never log-sized. */
+  val e23_scd2_history: Q = (s, d) => {
+    val byId = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val runs = Tables.events(s, d)
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_micros(ts) AS ev_us")
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byId).isNull ||
+          lag(col("event_type"), 1).over(byId) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run", sum(col("chg")).over(
+        byId.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("run"))
+      .agg(min(col("ev_us")).as("valid_from_us"),
+        min_by(col("event_type"), col("event_id")).as("state"),
+        count(lit(1)).as("n_events"))
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("run"))
+    runs
+      .withColumn("valid_to_us",
+        coalesce(lead(col("valid_from_us"), 1).over(byRun), lit(-1L)))
+      .selectExpr("user_id", "state", "valid_from_us", "valid_to_us",
+        "CAST(run AS BIGINT) AS version", "n_events",
+        "CAST(CASE WHEN valid_to_us = -1 THEN 1 ELSE 0 END AS INT) " +
+          "AS is_current")
+      .orderBy(col("user_id"), col("version"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "e23_scd2_history" -> e23_scd2_history,
     "e22_dedup_horizon" -> e22_dedup_horizon,
     "e21_watermark_batches" -> e21_watermark_batches,
     "e20_late_arrivals" -> e20_late_arrivals,
@@ -745,6 +784,37 @@ object EventQueries {
     "e11_transitions" -> e11_transitions)
 
   def oracleSql: Map[String, String] = Map(
+    // e23: same lag/run-sum/lead construction; run state is min_by
+    // event_id (the run's FIRST row — identical to the engine's)
+    "e23_scd2_history" ->
+      """WITH tagged AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ev_us,
+        |         CASE WHEN lag(event_type) OVER w IS NULL
+        |              OR lag(event_type) OVER w <> event_type
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |runs AS (
+        |  SELECT user_id, event_id, event_type, ev_us,
+        |         sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS run
+        |  FROM tagged),
+        |agg AS (
+        |  SELECT user_id, run, min(ev_us) AS valid_from_us,
+        |         min_by(event_type, event_id) AS state,
+        |         count(*)::BIGINT AS n_events
+        |  FROM runs GROUP BY user_id, run)
+        |SELECT user_id, state, valid_from_us,
+        |       coalesce(lead(valid_from_us) OVER
+        |         (PARTITION BY user_id ORDER BY run), -1)::BIGINT
+        |         AS valid_to_us,
+        |       run::BIGINT AS version, n_events,
+        |       (CASE WHEN lead(valid_from_us) OVER
+        |          (PARTITION BY user_id ORDER BY run) IS NULL
+        |        THEN 1 ELSE 0 END)::INT AS is_current
+        |FROM agg
+        |ORDER BY user_id, version""".stripMargin,
     // e22: same planted redeliveries, completed-batch running max,
     // per-horizon outcome CASE unioned over the horizon menu
     "e22_dedup_horizon" -> {

@@ -2469,4 +2469,46 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(planted >= nPlanted * 9 / 10,
       s"planted recall $planted/$nPlanted")
   }
+
+  test("e23: history intervals match a driver run-length collapse and " +
+    "tile each user's timeline exactly") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_micros(ts) AS ev_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (uid, rows) =>
+        val ordered = rows.sortBy(_._2)
+        val runs = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Long)] // state, from, n
+        ordered.foreach { case (_, _, et, us) =>
+          if (runs.nonEmpty && runs.last._1 == et) {
+            val l = runs.last; runs(runs.length - 1) = (l._1, l._2, l._3 + 1)
+          } else runs += ((et, us, 1L))
+        }
+        runs.zipWithIndex.map { case ((st, from, n), i) =>
+          val to = if (i + 1 < runs.length) runs(i + 1)._2 else -1L
+          (uid, st, from, to, (i + 1).toLong, n,
+            if (to == -1L) 1 else 0)
+        }
+    }
+    val got = EventQueries.e23_scd2_history(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6))).toSeq
+    assert(got == expected, s"${got.take(3)} vs ${expected.take(3)}")
+    // structural invariants: versions dense from 1, intervals half-open
+    // and contiguous, exactly one open (current) interval per user
+    got.groupBy(_._1).foreach { case (uid, ivs) =>
+      val sorted = ivs.sortBy(_._5)
+      assert(sorted.map(_._5) == (1L to sorted.length).toSeq)
+      assert(sorted.count(_._7 == 1) == 1, s"user $uid current count")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 == b._3, s"user $uid gap")
+        case _ =>
+      }
+      // event mass conservation
+    }
+    assert(got.map(_._6).sum == ev.length)
+  }
 }
