@@ -97,13 +97,91 @@ object WordQueries {
       .orderBy(col("dim"))
   }
 
+  /** w02 minimum bigram support — the classic PMI small-count guard
+    * (PMI of a hapax pair is pure noise). */
+  val PMI_MIN_SUP = 5L
+
+  /** w02: PMI COLLOCATIONS — top adjacent-bigram pointwise mutual
+    * information over whitespace tokens, the classic collocation
+    * extractor (Church & Hanks 1990) a phrase-aware tokenizer or
+    * boilerplate miner runs corpus-wide. PMI is computed ENTIRELY in
+    * [[FixedLog]] centibits (t14/t18's discipline): pmi_cb =
+    * log2cb(c_ab) + 2·log2cb(N_uni) − log2cb(N_bi) − log2cb(c_a) −
+    * log2cb(c_b), all BIGINT — the only float log ever taken is
+    * FixedLog's code-time table. Support-filtered at [[PMI_MIN_SUP]].
+    *
+    * Scale shape: the canonical word-count shape — one narrow exploded
+    * pass per census (bigrams, unigrams), both map-side combinable;
+    * the unigram side joins back BROADCAST (vocab-sized); corpus
+    * totals are two driver scalars folded to centibit literals; top-50
+    * plans TakeOrderedAndProject. Nothing corpus-sized shuffles twice. */
+  val w02_pmi_collocations: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .selectExpr("split(text, ' ') AS t")
+      .cache()
+    val uni = toks.selectExpr("explode(t) AS w")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .cache()
+    val totals = uni.agg(sum(col("c")).as("nu")).head().getLong(0)
+    val bi = toks.filter(expr("size(t) >= 2"))
+      .selectExpr("explode(transform(sequence(1, size(t) - 1), " +
+        "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b)))" +
+        " AS p")
+      .select(col("p.a"), col("p.b"))
+    val biCounts = bi.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .cache()
+    val nBi = biCounts.agg(sum(col("c_ab")).as("nb")).head().getLong(0)
+    val nuCb = FixedLog.log2Cb(totals)
+    val nbCb = FixedLog.log2Cb(nBi)
+    biCounts.filter(col("c_ab") >= PMI_MIN_SUP)
+      .join(broadcast(uni.selectExpr("w AS a", "c AS c_a")), "a")
+      .join(broadcast(uni.selectExpr("w AS b", "c AS c_b")), "b")
+      .selectExpr("a", "b", "c_ab",
+        s"CAST(${FixedLog.sparkLog2Cb("c_ab")} + ${2 * nuCb}L - ${nbCb}L" +
+          s" - ${FixedLog.sparkLog2Cb("c_a")}" +
+          s" - ${FixedLog.sparkLog2Cb("c_b")} AS BIGINT) AS pmi_cb")
+      .orderBy(col("pmi_cb").desc, col("a").asc, col("b").asc)
+      .limit(50)
+  }
+
   def queries: Map[String, Q] = Map(
+    "w02_pmi_collocations" -> w02_pmi_collocations,
     "w01_words_topk" -> w01_words_topk,
     "a05_label_vecsum" -> a05_label_vecsum,
     "a06_dedup_window" -> a06_dedup_window,
     "v05_vector_stats_agg" -> v05_vector_stats_agg)
 
   def oracleSql: Map[String, String] = Map(
+    // w02: identical censuses + FixedLog centibit PMI (totals live as
+    // one-row CTEs where the engine folds driver-scalar literals)
+    "w02_pmi_collocations" ->
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS t
+         |             FROM documents),
+         |uni AS (SELECT w, count(*)::BIGINT AS c
+         |        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+         |tot AS (SELECT sum(c)::BIGINT AS nu FROM uni),
+         |bi AS (
+         |  SELECT u.p[1] AS a, u.p[2] AS b
+         |  FROM (SELECT t FROM toks WHERE len(t) >= 2) x,
+         |       unnest(list_transform(range(1, len(t)),
+         |         i -> [t[i], t[i + 1]])) AS u(p)),
+         |bc AS (SELECT a, b, count(*)::BIGINT AS c_ab
+         |       FROM bi GROUP BY a, b),
+         |nbt AS (SELECT sum(c_ab)::BIGINT AS nb FROM bc),
+         |sc AS (
+         |  SELECT bc.a, bc.b, c_ab, ua.c AS c_a, ub.c AS c_b, nu, nb
+         |  FROM bc
+         |  JOIN uni ua ON ua.w = bc.a
+         |  JOIN uni ub ON ub.w = bc.b, tot, nbt
+         |  WHERE c_ab >= $PMI_MIN_SUP)
+         |SELECT a, b, c_ab,
+         |       (${FixedLog.duckLog2Cb("c_ab")}
+         |        + 2 * ${FixedLog.duckLog2Cb("nu")}
+         |        - ${FixedLog.duckLog2Cb("nb")}
+         |        - ${FixedLog.duckLog2Cb("c_a")}
+         |        - ${FixedLog.duckLog2Cb("c_b")})::BIGINT AS pmi_cb
+         |FROM sc ORDER BY pmi_cb DESC, a, b LIMIT 50""".stripMargin,
     "w01_words_topk" ->
       s"""WITH sums AS (
          |  SELECT label, i, sum(x) AS sx

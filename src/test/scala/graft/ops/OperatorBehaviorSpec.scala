@@ -2511,4 +2511,29 @@ class OperatorBehaviorSpec extends SparkSpec {
     }
     assert(got.map(_._6).sum == ev.length)
   }
+
+  test("w02: top PMI collocations match a driver census with the " +
+    "FixedLog reference implementation") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val ws = t.split(" ", -1)
+      ws.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      if (ws.length >= 2) ws.sliding(2).foreach { p =>
+        val k = (p(0), p(1)); bi(k) = bi.getOrElse(k, 0L) + 1 }
+    }
+    val nu = FixedLog.log2Cb(uni.values.sum)
+    val nb = FixedLog.log2Cb(bi.values.sum)
+    val expected = bi.toSeq.filter(_._2 >= WordQueries.PMI_MIN_SUP)
+      .map { case ((a, b), cab) =>
+        (a, b, cab, FixedLog.log2Cb(cab) + 2 * nu - nb -
+          FixedLog.log2Cb(uni(a)) - FixedLog.log2Cb(uni(b)))
+      }.sortBy { case (a, b, _, pmi) => (-pmi, a, b) }.take(50)
+    val got = WordQueries.w02_pmi_collocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expected, s"${got.take(3)} vs ${expected.take(3)}")
+  }
 }
