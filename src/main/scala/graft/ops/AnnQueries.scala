@@ -721,7 +721,67 @@ object AnnQueries {
       .limit(10)
   }
 
+  /** n19 nprobe sweep menu. */
+  val NPROBE_MENU: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** n19: NPROBE TUNING CURVE — recall@10 vs scan cost for the IVF
+    * probe knob, the standard ANN deployment trade measured in one
+    * query: cells ranked once by centroid score (n01's coarse
+    * quantizer), the corpus scored ONCE (cached) with its cell rank
+    * attached, then each nprobe in [[NPROBE_MENU]] reads its top-10
+    * from the rank-filtered scan and is judged against the brute-force
+    * top-10. Output per nprobe: cells probed, rows scanned, hits@10,
+    * scan permille — the curve that says what recall another probed
+    * cell actually buys.
+    *
+    * Scale shape: the cell ranking is centroid-table-sized; the scored
+    * corpus pass happens once and every probe variant is a k-bounded
+    * TakeOrdered over the cached scan; the census is one conditional
+    * aggregate. On the n04 cell-partitioned artifact the crank filter
+    * becomes partition pruning — nothing else changes. */
+  val n19_nprobe_curve: Q = (s, d) => {
+    val q = VectorQueries.flagshipVec
+    val emb = Tables.embeddings(s, d)
+    val cellRank = emb.groupBy(col("label"))
+      .agg(VectorAggregators.vecSum(col("embedding")).as("vsum"))
+      .select(col("label"), dotNormalized(q)(col("vsum")).as("cscore"))
+      .withColumn("crank", row_number().over(
+        Window.orderBy(col("cscore").desc, col("label").asc)))
+      .select(col("label"), col("crank"))
+    val scored = emb.join(broadcast(cellRank), "label")
+      .select(col("vec_id"),
+        round(VectorOps.dotQueryNative(col("embedding"), q), 4).as("score"),
+        col("crank"))
+      .cache()
+    scored.count()
+    val brute = scored.orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10).select(col("vec_id"))
+    val hits = NPROBE_MENU.map { p =>
+      scored.filter(col("crank") <= p)
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), lit(p).as("nprobe"))
+    }.reduce(_ unionByName _)
+      .join(broadcast(brute), Seq("vec_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits10"))
+    val counts = scored.agg(
+        count(lit(1)).as("n_total"),
+        NPROBE_MENU.map(p => sum(when(col("crank") <= p, 1L).otherwise(0L))
+          .as(s"n_$p")): _*)
+      .selectExpr(s"stack(${NPROBE_MENU.size}, " + NPROBE_MENU.map(p =>
+        s"$p, n_$p, n_total").mkString(", ") +
+        ") AS (nprobe, n_scanned, n_total)")
+    counts.join(broadcast(hits), Seq("nprobe"), "left")
+      .na.fill(0L, Seq("hits10"))
+      .selectExpr("CAST(nprobe AS BIGINT) AS nprobe",
+        "CAST(least(nprobe, 10) AS BIGINT) AS n_cells",
+        "n_scanned", "hits10",
+        "CAST(n_scanned * 1000 div n_total AS BIGINT) AS scan_permille")
+      .orderBy(col("nprobe"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "n19_nprobe_curve" -> n19_nprobe_curve,
     "n18_multiprobe" -> n18_multiprobe,
     "n17_beam_search" -> n17_beam_search,
     "n16_kmeans_inertia" -> n16_kmeans_inertia,
@@ -861,6 +921,38 @@ object AnnQueries {
           |SELECT cell, count(*)::BIGINT AS n_assigned,
           |       sum(dist)::BIGINT AS inertia
           |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin,
+      // n19: n01's centroid ranking extended to a full rank + the
+      // per-nprobe scalar probes over one shared scored CTE
+      "n19_nprobe_curve" -> {
+        val perP = NPROBE_MENU.map { p =>
+          s"""SELECT $p::BIGINT AS nprobe, least($p, 10)::BIGINT AS n_cells,
+             |  (SELECT count(*) FROM scored WHERE crank <= $p)::BIGINT
+             |    AS n_scanned,
+             |  (SELECT count(*) FROM (
+             |     SELECT vec_id FROM scored WHERE crank <= $p
+             |     ORDER BY score DESC, vec_id LIMIT 10) t
+             |   JOIN brute USING (vec_id))::BIGINT AS hits10,
+             |  ((SELECT count(*) FROM scored WHERE crank <= $p) * 1000
+             |    // (SELECT count(*) FROM scored))::BIGINT
+             |    AS scan_permille""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $centroidCte,
+           |cells AS (
+           |  SELECT label, row_number() OVER (ORDER BY list_dot_product(
+           |    list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))),
+           |    $qLit) DESC, label ASC) AS crank
+           |  FROM vecs),
+           |scored AS MATERIALIZED (
+           |  SELECT e.vec_id,
+           |         round(list_dot_product(e.embedding::DOUBLE[], $qLit), 4)
+           |           AS score,
+           |         c.crank
+           |  FROM embeddings e JOIN cells c USING (label)),
+           |brute AS (SELECT vec_id FROM scored
+           |          ORDER BY score DESC, vec_id LIMIT 10)
+           |$perP
+           |ORDER BY nprobe""".stripMargin
+      },
       "n01_ann_ivf" ->
         s"""WITH $centroidCte,
            |probes AS (

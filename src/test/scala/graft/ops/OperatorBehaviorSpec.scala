@@ -2536,4 +2536,32 @@ class OperatorBehaviorSpec extends SparkSpec {
         r.getLong(3))).toSeq
     assert(got == expected, s"${got.take(3)} vs ${expected.take(3)}")
   }
+
+  test("n19: the curve is monotone, permilles recompute, and the p=2 " +
+    "point IS n01's recall against v01's brute top-10") {
+    val got = AnnQueries.n19_nprobe_curve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 < b._3, "scanned rows strictly increase with nprobe")
+        assert(a._4 <= b._4, "recall never drops as cells are added")
+      case _ =>
+    }
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    got.foreach { case (_, cells, scanned, hits, pm) =>
+      assert(cells >= 1 && hits <= 10)
+      assert(pm == scanned * 1000 / total, "permille recomputes")
+    }
+    // cross-operator exactness: nprobe=2 is n01's configuration, so its
+    // hits@10 must equal |n01 ∩ brute-top-10| exactly (v01 is the
+    // reference's top-12 — its ordered prefix of 10 IS the brute set)
+    val n01 = AnnQueries.n01_ann_ivf(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val brute = VectorQueries.v01_search_topk(spark, sf).collect()
+      .take(10).map(_.getLong(0)).toSet
+    assert(got(1)._4 == (n01 & brute).size.toLong,
+      s"p=2 hits ${got(1)._4} vs n01∩brute ${(n01 & brute).size}")
+  }
 }
