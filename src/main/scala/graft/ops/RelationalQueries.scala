@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 
@@ -183,7 +184,41 @@ object RelationalQueries {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** q11: CUSTOMER REVENUE DECILES — the "top 10% drive X%" report:
+    * customers ranked by exact order-revenue cents into 10 ntile
+    * buckets; per decile n_customers, revenue share and CUMULATIVE
+    * share in permille (exact integer division over the cents totals).
+    * Cents discipline of r01 (per-value round, BIGINT sums — never a
+    * float total at any scale).
+    *
+    * Scale shape: the corpus collapses to one (custkey, cents) row per
+    * customer in a map-side-combinable aggregate BEFORE any window;
+    * the ntile/cumulative windows then run over the customer-count
+    * table, not the order log — the aggregate-then-rank order that
+    * keeps a 100 TB fact table out of every sort. */
+  val q11_revenue_deciles: Q = (s, d) => {
+    val perCust = Tables.orders(s, d)
+      .withColumn("cents",
+        expr("CAST(round(o_totalprice * 100.0D) AS BIGINT)"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
+    val ranked = perCust.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("cents").desc,
+        col("o_custkey").asc)))
+    ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("dc"))
+      .withColumn("total", sum(col("dc")).over(Window.partitionBy()))
+      .withColumn("cum", sum(col("dc")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .selectExpr("CAST(decile AS BIGINT) AS decile", "n_customers",
+        "dc AS revenue_cents",
+        "CAST(dc * 1000 div total AS BIGINT) AS share_permille",
+        "CAST(cum * 1000 div total AS BIGINT) AS cum_permille")
+      .orderBy(col("decile"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q11_revenue_deciles" -> q11_revenue_deciles,
     "q09_small_qty_revenue" -> q09_small_qty_revenue,
     "q10_custorder_dist" -> q10_custorder_dist,
     "q01_pricing_summary" -> q01_pricing_summary,
@@ -196,6 +231,29 @@ object RelationalQueries {
     "q08_distinct_sources" -> q08_distinct_sources)
 
   def oracleSql: Map[String, String] = Map(
+    // q11: identical cents aggregate → ntile → census/cumulative
+    "q11_revenue_deciles" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |rk AS (
+        |  SELECT cents, ntile(10) OVER (ORDER BY cents DESC, o_custkey)
+        |           AS decile
+        |  FROM pc),
+        |dec AS (
+        |  SELECT decile, count(*)::BIGINT AS n_customers,
+        |         sum(cents)::BIGINT AS dc
+        |  FROM rk GROUP BY decile)
+        |SELECT decile::BIGINT AS decile, n_customers,
+        |       dc AS revenue_cents,
+        |       (dc * 1000 // (SELECT sum(dc) FROM dec))::BIGINT
+        |         AS share_permille,
+        |       (sum(dc) OVER (ORDER BY decile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        * 1000 // (SELECT sum(dc) FROM dec))::BIGINT
+        |         AS cum_permille
+        |FROM dec ORDER BY decile""".stripMargin,
     // q09: same decorrelated per-part statistic, same cross-multiplied
     // integer-cents threshold
     "q09_small_qty_revenue" ->

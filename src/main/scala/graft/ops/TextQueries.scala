@@ -889,7 +889,48 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t22: PER-DOCUMENT CHARACTER ENTROPY — the compression-ratio-style
+    * quality signal (low entropy ⇒ repeated/templated/spammy text) as a
+    * banded census, in EXACT [[FixedLog]] centibits via the t18
+    * identity N·H = N·log₂N − Σ c·log₂c — no probability ever floats.
+    * Per-doc H is the half-up centibit mean; the census bands at
+    * quarter-bit (25 cb) granularity with per-band min/max/mean.
+    *
+    * Scale shape: the engine side is ONE compiled zero-shuffle UDF pass
+    * (per-doc char counts in a local table — t20's discipline; the
+    * oracle expands the identical arithmetic through an explode +
+    * group); the census is band-sized and map-side combinable. */
+  val t22_char_entropy: Q = (s, d) => {
+    val entUdf = udf { (text: String) =>
+      if (text == null || text.isEmpty) 0L
+      else {
+        val counts = new java.util.HashMap[Integer, Long]()
+        val it = text.codePoints().iterator()
+        var n = 0L
+        while (it.hasNext) {
+          counts.merge(it.next(), 1L, (a, b) => a + b); n += 1
+        }
+        var sum = 0L
+        val vs = counts.values().iterator()
+        while (vs.hasNext) { val k = vs.next(); sum += k * FixedLog.log2Cb(k) }
+        val num = n * FixedLog.log2Cb(n) - sum
+        (2 * num + n) / (2 * n)
+      }
+    }
+    Tables.documents(s, d)
+      .select(entUdf(col("text")).as("h_cb"))
+      .groupBy(expr("h_cb div 25").as("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("h_cb")).as("min_cb"), max(col("h_cb")).as("max_cb"),
+        sum(col("h_cb")).as("sh"))
+      .selectExpr("CAST(band AS BIGINT) AS band", "n_docs", "min_cb",
+        "max_cb",
+        "CAST((2 * sh + n_docs) div (2 * n_docs) AS BIGINT) AS mean_cb")
+      .orderBy(col("band"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "t22_char_entropy" -> t22_char_entropy,
     "t21_novelty" -> t21_novelty,
     "t20_hash_classifier" -> t20_hash_classifier,
     "t19_repetition_spans" -> t19_repetition_spans,
@@ -953,6 +994,25 @@ object TextQueries {
     val t12Union = (1 to BPE_ROUNDS)
       .map(r => s"SELECT * FROM top$r").mkString(" UNION ALL ")
     Map(
+      // t22: explode chars → per-doc N·H = N·cb(N) − Σ c·cb(c) with the
+      // identical FixedLog table, half-up mean, quarter-bit bands
+      "t22_char_entropy" ->
+        s"""WITH ch AS (
+           |  SELECT doc_id, unnest(string_split(text, '')) AS c
+           |  FROM documents),
+           |cc AS (SELECT doc_id, c, count(*)::BIGINT AS k
+           |       FROM ch GROUP BY doc_id, c),
+           |pd AS (SELECT doc_id, sum(k)::BIGINT AS n,
+           |              sum(k * ${FixedLog.duckLog2Cb("k")})::BIGINT AS sk
+           |       FROM cc GROUP BY doc_id),
+           |h AS (SELECT (2 * (n * ${FixedLog.duckLog2Cb("n")} - sk) + n)
+           |               // (2 * n) AS h_cb
+           |      FROM pd)
+           |SELECT (h_cb // 25)::BIGINT AS band, count(*)::BIGINT AS n_docs,
+           |       min(h_cb)::BIGINT AS min_cb, max(h_cb)::BIGINT AS max_cb,
+           |       ((2 * sum(h_cb) + count(*)) // (2 * count(*)))::BIGINT
+           |         AS mean_cb
+           |FROM h GROUP BY band ORDER BY band""".stripMargin,
       // t21: d12's shared shingle fragments (tokPolyDuck + spanFold),
       // occurrence-df census, integer permille; LEFT JOIN keeps
       // shingle-less docs at zero

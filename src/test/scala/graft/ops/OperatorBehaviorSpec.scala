@@ -2564,4 +2564,64 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(got(1)._4 == (n01 & brute).size.toLong,
       s"p=2 hits ${got(1)._4} vs n01∩brute ${(n01 & brute).size}")
   }
+
+  test("q11: deciles match a driver recomputation and the shares " +
+    "telescope to exactly 1000 permille") {
+    val perCust = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST(round(o_totalprice * 100.0D) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }.toSeq
+      .sortBy { case (k, c) => (-c, k) }
+    val n = perCust.length
+    val (base, extra) = (n / 10, n % 10)
+    val bounds = (0 until 10).scanLeft(0)((acc, i) =>
+      acc + base + (if (i < extra) 1 else 0))
+    val total = perCust.map(_._2).sum
+    var cum = 0L
+    val expected = (0 until 10).map { i =>
+      val rows = perCust.slice(bounds(i), bounds(i + 1))
+      val dc = rows.map(_._2).sum
+      cum += dc
+      ((i + 1).toLong, rows.length.toLong, dc, dc * 1000 / total,
+        cum * 1000 / total)
+    }
+    val got = RelationalQueries.q11_revenue_deciles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected, s"${got.take(3)} vs ${expected.take(3)}")
+    assert(got.last._5 == 1000L, "cumulative share telescopes to 1000")
+    // deciles are revenue-sorted: shares never increase down the table
+    got.sliding(2).foreach {
+      case Seq(a, b) => assert(a._3 >= b._3, "decile revenue monotone")
+      case _ =>
+    }
+  }
+
+  test("t22: entropy census matches a driver recomputation with the " +
+    "FixedLog reference and a planted repeat collapses the band") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    def hcb(t: String): Long = {
+      val counts = t.codePoints().toArray.groupBy(identity)
+        .map { case (_, v) => v.length.toLong }
+      val n = counts.sum
+      if (n == 0) 0L
+      else {
+        val sk = counts.map(k => k * FixedLog.log2Cb(k)).sum
+        (2 * (n * FixedLog.log2Cb(n) - sk) + n) / (2 * n)
+      }
+    }
+    val expected = texts.map(hcb).groupBy(_ / 25).toSeq.sortBy(_._1)
+      .map { case (b, hs) => (b, hs.length.toLong, hs.min, hs.max,
+        (2 * hs.sum + hs.length) / (2L * hs.length)) }
+    val got = TextQueries.t22_char_entropy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected, s"$got vs $expected")
+    // the signal the operator exists for: a degenerate repeated text
+    // sits orders below the natural-language bands
+    assert(hcb("aaaaaaaaaabbbbbbbbbb") == 100L, "2-symbol text = 1 bit")
+    assert(got.head._1 * 25 > 300, "natural corpus well above 3 bits")
+  }
 }
