@@ -1016,7 +1016,136 @@ object DedupQueries {
       .orderBy(col("batch_id"))
   }
 
+  /** d15: PREFIX-FILTERED SET-SIMILARITY JOIN (SSJoin/PPJoin family,
+    * Chaudhuri et al. 2006 / Xiao et al. 2008) — the EXACT Jaccard ≥ ½
+    * join over word-3-gram sets, with candidates generated only from
+    * each set's RAREST-token prefix instead of every posting: order
+    * grams globally by (df, gram), keep the first n − ⌈n/2⌉ + 1 per
+    * doc, and join prefixes. The prefix lemma (the smallest common
+    * gram of a qualifying pair must sit inside BOTH prefixes) makes
+    * the filter LOSSLESS — the spec proves it by equality against a
+    * prefix-free driver brute force over every pair; the oracle
+    * mirrors the pipeline (d02's discipline) so the hash compare stays
+    * affordable at stress scales where the unfiltered posting join is
+    * quadratic. The threshold itself is the integer predicate
+    * 2·inter ≥ union: no float ever decides membership.
+    *
+    * Scale shape: candidate cost drops from O(Σ df²) over ALL postings
+    * (d04's shape) to O(Σ prefix-df²) — prefixes are ~half the tokens
+    * and systematically the RAREST half, which is where posting lists
+    * are shortest; verification joins are candidate-bounded; the spec
+    * pins a ≥5× candidate reduction. One guard on top: prefix postings
+    * with df > [[PPJ_DF_CAP]] are anti-joined away (d02/d04's
+    * discipline) — on THIS fixture's 31-word vocabulary the ~30k-gram
+    * space saturates around 10× (mean gram df ≈ 80 ⇒ "rarest half" is
+    * no longer rare and Σ prefix-df² goes quadratic; measured: the
+    * uncapped 10× run was killed at 14 min), and when the cap binds
+    * candidates are conservatively UNDER-generated, exactly like d04's
+    * capped grams and d12's 30× cap-binding result. On a real-text
+    * vocabulary the gram space grows with the corpus and the cap is
+    * idle headroom. The cap never fires below ~3×(tested sf)
+    * (measured max prefix df: 10 at sf0.001, 30 at sf0.1). */
+  val PPJ_DF_CAP = 100L
+
+  val d15_prefix_join: Q = (s, d) => {
+    val docs = d02Corpus(s, d)
+      .select(col("doc_id"), gramUdf(col("text")).as("g"))
+      .selectExpr("doc_id", "size(g) AS n", "g")
+      .filter(col("n") > 0)
+    val exploded = docs.selectExpr("doc_id", "n", "explode(g) AS gram")
+      .cache()
+    exploded.count()
+    val dfs = exploded.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val prefixes = exploded.join(dfs.hint("shuffle_hash"), "gram")
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("df").asc, col("gram").asc)))
+      .filter(col("rk") <= expr("n - (n + 1) div 2 + 1") &&
+        col("df") <= PPJ_DF_CAP)
+      .select(col("doc_id"), col("n"), col("gram"))
+      .cache()
+    prefixes.count()
+    val cand = prefixes.as("x").join(prefixes.as("y"),
+        col("x.gram") === col("y.gram") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .distinct()
+    cand
+      .join(exploded.select(col("doc_id").as("doc_a"), col("gram"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(exploded.select(col("doc_id").as("doc_b"), col("gram"))
+        .hint("shuffle_hash"), Seq("doc_b", "gram"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(expr("2 * inter >= na + nb - inter"))
+      .selectExpr("doc_a", "doc_b",
+        "((20000 * inter + (na + nb - inter)) div (2 * (na + nb - inter)))" +
+          " / 10000.0D AS jaccard")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d16: ASYMMETRIC CONTAINMENT JOIN — the quote-inclusion / subset-dup
+    * modality d15's symmetric Jaccard misses: emit ordered pairs
+    * (contained, container) where |A∩B| / |A| ≥ 9/10 over the same
+    * word-3-gram sets (a doc whose grams nearly all reappear inside a
+    * LARGER doc has Jaccard ≪ ½ but containment ≈ 1 — d02Corpus's
+    * planted "text ⊕ mutated tail" copies are exactly this shape, so
+    * every orig→copy pair must surface at containment 1.0). Prefix
+    * filter, asymmetric variant: only the CONTAINED side is prefix-
+    * pruned, to its n − ⌈9n/10⌉ + 1 RAREST (df, gram)-ordered grams
+    * (for τ = 0.9 that is ~n/10 — far sharper than d15's half), and it
+    * probes the FULL posting index, because the container side admits
+    * no pruning (any of B's grams may be the one A shares). Lossless
+    * by the same pigeonhole: A misses at most n − ⌈τn⌉ of B's grams,
+    * so its first n − ⌈τn⌉ + 1 grams (ANY fixed global order) contain
+    * at least one hit. The threshold is the integer predicate
+    * 10·inter ≥ 9·n_a; the reported fraction is derived AFTER.
+    *
+    * Scale shape: per prefix gram g the probe costs prefix_occ(g)·df(g)
+    * and the [[PPJ_DF_CAP]] guard on the PREFIX side bounds df(g) too
+    * (the posting list being probed is the same gram's), so the whole
+    * candidate join is ≤ CAP · |prefix rows| — linear in the corpus
+    * with a constant ~CAP/10 (d15's saturation caveat applies
+    * unchanged on this fixture's closed vocabulary). */
+  val d16_containment_join: Q = (s, d) => {
+    val exploded = d02Corpus(s, d)
+      .select(col("doc_id"), gramUdf(col("text")).as("g"))
+      .selectExpr("doc_id", "size(g) AS n", "g")
+      .filter(col("n") > 0)
+      .selectExpr("doc_id", "n", "explode(g) AS gram")
+      .cache()
+    exploded.count()
+    val dfs = exploded.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val prefixes = exploded.join(dfs.hint("shuffle_hash"), "gram")
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("df").asc, col("gram").asc)))
+      .filter(col("rk") <= expr("n - (9 * n + 9) div 10 + 1") &&
+        col("df") <= PPJ_DF_CAP)
+      .select(col("doc_id"), col("n"), col("gram"))
+    val cand = prefixes.as("x")
+      .join(exploded.select(col("doc_id"), col("gram")).as("y")
+          .hint("shuffle_hash"),
+        col("x.gram") === col("y.gram") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("contained"), col("y.doc_id").as("container"),
+        col("x.n").as("na"))
+      .distinct()
+    cand
+      .join(exploded.select(col("doc_id").as("contained"), col("gram"))
+        .hint("shuffle_hash"), "contained")
+      .join(exploded.select(col("doc_id").as("container"), col("gram"))
+        .hint("shuffle_hash"), Seq("container", "gram"))
+      .groupBy(col("contained"), col("container"), col("na"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(expr("10 * inter >= 9 * na"))
+      .selectExpr("contained", "container",
+        "((20000 * inter + na) div (2 * na)) / 10000.0D AS containment")
+      .orderBy(col("contained"), col("container"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "d16_containment_join" -> d16_containment_join,
+    "d15_prefix_join" -> d15_prefix_join,
     "d14_incremental_dedup" -> d14_incremental_dedup,
     "d13_minhash_calibration" -> d13_minhash_calibration,
     "d12_substring_spans" -> d12_substring_spans,
@@ -1078,6 +1207,83 @@ object DedupQueries {
       s"(CASE WHEN list_sum(list_transform(th$s, h -> CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << (15 * s + b)} ELSE 0 END)"
     ).mkString(" + ")
     Map(
+      // d16: asymmetric containment — contained-side-only prefix,
+      // full-posting probe, integer 10·inter >= 9·n_a threshold
+      "d16_containment_join" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+           |         text || ' mutated tail' FROM documents),
+           |g AS MATERIALIZED (
+           |  SELECT doc_id, unnest($gramListDuck) AS gram FROM corpus),
+           |sets AS (SELECT doc_id, count(*)::BIGINT AS n
+           |         FROM g GROUP BY doc_id),
+           |dfs AS (SELECT gram, count(*)::BIGINT AS df
+           |        FROM g GROUP BY gram),
+           |pre AS MATERIALIZED (
+           |  SELECT doc_id, n, gram FROM (
+           |    SELECT g.doc_id, g.gram, s.n, d.df,
+           |           row_number() OVER (PARTITION BY g.doc_id
+           |             ORDER BY d.df, g.gram) AS rk
+           |    FROM g JOIN dfs d USING (gram) JOIN sets s USING (doc_id))
+           |  WHERE rk <= n - (9 * n + 9) // 10 + 1 AND df <= $PPJ_DF_CAP),
+           |lists AS MATERIALIZED (
+           |  SELECT doc_id, list(gram) AS gl FROM g GROUP BY doc_id),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS contained, y.doc_id AS container,
+           |         x.n AS na
+           |  FROM pre x JOIN g y
+           |    ON x.gram = y.gram AND x.doc_id <> y.doc_id),
+           |it AS (
+           |  SELECT c.contained, c.container, c.na,
+           |         len(list_intersect(la.gl, lb.gl))::BIGINT AS inter
+           |  FROM cand c
+           |  JOIN lists la ON la.doc_id = c.contained
+           |  JOIN lists lb ON lb.doc_id = c.container)
+           |SELECT contained, container,
+           |       ((20000 * inter + na) // (2 * na)) / 10000.0 AS containment
+           |FROM it WHERE 10 * inter >= 9 * na
+           |ORDER BY contained, container""".stripMargin,
+      // d15: same corpus/gram/df/prefix/verify arithmetic; the prefix
+      // losslessness proof lives in the spec's prefix-free brute
+      "d15_prefix_join" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+           |         text || ' mutated tail' FROM documents),
+           |g AS MATERIALIZED (
+           |  SELECT doc_id, unnest($gramListDuck) AS gram FROM corpus),
+           |sets AS (SELECT doc_id, count(*)::BIGINT AS n
+           |         FROM g GROUP BY doc_id),
+           |dfs AS (SELECT gram, count(*)::BIGINT AS df
+           |        FROM g GROUP BY gram),
+           |pre AS MATERIALIZED (
+           |  SELECT doc_id, n, gram FROM (
+           |    SELECT g.doc_id, g.gram, s.n, d.df,
+           |           row_number() OVER (PARTITION BY g.doc_id
+           |             ORDER BY d.df, g.gram) AS rk
+           |    FROM g JOIN dfs d USING (gram) JOIN sets s USING (doc_id))
+           |  WHERE rk <= n - (n + 1) // 2 + 1 AND df <= $PPJ_DF_CAP),
+           |lists AS MATERIALIZED (
+           |  SELECT doc_id, list(gram) AS gl FROM g GROUP BY doc_id),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           |         x.n AS na, y.n AS nb
+           |  FROM pre x JOIN pre y
+           |    ON x.gram = y.gram AND x.doc_id < y.doc_id),
+           |it AS (
+           |  SELECT c.doc_a, c.doc_b, c.na, c.nb,
+           |         len(list_intersect(la.gl, lb.gl))::BIGINT AS inter
+           |  FROM cand c
+           |  JOIN lists la ON la.doc_id = c.doc_a
+           |  JOIN lists lb ON lb.doc_id = c.doc_b)
+           |SELECT doc_a, doc_b,
+           |       ((20000 * inter + (na + nb - inter))
+           |        // (2 * (na + nb - inter))) / 10000.0 AS jaccard
+           |FROM it WHERE 2 * inter >= na + nb - inter
+           |ORDER BY doc_a, doc_b""".stripMargin,
       // d14: batch-vs-index incremental MinHash dedup; same sig/band
       // arithmetic as d02, corpus-only bucket cap, best-match verdicts
       "d14_incremental_dedup" ->

@@ -2624,4 +2624,94 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(hcb("aaaaaaaaaabbbbbbbbbb") == 100L, "2-symbol text = 1 bit")
     assert(got.head._1 * 25 > 300, "natural corpus well above 3 bits")
   }
+
+  test("d15: the prefix filter is LOSSLESS — output equals a prefix-free " +
+    "brute force over every pair, and candidates shrink >= 5x") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val shift = docs.map(_._1).max + 1
+    val corpus = docs ++ docs.map { case (id, t) =>
+      (id + shift, t + " mutated tail") }
+    def grams(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 3) Set.empty
+      else (0 until ws.length - 2)
+        .map(i => ws(i) + "_" + ws(i + 1) + "_" + ws(i + 2)).toSet
+    }
+    val sets = corpus.map { case (id, t) => id -> grams(t) }
+      .filter(_._2.nonEmpty)
+    // prefix-free brute force: every pair, exact integer threshold
+    val expected = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (ida, sa) = sets(i); (idb, sb) = sets(j)
+      (a, ga, b, gb) = if (ida < idb) (ida, sa, idb, sb)
+                       else (idb, sb, ida, sa)
+      inter = (ga & gb).size.toLong
+      union = ga.size + gb.size - inter
+      if 2 * inter >= union
+    } yield (a, b,
+      ((20000 * inter + union) / (2 * union)) / 10000.0)).sortBy(t => (t._1, t._2))
+    val got = DedupQueries.d15_prefix_join(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected,
+      s"${got.length} pairs vs brute ${expected.length}")
+    // the filter's reason to exist: prefix candidates vs full postings
+    val dfm = sets.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length).toMap
+    def prefix(s: Set[String]): Set[String] = {
+      val p = s.size - (s.size + 1) / 2 + 1
+      s.toSeq.sortBy(g => (dfm(g), g)).take(p).toSet
+    }
+    val pres = sets.map { case (id, s) => id -> prefix(s) }
+    def candCount(m: Seq[(Long, Set[String])]): Long = (for {
+      i <- m.indices; j <- (i + 1) until m.length
+      if (m(i)._2 & m(j)._2).nonEmpty
+    } yield 1L).sum
+    val full = candCount(sets.toSeq)
+    val pref = candCount(pres.toSeq)
+    assert(pref * 5 <= full, s"prefix candidates $pref vs full $full")
+  }
+
+  test("d16: asymmetric containment equals the prefix-free brute force, " +
+    "and every planted orig->copy pair surfaces at containment 1.0") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val shift = docs.map(_._1).max + 1
+    val corpus = docs ++ docs.map { case (id, t) =>
+      (id + shift, t + " mutated tail") }
+    def grams(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 3) Set.empty
+      else (0 until ws.length - 2)
+        .map(i => ws(i) + "_" + ws(i + 1) + "_" + ws(i + 2)).toSet
+    }
+    val sets = corpus.map { case (id, t) => id -> grams(t) }
+      .filter(_._2.nonEmpty)
+    // brute force over ORDERED pairs: containment is asymmetric
+    val expected = (for {
+      i <- sets.indices; j <- sets.indices if i != j
+      (ida, sa) = sets(i); (idb, sb) = sets(j)
+      inter = (sa & sb).size.toLong
+      na = sa.size.toLong
+      if 10 * inter >= 9 * na
+    } yield (ida, idb,
+      ((20000 * inter + na) / (2 * na)) / 10000.0)).sortBy(t => (t._1, t._2))
+    val got = DedupQueries.d16_containment_join(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected,
+      s"${got.length} ordered pairs vs brute ${expected.length}")
+    // the modality's reason to exist: the planted copies are SUPERSETS,
+    // so orig->copy containment is exactly 1.0 for every original with
+    // grams — pairs d15's symmetric-Jaccard threshold may keep only
+    // because the tail is short; a true subset at any size gap would
+    // vanish from d15 but must stay here
+    val origIds = sets.map(_._1).filter(_ < shift).toSet
+    val gotMap = got.map(t => (t._1, t._2) -> t._3).toMap
+    origIds.foreach { id =>
+      assert(gotMap.get((id, id + shift)).contains(1.0),
+        s"planted pair $id -> ${id + shift} missing or below 1.0")
+    }
+  }
 }
