@@ -269,6 +269,33 @@ object StreamingOps {
       }
   }
 
+  /** TRUE STREAM-STREAM JOIN — the one Structured Streaming join
+    * modality the module lacked: two UNBOUNDED streams (views,
+    * purchases) inner-joined per user under an event-time range
+    * (purchase within 1 h AFTER the view — the ad-attribution window),
+    * with watermarks on BOTH sides. Spark buffers each side in a keyed
+    * state store; the range condition plus the watermarks are what
+    * make that state EVICTABLE — a buffered view can be dropped once
+    * the purchase watermark passes v_ts + 1 h (no future purchase can
+    * match it), a buffered purchase once the view watermark passes
+    * p_ts. Without the time bound the state grows forever and Spark
+    * rejects the append-mode query outright. Output arithmetic is
+    * BIGINT epoch-micros (e12's discipline).
+    *
+    * Scale shape: join state is O(events inside the watermark + window
+    * lag) PER KEY, i.e. the attribution window's working set, not the
+    * stream's history — the property that lets this run against an
+    * infinite feed on a 1000-executor cluster. */
+  def attributionJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.withWatermark("v_ts", "10 minutes")
+    val p = purchases.withWatermark("p_ts", "10 minutes")
+    v.join(p, expr(
+      "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"))
+      .select(col("v_user").as("user_id"), col("v_id"), col("p_id"),
+        expr("(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000L")
+          .as("lag_sec"))
+  }
+
   /** Custom stateful sessionization via mapGroupsWithState: a session
     * closes after 30 min of inactivity (processing-time timeout; pass
     * `withTimeout = false` for deterministic tests — with a timeout the

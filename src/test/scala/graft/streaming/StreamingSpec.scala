@@ -187,6 +187,40 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream join: watermarked view x purchase attribution " +
+    "join == the equivalent batch range join on the events table") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+        col("ts").as("v_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+    val dir = Files.createTempDirectory("stream-ss-join").toString
+    views.write.parquet(s"$dir/v")
+    purchases.write.parquet(s"$dir/p")
+    val q = StreamingOps.attributionJoin(
+        spark.readStream.schema(views.schema).parquet(s"$dir/v"),
+        spark.readStream.schema(purchases.schema).parquet(s"$dir/p"))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val streamed = spark.table("ss_join").collect().map(key).toSet
+    // batch truth: the same range join, no streaming machinery
+    val batch = views.join(purchases, expr(
+        "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"))
+      .selectExpr("v_user", "v_id", "p_id",
+        "(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000L")
+      .collect().map(key).toSet
+    assert(batch.nonEmpty, "fixture must produce attribution pairs")
+    assert(streamed == batch,
+      s"streamed ${streamed.size} pairs vs batch ${batch.size}")
+    q.stop()
+  }
+
   test("restart recovery: dedupedListing resumes offsets AND " +
     "dropDuplicatesWithinWatermark state from the checkpoint — a key " +
     "duplicated across the restart is dropped, pre-restart rows are " +
