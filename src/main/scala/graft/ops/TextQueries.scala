@@ -929,7 +929,49 @@ object TextQueries {
       .orderBy(col("band"))
   }
 
+  /** Chunk geometry for t23: the classic RAG/embedding pre-processing
+    * window — [[CHUNK_TOKENS]]-token chunks advancing by
+    * [[CHUNK_STRIDE]] tokens (so consecutive chunks overlap by
+    * CHUNK_TOKENS − CHUNK_STRIDE = 16 tokens of shared context). */
+  val CHUNK_TOKENS = 64L
+  val CHUNK_STRIDE = 48L
+
+  /** t23: SLIDING-WINDOW CHUNK PLAN — the deterministic (doc_id,
+    * chunk_id, tok_start, n_tokens, chunk_md5) schedule a retrieval /
+    * embedding pipeline materializes before any encoder runs (the text
+    * twin of m04's frame-sample plan): fixed-size token windows with
+    * overlap, split-on-space tokens (the corpus convention shared with
+    * t03), chunk count ⌈(n − C)/S⌉ + 1 in pure BIGINT ceil-div. The
+    * md5 over the reassembled chunk text makes the CONTENT of every
+    * chunk part of the oracle contract, not just its geometry, while
+    * keeping the output row narrow (no chunk bodies ride the result).
+    *
+    * Scale shape: a narrow per-doc transform — split, a bounded
+    * explode (≤ n/S + 1 rows per doc), string slice/join, md5 — all
+    * inside one WholeStageCodegen span with ZERO shuffle before the
+    * presentation sort; at 100 TB the plan streams through the scan
+    * and the downstream encoder joins back by (doc_id, chunk_id). */
+  val t23_chunk_plan: Q = (s, d) => {
+    val C = CHUNK_TOKENS; val S = CHUNK_STRIDE
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", "toks", "CAST(size(toks) AS BIGINT) AS nd")
+      .selectExpr("doc_id", "toks", "nd",
+        s"""explode(sequence(CAST(0 AS BIGINT),
+           |  CASE WHEN nd <= $C THEN CAST(0 AS BIGINT)
+           |       ELSE (nd - $C + ${S - 1}) div $S END)) AS chunk_id"""
+          .stripMargin)
+      .selectExpr("doc_id", "chunk_id",
+        s"CAST(chunk_id * $S AS BIGINT) AS tok_start",
+        s"CAST(least(chunk_id * $S + $C, nd) - chunk_id * $S AS BIGINT) AS n_tokens",
+        s"""md5(array_join(slice(toks, CAST(chunk_id * $S + 1 AS INT),
+           |  CAST(least(chunk_id * $S + $C, nd) - chunk_id * $S AS INT)),
+           |  ' ')) AS chunk_md5""".stripMargin)
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "t23_chunk_plan" -> t23_chunk_plan,
     "t22_char_entropy" -> t22_char_entropy,
     "t21_novelty" -> t21_novelty,
     "t20_hash_classifier" -> t20_hash_classifier,
@@ -994,6 +1036,29 @@ object TextQueries {
     val t12Union = (1 to BPE_ROUNDS)
       .map(r => s"SELECT * FROM top$r").mkString(" UNION ALL ")
     Map(
+      // t23: identical ceil-div chunk-count / window arithmetic;
+      // list_slice is 1-based INCLUSIVE-end (Spark slice takes a
+      // LENGTH), so the end bound is tok_start + n_tokens
+      "t23_chunk_plan" -> {
+        val C = CHUNK_TOKENS; val S = CHUNK_STRIDE
+        s"""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks,
+           |         len(string_split(text, ' '))::BIGINT AS nd
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, toks, nd,
+           |         unnest(generate_series(0::BIGINT,
+           |           CASE WHEN nd <= $C THEN 0::BIGINT
+           |                ELSE (nd - $C + ${S - 1}) // $S END)) AS chunk_id
+           |  FROM t)
+           |SELECT doc_id, chunk_id,
+           |       (chunk_id * $S)::BIGINT AS tok_start,
+           |       (least(chunk_id * $S + $C, nd) - chunk_id * $S)::BIGINT
+           |         AS n_tokens,
+           |       md5(array_to_string(list_slice(toks, chunk_id * $S + 1,
+           |         least(chunk_id * $S + $C, nd)), ' ')) AS chunk_md5
+           |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+      },
       // t22: explode chars → per-doc N·H = N·cb(N) − Σ c·cb(c) with the
       // identical FixedLog table, half-up mean, quarter-bit bands
       "t22_char_entropy" ->

@@ -2625,6 +2625,46 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(got.head._1 * 25 > 300, "natural corpus well above 3 bits")
   }
 
+  test("t23: chunk plan matches a driver recomputation, covers every " +
+    "token exactly, and consecutive chunks overlap by 16") {
+    val C = TextQueries.CHUNK_TOKENS.toInt
+    val S = TextQueries.CHUNK_STRIDE.toInt
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.flatMap { case (id, t) =>
+      val toks = t.split(" ", -1) // keep trailing empties, like split/string_split
+      val n = toks.length
+      val k = if (n <= C) 1 else (n - C + S - 1) / S + 1
+      (0 until k).map { i =>
+        val start = i * S
+        val len = math.min(start + C, n) - start
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(toks.slice(start, start + len).mkString(" ")
+            .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (id, i.toLong, start.toLong, len.toLong, md5)
+      }
+    }.sortBy(x => (x._1, x._2)).toSeq
+    val got = TextQueries.t23_chunk_plan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got == expected, s"${got.take(2)} vs ${expected.take(2)}")
+    // coverage + overlap invariants per doc
+    got.groupBy(_._1).foreach { case (id, cs) =>
+      val n = docs.toMap.apply(id).split(" ", -1).length
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 == 0L, s"doc $id starts at token 0")
+      assert(sorted.last._3 + sorted.last._4 == n, s"doc $id covers tail")
+      assert(sorted.forall(_._4 <= C), s"doc $id chunk size bound")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._3 == a._3 + S, s"doc $id stride")
+          assert(a._3 + a._4 >= b._3, s"doc $id no token gap")
+        case _ =>
+      }
+    }
+  }
+
   test("d15: the prefix filter is LOSSLESS — output equals a prefix-free " +
     "brute force over every pair, and candidates shrink >= 5x") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
