@@ -1143,7 +1143,54 @@ object DedupQueries {
       .orderBy(col("contained"), col("container"))
   }
 
+  /** d17 knobs: neighbors compared per row in sort order, and the max
+    * accepted edit distance (the planted tail mutation is 13 edits). */
+  val SNM_WINDOW = 4
+  val SNM_LEV_MAX = 16L
+
+  /** d17: SORTED-NEIGHBORHOOD DEDUP (Hernández & Stolfo 1995) — the
+    * SORT-based near-dup modality the LSH family (d02/d03/d06) doesn't
+    * cover: derive a normalized blocking key (first 24 chars of the
+    * lowercased alphanumeric skeleton), sort each 2-char key block by
+    * (key, id), and compare every row with only its next
+    * [[SNM_WINDOW]] neighbors in sort order via `lead` — per-row work
+    * is CONSTANT (no self-join, no candidate explosion anywhere), and
+    * the expensive exact `levenshtein` verifier runs on exactly
+    * W·N pairs. d02Corpus's tail-mutated copies share their original's
+    * key prefix, so orig→copy pairs sort adjacent and surface at
+    * lev = 13; pairs separated by > W same-key rows are missed — the
+    * documented SNM recall trade (multi-pass with rotated keys is the
+    * standard extension; both engines see the identical windows, so
+    * the output is still exact for the hash compare).
+    *
+    * Scale shape: ONE hash-partitioned window shuffle keyed by the
+    * 2-char block (≤ 36² groups here — the block length is the skew
+    * knob at 100 TB: longer blocks ⇒ smaller sort groups), then a
+    * narrow explode of at most W neighbor structs per row. Only
+    * (id, text, key) ride the shuffle; levenshtein cost is
+    * O(W·N·len²) — linear in the corpus, unlike any pair join. */
+  val d17_sorted_neighborhood: Q = (s, d) => {
+    val keyed = d02Corpus(s, d)
+      .selectExpr("doc_id", "text",
+        "substring(regexp_replace(lower(text), '[^a-z0-9]', ''), 1, 24) AS skey")
+      .withColumn("block", expr("substring(skey, 1, 2)"))
+    val w = Window.partitionBy(col("block")).orderBy(col("skey"), col("doc_id"))
+    keyed
+      .select(col("doc_id"), col("text"),
+        array((1 to SNM_WINDOW).map(i =>
+          struct(lead(col("doc_id"), i).over(w).as("nid"),
+            lead(col("text"), i).over(w).as("ntext"))): _*).as("nbrs"))
+      .selectExpr("doc_id", "text", "explode(nbrs) AS nb")
+      .filter(col("nb.nid").isNotNull)
+      .selectExpr("least(doc_id, nb.nid) AS doc_a",
+        "greatest(doc_id, nb.nid) AS doc_b",
+        "CAST(levenshtein(text, nb.ntext) AS BIGINT) AS lev")
+      .filter(col("lev") <= SNM_LEV_MAX)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "d17_sorted_neighborhood" -> d17_sorted_neighborhood,
     "d16_containment_join" -> d16_containment_join,
     "d15_prefix_join" -> d15_prefix_join,
     "d14_incremental_dedup" -> d14_incremental_dedup,
@@ -1207,6 +1254,42 @@ object DedupQueries {
       s"(CASE WHEN list_sum(list_transform(th$s, h -> CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << (15 * s + b)} ELSE 0 END)"
     ).mkString(" + ")
     Map(
+      // d17: identical key/block/window/lead arithmetic; DuckDB
+      // regexp_replace needs the 'g' flag to match Spark's
+      // replace-all default; the i=1..W lead arms are generated from
+      // the same SNM_WINDOW constant
+      "d17_sorted_neighborhood" -> {
+        val leadCols = (1 to SNM_WINDOW).map(i =>
+          s"lead(doc_id, $i) OVER w AS id$i, lead(text, $i) OVER w AS t$i")
+          .mkString(",\n         ")
+        val arms = (1 to SNM_WINDOW).map(i =>
+          s"""  SELECT doc_id, id$i AS nid, levenshtein(text, t$i) AS lv
+             |  FROM leads WHERE id$i IS NOT NULL""".stripMargin)
+          .mkString("\nUNION ALL\n")
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+           |         text || ' mutated tail' FROM documents),
+           |keyed AS (
+           |  SELECT doc_id, text,
+           |         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+           |                1, 24) AS skey
+           |  FROM corpus),
+           |leads AS (
+           |  SELECT doc_id, text,
+           |         $leadCols
+           |  FROM keyed
+           |  WINDOW w AS (PARTITION BY substr(skey, 1, 2)
+           |               ORDER BY skey, doc_id)),
+           |pairs AS (
+           |$arms)
+           |SELECT least(doc_id, nid)::BIGINT AS doc_a,
+           |       greatest(doc_id, nid)::BIGINT AS doc_b,
+           |       lv::BIGINT AS lev
+           |FROM pairs WHERE lv <= $SNM_LEV_MAX
+           |ORDER BY doc_a, doc_b""".stripMargin
+      },
       // d16: asymmetric containment — contained-side-only prefix,
       // full-posting probe, integer 10·inter >= 9·n_a threshold
       "d16_containment_join" ->

@@ -2625,6 +2625,51 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(got.head._1 * 25 > 300, "natural corpus well above 3 bits")
   }
 
+  test("d17: sorted-neighborhood output matches a driver recomputation " +
+    "and every planted tail-mutation pair surfaces at lev = 13") {
+    val W = DedupQueries.SNM_WINDOW
+    val LMAX = DedupQueries.SNM_LEV_MAX
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val shift = docs.map(_._1).max + 1
+    val corpus = docs ++ docs.map { case (id, t) =>
+      (id + shift, t + " mutated tail") }
+    def lev(a: String, b: String): Long = {
+      var prev = Array.tabulate(b.length + 1)(_.toLong)
+      for (i <- 1 to a.length) {
+        val cur = new Array[Long](b.length + 1); cur(0) = i.toLong
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+      prev(b.length)
+    }
+    val keyed = corpus.map { case (id, t) =>
+      (t.toLowerCase.replaceAll("[^a-z0-9]", "").take(24), id, t) }
+    val expected = keyed.groupBy(_._1.take(2)).toSeq.flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(x => (x._1, x._2))
+      sorted.indices.flatMap { i =>
+        ((i + 1) to math.min(i + W, sorted.length - 1)).flatMap { j =>
+          val l = lev(sorted(i)._3, sorted(j)._3)
+          if (l <= LMAX)
+            Some((math.min(sorted(i)._2, sorted(j)._2),
+              math.max(sorted(i)._2, sorted(j)._2), l))
+          else None
+        }
+      }
+    }.sorted.toSeq
+    val got = DedupQueries.d17_sorted_neighborhood(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"${got.take(3)} vs ${expected.take(3)}")
+    // the signal: every orig→copy pair is adjacent in its key block and
+    // scores exactly the 13-char appended-tail edit
+    val planted = got.filter { case (a, b, l) => b - a == shift }
+    assert(planted.size == docs.length, "all planted pairs found")
+    assert(planted.forall(_._3 == 13L), "tail mutation is 13 edits")
+  }
+
   test("t23: chunk plan matches a driver recomputation, covers every " +
     "token exactly, and consecutive chunks overlap by 16") {
     val C = TextQueries.CHUNK_TOKENS.toInt
