@@ -149,6 +149,24 @@ object DedupQueries {
       d06_cosine_lsh(s, d).select(col("id_a"), col("id_b"))
     }
 
+  /** Word-3-gram POSTING INDEX artifact — (doc_id, n, gram) rows over
+    * [[d02Corpus]], shared by the set-similarity join family
+    * ([[d15_prefix_join]], [[d16_containment_join]]): in a production
+    * pipeline the inverted index over a crawl is computed ONCE and every
+    * similarity/containment/decontamination job probes it, never
+    * re-tokenizes the corpus. Same [[graft.engine.ArtifactCache]]
+    * contract as [[d02Pairs]]; Bench times the build as its own
+    * `artifact_ppj_postings` entry so consumers are honestly measured
+    * against a warm index. */
+  private[graft] def ppjPostings(s: SparkSession, d: String): DataFrame =
+    graft.engine.ArtifactCache.memoize(s, d, "ppj_postings") {
+      d02Corpus(s, d)
+        .select(col("doc_id"), gramUdf(col("text")).as("g"))
+        .selectExpr("doc_id", "size(g) AS n", "g")
+        .filter(col("n") > 0)
+        .selectExpr("doc_id", "n", "explode(g) AS gram")
+    }
+
   /** d02: MinHash + banded LSH near-dup detection. Corpus = originals ∪
     * mutated copies (a tail edit ⇒ shingle-Jaccard ≈ 0.9). Pipeline:
     * signature (16 perms over 5-char shingle hashes) → 4-row band hashes
@@ -1048,12 +1066,7 @@ object DedupQueries {
   val PPJ_DF_CAP = 100L
 
   val d15_prefix_join: Q = (s, d) => {
-    val docs = d02Corpus(s, d)
-      .select(col("doc_id"), gramUdf(col("text")).as("g"))
-      .selectExpr("doc_id", "size(g) AS n", "g")
-      .filter(col("n") > 0)
-    val exploded = docs.selectExpr("doc_id", "n", "explode(g) AS gram")
-      .cache()
+    val exploded = ppjPostings(s, d).cache()
     exploded.count()
     val dfs = exploded.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val prefixes = exploded.join(dfs.hint("shuffle_hash"), "gram")
@@ -1108,12 +1121,7 @@ object DedupQueries {
     * with a constant ~CAP/10 (d15's saturation caveat applies
     * unchanged on this fixture's closed vocabulary). */
   val d16_containment_join: Q = (s, d) => {
-    val exploded = d02Corpus(s, d)
-      .select(col("doc_id"), gramUdf(col("text")).as("g"))
-      .selectExpr("doc_id", "size(g) AS n", "g")
-      .filter(col("n") > 0)
-      .selectExpr("doc_id", "n", "explode(g) AS gram")
-      .cache()
+    val exploded = ppjPostings(s, d).cache()
     exploded.count()
     val dfs = exploded.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val prefixes = exploded.join(dfs.hint("shuffle_hash"), "gram")
