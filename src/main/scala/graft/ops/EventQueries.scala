@@ -758,7 +758,58 @@ object EventQueries {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** e24: BOT / SCRIPTED-TRAFFIC FLAGGING by inter-arrival regularity —
+    * the abuse-filter pass a training-data pipeline runs over
+    * clickstream-derived corpora: organic (bursty, Poisson-ish) users
+    * have a squared coefficient of variation of their event gaps near 1,
+    * while schedulers and scrapers fire on a clock and collapse it
+    * toward 0. reg_pm = 1000·(n·Σg² − (Σg)²) div (Σg)² is exactly
+    * 1000·cv², all in integer micros (the n·Σg² − S² combination runs
+    * in DECIMAL(38,0)/HUGEINT — a month-long gap squared exceeds 2⁶³);
+    * verdict thresholds are integer compares on reg_pm. A deterministic
+    * planted cohort (user_id ≡ 3 mod 29 rewritten onto an exact 60 s
+    * metronome from its first event, same rewrite in the oracle) proves
+    * the flag fires; every divide is on non-negative values so Spark
+    * `div` and DuckDB `//` agree.
+    *
+    * Scale shape: one user-keyed window for sequencing + one user-keyed
+    * aggregate — a single shuffle by user_id carrying (us, event_id)
+    * only; output is k-bounded (top-30 most-regular users). At 100 TB
+    * the per-user state is three accumulators, mergeable map-side. */
+  val e24_bot_flag: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val gaps = Tables.events(s, d)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("fus", first(col("us")).over(w))
+      .selectExpr("user_id", "rn",
+        "CASE WHEN user_id % 29 = 3" +
+          " THEN fus + CAST(rn - 1 AS BIGINT) * 60000000" +
+          " ELSE us END AS pus")
+      .withColumn("gap", col("pus") - lag(col("pus"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("rn"))))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("ss"),
+        sum(expr("CAST(gap AS DECIMAL(38,0)) * gap")).as("qq"))
+      .filter(col("ss") > 0)
+      .selectExpr("user_id", "n_gaps",
+        "CAST(ss div n_gaps AS BIGINT) AS mean_gap_us",
+        "CAST((1000 * (CAST(n_gaps AS DECIMAL(38,0)) * qq" +
+          " - CAST(ss AS DECIMAL(38,0)) * ss))" +
+          " div (CAST(ss AS DECIMAL(38,0)) * ss) AS BIGINT) AS reg_pm")
+      .selectExpr("user_id", "n_gaps", "mean_gap_us", "reg_pm",
+        """CASE WHEN n_gaps >= 20 AND reg_pm < 10 THEN 'bot'
+          |     WHEN n_gaps >= 20 AND reg_pm < 500 THEN 'metronome'
+          |     ELSE 'organic' END AS verdict""".stripMargin)
+      .orderBy(col("reg_pm").asc, col("user_id").asc)
+      .limit(30)
+  }
+
   def queries: Map[String, Q] = Map(
+    "e24_bot_flag" -> e24_bot_flag,
     "e23_scd2_history" -> e23_scd2_history,
     "e22_dedup_horizon" -> e22_dedup_horizon,
     "e21_watermark_batches" -> e21_watermark_batches,
@@ -784,6 +835,41 @@ object EventQueries {
     "e11_transitions" -> e11_transitions)
 
   def oracleSql: Map[String, String] = Map(
+    // e24: identical metronome rewrite, gap stats and thresholds; the
+    // n·Σg² − S² combination runs in HUGEINT (gap² > 2⁶³ is possible)
+    "e24_bot_flag" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         row_number() OVER w AS rn,
+        |         first_value(epoch_us(ts)) OVER w AS fus
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |p AS (
+        |  SELECT user_id, rn,
+        |         CASE WHEN user_id % 29 = 3
+        |              THEN fus + (rn - 1) * 60000000
+        |              ELSE us END AS pus
+        |  FROM seq),
+        |g AS (
+        |  SELECT user_id,
+        |         pus - lag(pus) OVER (PARTITION BY user_id ORDER BY rn)
+        |           AS gap
+        |  FROM p),
+        |a AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_gaps,
+        |         sum(gap)::BIGINT AS ss, sum(gap::HUGEINT * gap) AS qq
+        |  FROM g WHERE gap IS NOT NULL
+        |  GROUP BY user_id HAVING sum(gap) > 0),
+        |r AS (
+        |  SELECT user_id, n_gaps, (ss // n_gaps)::BIGINT AS mean_gap_us,
+        |         ((1000 * (n_gaps::HUGEINT * qq - ss::HUGEINT * ss))
+        |          // (ss::HUGEINT * ss))::BIGINT AS reg_pm
+        |  FROM a)
+        |SELECT user_id, n_gaps, mean_gap_us, reg_pm,
+        |       CASE WHEN n_gaps >= 20 AND reg_pm < 10 THEN 'bot'
+        |            WHEN n_gaps >= 20 AND reg_pm < 500 THEN 'metronome'
+        |            ELSE 'organic' END AS verdict
+        |FROM r ORDER BY reg_pm ASC, user_id ASC LIMIT 30""".stripMargin,
     // e23: same lag/run-sum/lead construction; run state is min_by
     // event_id (the run's FIRST row — identical to the engine's)
     "e23_scd2_history" ->

@@ -49,6 +49,33 @@ object ScaleQueries {
         col("l_linestatus").asc_nulls_first)
   }
 
+  /** r03: GROUPING SETS — the irregular-lattice member of the r01/r02
+    * family: revenue at the (returnflag, linestatus) joint cells, at
+    * per-ship-year margins (a DERIVED time dimension that is neither a
+    * rollup prefix nor a cube subset of the flag pair), and the grand
+    * total — declared as an explicit set list, still ONE Expand + ONE
+    * shuffle. This is the shape real report suites compile to: a
+    * handful of hand-picked cross-sections, not the full 2^k cube,
+    * so the Expand factor is |sets| (3 here) instead of 2^k. The
+    * grouping_id bitmask rides along as g (r02's discipline) so a NULL
+    * group value is distinguishable from a margin row; cents
+    * discipline as r01. */
+  val r03_grouping_sets: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .withColumn("cents", expr("CAST(round(l_extendedprice * 100.0D) AS BIGINT)"))
+      .withColumn("ship_year", expr("CAST(year(l_shipdate) AS BIGINT)"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("ship_year")), Seq.empty[org.apache.spark.sql.Column]),
+        col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+      .agg(expr("sum(cents) / 100.0D").as("revenue"),
+        count(lit(1)).as("n"),
+        (grouping(col("l_returnflag")) * 4 + grouping(col("l_linestatus")) * 2
+          + grouping(col("ship_year"))).cast("long").as("g"))
+      .orderBy(col("g").asc, col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first, col("ship_year").asc_nulls_first)
+  }
+
   /** p14 rendezvous geometry: the doc→shard map under S and S+1 shards.
     * SHARDS must stay ≤ 16 for the w·16+(15−shard) argmax encoding. */
   val HRW_SHARDS = 8
@@ -848,6 +875,7 @@ object ScaleQueries {
     "p07_temperature_mix" -> p07_temperature_mix,
     "r01_rollup" -> r01_rollup,
     "r02_cube" -> r02_cube,
+    "r03_grouping_sets" -> r03_grouping_sets,
     "p14_rendezvous" -> p14_rendezvous,
     "s01_salted_agg" -> s01_salted_agg,
     "h01_approx_distinct" -> h01_approx_distinct,
@@ -1095,6 +1123,22 @@ object ScaleQueries {
          |    * ((d.doc_id * 2246822519) % 1000) * c.n_s
          |    < ${TEMP_K * TEMP_K * 1000L * 1000L}
          |ORDER BY d.doc_id""".stripMargin,
+    // r03: same cents + GROUPING() bitmask discipline as r02; the set
+    // list is spelled identically in both engines
+    "r03_grouping_sets" ->
+      """WITH li AS (
+        |  SELECT CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents,
+        |         l_returnflag, l_linestatus,
+        |         year(l_shipdate)::BIGINT AS ship_year
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_linestatus, ship_year,
+        |       sum(cents)::BIGINT / 100.0 AS revenue, count(*) AS n,
+        |       (GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+        |        + GROUPING(ship_year))::BIGINT AS g
+        |FROM li
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
+        |ORDER BY g ASC, l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST, ship_year ASC NULLS FIRST""".stripMargin,
     // r02: same cents discipline; DuckDB GROUPING() returns the same
     // 0/1 per column, so g is the identical bitmask
     "r02_cube" ->

@@ -455,7 +455,60 @@ object VectorQueries {
       .orderBy(col("band"))
   }
 
+  /** v13: DIMENSION-CORRELATION AUDIT — the top-20 most-correlated
+    * embedding dimension pairs by squared Pearson correlation (plus the
+    * sign), computed from ONE distributed gramian pass
+    * ([[graft.agg.GramianAggregator]]): each task folds its vectors
+    * into a d(d+3)/2-entry integer buffer (n, Σqᵢ, Σqᵢ², Σqᵢqⱼ over
+    * tenth-milli-quantized values), partials merge map-side, and the
+    * driver receives ONE bounded row — the embeddings never shuffle and
+    * nothing scales with N. Redundant (highly correlated) axes are what
+    * whitening, PCA truncation (v11/v12) and product-quantization
+    * subspace splits (n06/n07) all key off, so this is the audit run
+    * before committing to any of them.
+    *
+    * The pair expansion and correlation arithmetic happen on the driver
+    * over the d²-bounded gramian (exact BigInt — v09's bounded-scalar
+    * discipline): cov = n·Σqᵢqⱼ − Σqᵢ·Σqⱼ, var likewise, and
+    * corr²_ppb = (|cov| div 10⁴)²·10⁹ div ((varᵢ div 10⁴)·(varⱼ div
+    * 10⁴)) — every divide is on non-negative integers so Spark's
+    * truncating `div`, BigInt `/` and DuckDB's flooring `//` agree, and
+    * the 10⁴ pre-scale keeps the oracle's HUGEINT under 2¹²⁷ up to
+    * ~10⁵ rows beyond the 30× stress corpus. */
+  val GRAM_DIM = 64
+
+  val v13_dim_correlation: Q = (s, d) => {
+    import s.implicits._
+    val D = GRAM_DIM
+    val g = Tables.embeddings(s, d)
+      .agg(graft.agg.GramianAggregator.gramian(D)(col("embedding")).as("g"))
+      .head().getSeq[Long](0)
+    val n = BigInt(g(0))
+    def si(i: Int) = BigInt(g(1 + i))
+    def pii(i: Int) = BigInt(g(1 + D + i))
+    val pairs = for {
+      i <- 0 until D
+      j <- (i + 1) until D
+    } yield {
+      val pij = BigInt(g(graft.agg.GramianAggregator.pairIndex(D, i, j)))
+      val cov = n * pij - si(i) * si(j)
+      val vik = (n * pii(i) - si(i) * si(i)) / 10000
+      val vjk = (n * pii(j) - si(j) * si(j)) / 10000
+      val ak = cov.abs / 10000
+      val sgn = if (cov >= 0) 1L else -1L
+      val c2 =
+        if (vik > 0 && vjk > 0)
+          ((ak * ak * BigInt(1000000000L)) / (vik * vjk)).toLong
+        else -1L
+      (i.toLong, j.toLong, sgn, c2)
+    }
+    pairs.filter(_._4 >= 0).toDF("dim_i", "dim_j", "sgn", "corr2_ppb")
+      .orderBy(col("corr2_ppb").desc, col("dim_i").asc, col("dim_j").asc)
+      .limit(20)
+  }
+
   def queries: Map[String, Q] = Map(
+    "v13_dim_correlation" -> v13_dim_correlation,
     "v12_jl_projection" -> v12_jl_projection,
     "v11_principal_component" -> v11_principal_component,
     "v10_centroid_drift" -> v10_centroid_drift,
@@ -469,6 +522,37 @@ object VectorQueries {
     "v07_dim_calibration" -> v07_dim_calibration)
 
   def oracleSql: Map[String, String] = Map(
+    // v13: same tenth-milli quantization and gramian sums; HUGEINT for
+    // the n·P − S·S combinations, all divides on non-negative values
+    "v13_dim_correlation" ->
+      """WITH m AS (
+        |  SELECT vec_id, i,
+        |         CAST(floor(x::DOUBLE * 10000.0 + 0.5) AS BIGINT) AS q
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |               unnest(range(1, len(embedding)+1)) AS i
+        |        FROM embeddings)),
+        |s AS (
+        |  SELECT i, count(*)::BIGINT AS n, sum(q)::BIGINT AS si,
+        |         sum(q * q)::BIGINT AS pii
+        |  FROM m GROUP BY i),
+        |p AS (
+        |  SELECT a.i AS ia, b.i AS ib, sum(a.q * b.q)::BIGINT AS pij
+        |  FROM m a JOIN m b ON a.vec_id = b.vec_id AND a.i < b.i
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT ia, ib,
+        |         sa.n::HUGEINT * pij - sa.si::HUGEINT * sb.si AS cov,
+        |         (sa.n::HUGEINT * sa.pii - sa.si::HUGEINT * sa.si)
+        |           // 10000 AS vik,
+        |         (sb.n::HUGEINT * sb.pii - sb.si::HUGEINT * sb.si)
+        |           // 10000 AS vjk
+        |  FROM p JOIN s sa ON sa.i = p.ia JOIN s sb ON sb.i = p.ib)
+        |SELECT (ia - 1)::BIGINT AS dim_i, (ib - 1)::BIGINT AS dim_j,
+        |       (CASE WHEN cov >= 0 THEN 1 ELSE -1 END)::BIGINT AS sgn,
+        |       ((abs(cov) // 10000) * (abs(cov) // 10000) * 1000000000
+        |        // (vik * vjk))::BIGINT AS corr2_ppb
+        |FROM c WHERE vik > 0 AND vjk > 0
+        |ORDER BY corr2_ppb DESC, dim_i ASC, dim_j ASC LIMIT 20""".stripMargin,
     // v12: identical quantization, sign patterns and integer census
     "v12_jl_projection" -> {
       val pDuck = jlSigns.map(row => row.zipWithIndex.map { case (sg, j) =>

@@ -2799,4 +2799,74 @@ class OperatorBehaviorSpec extends SparkSpec {
         s"planted pair $id -> ${id + shift} missing or below 1.0")
     }
   }
+
+  test("v13: correlation top-20 matches a driver recomputation of the " +
+    "gramian, and a planted linear dim pair scores corr2 ~ 1e9") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("embedding").collect()
+      .map(r => r.getSeq[Float](0).map(x =>
+        math.floor(x.toDouble * 10000.0 + 0.5).toLong).toArray)
+    val D = 64
+    val n = BigInt(emb.length)
+    def dim(i: Int) = emb.map(_(i))
+    val expected = (for {
+      i <- 0 until D; j <- (i + 1) until D
+    } yield {
+      val si = BigInt(dim(i).sum); val sj = BigInt(dim(j).sum)
+      val pij = BigInt(emb.map(q => q(i) * q(j)).sum)
+      val pii = BigInt(emb.map(q => q(i) * q(i)).sum)
+      val pjj = BigInt(emb.map(q => q(j) * q(j)).sum)
+      val cov = n * pij - si * sj
+      val vik = (n * pii - si * si) / 10000
+      val vjk = (n * pjj - sj * sj) / 10000
+      val sgn = if (cov >= 0) 1L else -1L
+      val c2 =
+        if (vik > 0 && vjk > 0)
+          ((cov.abs / 10000 * (cov.abs / 10000) * BigInt(1000000000L))
+            / (vik * vjk)).toLong
+        else -1L
+      (i.toLong, j.toLong, sgn, c2)
+    }).filter(_._4 >= 0).sortBy(t => (-t._4, t._1, t._2)).take(20)
+    val got = VectorQueries.v13_dim_correlation(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected, s"$got vs $expected")
+    // aggregator sanity on a planted corpus, independent of the fixed
+    // 64-dim fixture: dim1 = 2·dim0 + const (corr² = 1), dim2 noisy —
+    // the full buffer must equal a driver fold, and the planted pair
+    // must score ≥ 0.999e9 while the noisy pairs stay far below
+    val rows = (1 to 200).map { k =>
+      val x = (k % 17).toFloat / 17f
+      Array(x, 2f * x + 0.1f, ((k * 31) % 13).toFloat / 13f)
+    }
+    import spark.implicits._
+    val g3 = rows.toDF("v")
+      .agg(graft.agg.GramianAggregator.gramian(3)(col("v")))
+      .head().getSeq[Long](0)
+    val q = rows.map(_.map(x =>
+      math.floor(x.toDouble * 10000.0 + 0.5).toLong))
+    val expBuf = new Array[Long](1 + 2 * 3 + 3)
+    q.foreach { r =>
+      expBuf(0) += 1
+      for (i <- 0 until 3) {
+        expBuf(1 + i) += r(i); expBuf(1 + 3 + i) += r(i) * r(i)
+      }
+      var k = 7
+      for (i <- 0 until 3; j <- (i + 1) until 3) {
+        assert(k == graft.agg.GramianAggregator.pairIndex(3, i, j))
+        expBuf(k) += r(i) * r(j); k += 1
+      }
+    }
+    assert(g3.toSeq == expBuf.toSeq)
+    def corr2(i: Int, j: Int): Long = {
+      val m = BigInt(200)
+      val cov = m * BigInt(g3(graft.agg.GramianAggregator.pairIndex(3, i, j))) -
+        BigInt(g3(1 + i)) * BigInt(g3(1 + j))
+      val vi = (m * BigInt(g3(1 + 3 + i)) - BigInt(g3(1 + i)) * BigInt(g3(1 + i))) / 10000
+      val vj = (m * BigInt(g3(1 + 3 + j)) - BigInt(g3(1 + j)) * BigInt(g3(1 + j))) / 10000
+      ((cov.abs / 10000 * (cov.abs / 10000) * BigInt(1000000000L)) / (vi * vj)).toLong
+    }
+    assert(corr2(0, 1) >= 999000000L, s"planted pair ${corr2(0, 1)}")
+    assert(corr2(0, 2) < 500000000L && corr2(1, 2) < 500000000L)
+  }
 }
