@@ -808,7 +808,22 @@ object EventQueries {
       .limit(30)
   }
 
+  /** e25: NATIVE SESSION-WINDOW sessionization — Spark's built-in
+    * `session_window` gap-merge aggregation run as a batch query, the
+    * same code path [[graft.streaming.StreamingOps.sessionWindows]]
+    * runs watermarked over a stream (unification proven in
+    * StreamingSpec). Output is (user, session) rows with the half-open
+    * window bounds in µs (end = last event + 30 min by the merge rule;
+    * a new session starts at gap ≥ 30 min — the boundary the oracle
+    * spells out with lag/cumsum). One user-keyed shuffle, merge state
+    * bounded by the gap, session-count-sized output. */
+  val e25_session_window: Q = (s, d) =>
+    graft.streaming.StreamingOps.sessionWindows(
+      Tables.events(s, d).select(col("user_id"), col("ts")))
+      .orderBy(col("user_id"), col("start_us"))
+
   def queries: Map[String, Q] = Map(
+    "e25_session_window" -> e25_session_window,
     "e24_bot_flag" -> e24_bot_flag,
     "e23_scd2_history" -> e23_scd2_history,
     "e22_dedup_horizon" -> e22_dedup_horizon,
@@ -835,6 +850,29 @@ object EventQueries {
     "e11_transitions" -> e11_transitions)
 
   def oracleSql: Map[String, String] = Map(
+    // e25: session_window's merge rule spelled out — new session at
+    // gap >= 30 min (half-open windows), end = last event + gap
+    "e25_session_window" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |                 >= 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sid AS (
+        |  SELECT user_id, us,
+        |         sum(new_s) OVER (PARTITION BY user_id
+        |           ORDER BY us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS sid
+        |  FROM seq)
+        |SELECT user_id, min(us)::BIGINT AS start_us,
+        |       (max(us) + 1800000000)::BIGINT AS end_us,
+        |       count(*)::BIGINT AS n_events
+        |FROM sid GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
     // e24: identical metronome rewrite, gap stats and thresholds; the
     // n·Σg² − S² combination runs in HUGEINT (gap² > 2⁶³ is possible)
     "e24_bot_flag" ->

@@ -564,6 +564,57 @@ object ScaleQueries {
       .limit(20)
   }
 
+  /** h07 sketch size: estimates use the k-th smallest hash, so error
+    * ~ 1/√k ≈ 12.5%; the audit column shows the realized error. */
+  val KMV_K = 64
+
+  /** h07: KMV (k-minimum-values / bottom-k) DISTINCT SKETCH — the
+    * mergeable distinct-count sketch that, unlike HLL (h01), is fully
+    * DETERMINISTIC given the hash function and therefore
+    * oracle-checkable hash-exact: hash every user to a fixed
+    * 31-bit multiplicative value, keep each event_type's K smallest
+    * distinct hashes, and estimate distinct users as
+    * (K−1)·M div h_K (Bar-Yossef et al. 2002); below K distinct
+    * values the sketch IS the exact set. The realized signed error
+    * vs the exact count rides along in permille — h02's exact twin
+    * built into the same row, the audit a pipeline runs before
+    * trusting sketched cardinalities at 100 TB.
+    *
+    * Scale shape: the distinct-(type, hash) census is one map-side-
+    * combinable aggregate; the rank window then runs over DISTINCT
+    * hashes only. At true 100 TB the window is replaced by the
+    * production form — a typed aggregator holding a K-bounded heap
+    * per group (state = K longs, mergeable by keeping the K smallest
+    * of each union), or a threshold pre-filter h < τ from the prior
+    * epoch's sketch; the estimator arithmetic is unchanged. */
+  val h07_kmv_distinct: Q = (s, d) => {
+    val P = 2147483647L
+    val hashes = Tables.events(s, d)
+      .selectExpr("event_type",
+        s"(user_id * 2654435761) % $P AS h")
+      .distinct()
+    val ranked = hashes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("h").asc)))
+    val sk = ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hashes"),
+        max(when(col("rn") === KMV_K, col("h"))).as("hk"))
+      .selectExpr("event_type", "n_hashes",
+        s"""CASE WHEN n_hashes < $KMV_K THEN n_hashes
+           |     ELSE ${(KMV_K - 1) * P}L div hk END AS est_users"""
+          .stripMargin)
+    val exact = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    sk.join(exact, "event_type")
+      .selectExpr("event_type", "n_hashes", "est_users", "exact_users",
+        """CAST(CASE WHEN est_users >= exact_users
+          |  THEN (est_users - exact_users) * 1000 div exact_users
+          |  ELSE -((exact_users - est_users) * 1000 div exact_users)
+          |END AS BIGINT) AS err_pm""".stripMargin)
+      .orderBy(col("event_type"))
+  }
+
   /** p09: DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling",
     * unigram-feature form): every document's mean per-token log-ratio
@@ -876,6 +927,7 @@ object ScaleQueries {
     "r01_rollup" -> r01_rollup,
     "r02_cube" -> r02_cube,
     "r03_grouping_sets" -> r03_grouping_sets,
+    "h07_kmv_distinct" -> h07_kmv_distinct,
     "p14_rendezvous" -> p14_rendezvous,
     "s01_salted_agg" -> s01_salted_agg,
     "h01_approx_distinct" -> h01_approx_distinct,
@@ -1123,6 +1175,36 @@ object ScaleQueries {
          |    * ((d.doc_id * 2246822519) % 1000) * c.n_s
          |    < ${TEMP_K * TEMP_K * 1000L * 1000L}
          |ORDER BY d.doc_id""".stripMargin,
+    // h07: identical multiplicative hash, bottom-k rank and estimator;
+    // every divide is on non-negative values (sign CASE for err_pm)
+    "h07_kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |         (user_id * 2654435761) % 2147483647 AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, h,
+         |         row_number() OVER (PARTITION BY event_type
+         |           ORDER BY h ASC) AS rn
+         |  FROM h),
+         |sk AS (
+         |  SELECT event_type, count(*)::BIGINT AS n_hashes,
+         |         CASE WHEN count(*) < $KMV_K THEN count(*)
+         |              ELSE ${(KMV_K - 1) * 2147483647L}
+         |                   // max(CASE WHEN rn = $KMV_K THEN h END)
+         |         END::BIGINT AS est_users
+         |  FROM r GROUP BY event_type),
+         |ex AS (
+         |  SELECT event_type, count(DISTINCT user_id)::BIGINT
+         |           AS exact_users
+         |  FROM events GROUP BY event_type)
+         |SELECT sk.event_type, n_hashes, est_users, exact_users,
+         |       (CASE WHEN est_users >= exact_users
+         |         THEN (est_users - exact_users) * 1000 // exact_users
+         |         ELSE -((exact_users - est_users) * 1000 // exact_users)
+         |        END)::BIGINT AS err_pm
+         |FROM sk JOIN ex USING (event_type)
+         |ORDER BY event_type""".stripMargin,
     // r03: same cents + GROUPING() bitmask discipline as r02; the set
     // list is spelled identically in both engines
     "r03_grouping_sets" ->

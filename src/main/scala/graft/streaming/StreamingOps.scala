@@ -128,6 +128,27 @@ object StreamingOps {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** NATIVE session-window sessionization — Spark's built-in gap-merge
+    * aggregation (`session_window`, the state-store-backed merging
+    * window), the engine-level twin of e01's lag/cumsum construction:
+    * each event opens [t, t+30 min) and overlapping windows merge, so a
+    * NEW session starts exactly when a gap is ≥ 30 min (note ≥, where
+    * e01's hand-rolled rule is >: the half-open window boundary). One
+    * user-keyed shuffle; in a stream the 1 h watermark bounds the
+    * merge state and append mode emits each session once, when the
+    * watermark passes its end — the same code path runs as a batch
+    * query (e25), which is the unification guarantee under test in
+    * StreamingSpec. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .selectExpr("user_id",
+        "unix_micros(session_window.start) AS start_us",
+        "unix_micros(session_window.end) AS end_us",
+        "n_events")
+
   // ---------------------------------------------------------------- state
 
   final case class AsofEv(

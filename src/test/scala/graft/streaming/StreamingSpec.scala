@@ -77,6 +77,32 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("native session_window: streaming append result == the batch " +
+    "query once a future sentinel flushes the watermark") {
+    import spark.implicits._
+    val events = graft.model.Tables.events(spark, sf)
+      .select("user_id", "ts")
+    val dir = Files.createTempDirectory("sess-win").toString
+    events.write.parquet(s"$dir/in")
+    // far-future sentinel on a fake user: advances the global watermark
+    // past every real session's end so append mode finalizes them all
+    Seq((-1L, Timestamp.valueOf("2030-01-01 00:00:00")))
+      .toDF("user_id", "ts").write.mode("append").parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val q = StreamingOps.sessionWindows(streamIn).writeStream
+      .format("memory").queryName("sess_win").outputMode("append").start()
+    q.processAllAvailable()
+    def tup = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val streamed = spark.table("sess_win").filter(col("user_id") >= 0)
+      .orderBy("user_id", "start_us").collect().map(tup).toSeq
+    val batch = StreamingOps.sessionWindows(events) // same code path
+      .orderBy("user_id", "start_us").collect().map(tup).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} sessions vs batch ${batch.size}")
+    q.stop()
+  }
+
   test("history-guarded dedup: bloom + exact anti-join drops exactly " +
     "the docs already in the static history, stream == batch") {
     // history = first 300 docs; stream = all 500 (300 dups + 200 new).
