@@ -668,6 +668,73 @@ object TextQueries {
           |AS r2_milli""".stripMargin)
   }
 
+  /** t24 checkpoint count: nested doc-rank prefixes at ⌈n·k/8⌉ where
+    * vocabulary growth is measured — 8 points span the log range the
+    * exact-integer fit needs. */
+  val HEAPS_CP = 8
+
+  /** t24: HEAPS'-LAW VOCABULARY-GROWTH FIT — the third corpus law next
+    * to t13 (count-of-counts / Good-Turing) and t16 (Zipf): V(N) ≈
+    * K·N^β, fitted as the least-squares slope of log₂V on log₂N in
+    * [[FixedLog]] centibits over [[HEAPS_CP]] nested doc-rank prefixes.
+    * β̂ is how a pipeline EXTRAPOLATES vocabulary (≈ BPE merge-table
+    * pressure, embedding rows, hash-collision budgets) from a sample
+    * to the full 100 TB crawl; β collapsing toward 0 is the
+    * closed-vocabulary signature (template/boilerplate corpora — this
+    * fixture's 31-word vocabulary shows exactly that, and the spec
+    * plants an open-vocabulary corpus to pin β ≈ 1).
+    *
+    * Distributed shape: vocabulary growth needs each word's FIRST
+    * occurrence only, so ONE word-keyed min(rank) aggregate replaces
+    * any per-prefix rescan; per-checkpoint totals are thin
+    * broadcast-range joins over the doc-rank and first-occurrence
+    * censuses. The global doc-rank window carries (doc_id, tok) rows
+    * only; at 100 TB the boundaries come from sorted ids or a quantile
+    * sketch instead of a single-partition window. Regression is t16's
+    * all-BIGINT formula (half-away-from-zero, DECIMAL(38,0) for r²),
+    * with deny = 0 (fully saturated vocabulary: every y identical)
+    * mapped to r² = 0 so ANSI division never fires. */
+  val t24_heaps_fit: Q = (s, d) => {
+    import s.implicits._
+    val ranked = Tables.documents(s, d)
+      .selectExpr("doc_id", "filter(split(text, ' '), x -> x != '') AS ws")
+      .withColumn("r", row_number().over(Window.orderBy(col("doc_id"))))
+      .selectExpr("r", "CAST(size(ws) AS BIGINT) AS tok", "ws")
+      .cache()
+    val n = ranked.count()
+    val cps = (1 to HEAPS_CP)
+      .map(k => (k.toLong, (n * k + HEAPS_CP - 1) / HEAPS_CP))
+      .toDF("k", "rb")
+    val nk = ranked.select(col("r"), col("tok"))
+      .join(broadcast(cps), col("r") <= col("rb"))
+      .groupBy(col("k")).agg(sum(col("tok")).as("n_tokens"))
+    val vk = ranked.selectExpr("r", "explode(ws) AS w")
+      .groupBy(col("w")).agg(min(col("r")).as("fr"))
+      .join(broadcast(cps), col("fr") <= col("rb"))
+      .groupBy(col("k")).agg(count(lit(1)).as("vocab"))
+    nk.join(vk, "k")
+      .selectExpr(
+        s"CAST(${FixedLog.sparkLog2Cb("n_tokens")} AS BIGINT) AS x",
+        s"CAST(${FixedLog.sparkLog2Cb("vocab")} AS BIGINT) AS y")
+      .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .selectExpr("k AS n_checkpoints",
+        "k * sxy - sx * sy AS num", "k * sxx - sx * sx AS denx",
+        "k * syy - sy * sy AS deny")
+      .selectExpr("n_checkpoints",
+        """CASE WHEN num >= 0
+          |  THEN CAST((2000 * num + denx) div (2 * denx) AS BIGINT)
+          |  ELSE -CAST((2000 * -num + denx) div (2 * denx) AS BIGINT)
+          |END AS beta_milli""".stripMargin,
+        """CASE WHEN deny = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST((2000 * (CAST(num AS DECIMAL(38,0)) * num)
+          |      + CAST(denx AS DECIMAL(38,0)) * deny)
+          |     div (2 * CAST(denx AS DECIMAL(38,0)) * deny) AS BIGINT)
+          |END AS r2_milli""".stripMargin)
+  }
+
   /** t17: LANGUAGE-ID CONFUSION MATRIX — t01's predictions crossed with
     * the catalog language, with per-actual-language shares in permille:
     * the accuracy audit that decides whether the cheap stopword
@@ -979,6 +1046,7 @@ object TextQueries {
     "t18_source_report" -> t18_source_report,
     "t17_lang_confusion" -> t17_lang_confusion,
     "t16_zipf_fit" -> t16_zipf_fit,
+    "t24_heaps_fit" -> t24_heaps_fit,
     "t15_bpe_apply" -> t15_bpe_apply,
     "t14_lm_score" -> t14_lm_score,
     "t13_count_of_counts" -> t13_count_of_counts,
@@ -1183,6 +1251,54 @@ object TextQueries {
       // t16: same vocab census, same (tf DESC, term ASC) rank, same
       // FixedLog centibit regression; numerator squares widen to
       // HUGEINT where Spark widens to DECIMAL(38)
+      // t24: same rank prefixes, first-occurrence census and regression
+      "t24_heaps_fit" ->
+        s"""WITH base AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split(text, ' '), x -> x <> '')
+           |           AS ws
+           |  FROM documents),
+           |ranked AS (
+           |  SELECT row_number() OVER (ORDER BY doc_id) AS r,
+           |         len(ws)::BIGINT AS tok, ws
+           |  FROM base),
+           |cp AS (
+           |  SELECT k,
+           |         (((SELECT count(*) FROM ranked) * k + ${HEAPS_CP - 1})
+           |          // $HEAPS_CP) AS rb
+           |  FROM (SELECT unnest(range(1, ${HEAPS_CP + 1})) AS k)),
+           |nk AS (
+           |  SELECT k, sum(tok)::BIGINT AS n_tokens
+           |  FROM ranked, cp WHERE r <= rb GROUP BY k),
+           |firsts AS (
+           |  SELECT w, min(r) AS fr
+           |  FROM (SELECT r, unnest(ws) AS w FROM ranked) GROUP BY w),
+           |vk AS (
+           |  SELECT k, count(*)::BIGINT AS vocab
+           |  FROM firsts, cp WHERE fr <= rb GROUP BY k),
+           |xy AS (
+           |  SELECT ${FixedLog.duckLog2Cb("n_tokens")}::BIGINT AS x,
+           |         ${FixedLog.duckLog2Cb("vocab")}::BIGINT AS y
+           |  FROM nk JOIN vk USING (k)),
+           |sm AS (
+           |  SELECT count(*)::BIGINT AS k, sum(x)::BIGINT AS sx,
+           |         sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+           |         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+           |  FROM xy),
+           |nn AS (
+           |  SELECT k AS n_checkpoints, k * sxy - sx * sy AS num,
+           |         k * sxx - sx * sx AS denx, k * syy - sy * sy AS deny
+           |  FROM sm)
+           |SELECT n_checkpoints,
+           |       CASE WHEN num >= 0
+           |         THEN ((2000 * num + denx) // (2 * denx))::BIGINT
+           |         ELSE -((2000 * -num + denx) // (2 * denx))::BIGINT
+           |       END AS beta_milli,
+           |       CASE WHEN deny = 0 THEN 0::BIGINT
+           |       ELSE ((2000 * (num::HUGEINT * num) + denx::HUGEINT * deny)
+           |             // (2 * denx::HUGEINT * deny))::BIGINT
+           |       END AS r2_milli
+           |FROM nn""".stripMargin,
       "t16_zipf_fit" ->
         s"""WITH vocab AS (
            |  SELECT term, count(*)::BIGINT AS tf

@@ -2800,6 +2800,31 @@ class OperatorBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("t24: planted open vocabulary fits beta ~ 1 with r2 = 1000; a " +
+    "fully saturated vocabulary collapses to beta 0 with the r2 guard") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, String)]): (Long, Long, Long) = {
+      val dir = java.nio.file.Files.createTempDirectory("heaps").toString
+      rows.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+      val r = graft.ops.TextQueries.t24_heaps_fit(spark, dir).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // every doc brings 8 brand-new words: V(N) = N exactly, beta = 1
+    val open = (1L to 256L).map(k =>
+      k -> (0 until 8).map(i => s"w${k}_$i").mkString(" "))
+    val (kO, betaO, r2O) = run(open)
+    assert(kO == 8L)
+    assert(math.abs(betaO - 1000L) <= 5, s"open-vocab beta $betaO")
+    assert(r2O >= 995L, s"open-vocab r2 $r2O")
+    // every doc repeats the same 8 words: vocab saturates at the first
+    // checkpoint, deny = 0, and the guard pins (beta, r2) = (0, 0)
+    val closed = (1L to 256L).map(k =>
+      k -> (0 until 8).map(i => s"w$i").mkString(" "))
+    val (kC, betaC, r2C) = run(closed)
+    assert(kC == 8L && betaC == 0L && r2C == 0L,
+      s"saturated fit ($kC, $betaC, $r2C)")
+  }
+
   test("v13: correlation top-20 matches a driver recomputation of the " +
     "gramian, and a planted linear dim pair scores corr2 ~ 1e9") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
