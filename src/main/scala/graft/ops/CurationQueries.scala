@@ -696,7 +696,54 @@ object CurationQueries {
       .orderBy(col("lang"))
   }
 
+  /** c13 threshold menu: d02's own 500‰ floor up to near-exact 900‰. */
+  val DEDUP_ROI_THRESHOLDS: Seq[Long] = Seq(500L, 600L, 700L, 800L, 900L)
+
+  /** c13: DEDUP ROI CURVE — what each candidate near-dup threshold
+    * would COST, before anyone commits to one (n19's menu discipline
+    * applied to d02's knob): for every τ in [[DEDUP_ROI_THRESHOLDS]],
+    * the docs removed under the min-id-keeper policy (a doc is dropped
+    * iff it is the LARGER id of some pair with est_pm ≥ τ — the
+    * deterministic pairwise proxy for cluster-rep dedup; max est_pm per
+    * doc decides, so the sweep is one aggregate, not five dedup runs)
+    * and the t02-quality mass those docs carry, both as permille of the
+    * corpus. Threshold-monotone by construction; the curve's elbow is
+    * where dedup starts eating quality instead of redundancy.
+    *
+    * Scale shape: pair scoring reuses d02's bucketed pipeline verbatim;
+    * everything after is a doc-keyed max, one thin quality join, and a
+    * 5-row broadcast range join. Corpus totals are two bounded driver
+    * scalars (v09's discipline). */
+  val c13_dedup_roi: Q = (s, d) => {
+    import s.implicits._
+    val mp = DedupQueries.d02_minhash_lsh(s, d)
+      .selectExpr("doc_b",
+        "CAST(round(est_jaccard * 1000.0D) AS BIGINT) AS est_pm")
+      .groupBy(col("doc_b")).agg(max(col("est_pm")).as("mp"))
+    val qual = DedupQueries.d02Corpus(s, d)
+      .selectExpr("doc_id",
+        "size(split(text, ' ')) AS n_words",
+        s"${TextQueries.hitExpr(TextQueries.markers.head._2)} AS sw_hits",
+        "size(array_distinct(split(text, ' '))) AS n_distinct")
+      .selectExpr("doc_id",
+        s"CAST(round((${TextQueries.qualityExpr}) * 10000.0D) AS BIGINT) AS q4")
+      .cache()
+    val tot = qual.agg(count(lit(1)), sum(col("q4"))).head()
+    val (nTot, qTot) = (tot.getLong(0), tot.getLong(1))
+    val removed = mp.join(qual.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+    broadcast(DEDUP_ROI_THRESHOLDS.toDF("thr_pm"))
+      .join(removed, col("mp") >= col("thr_pm"), "left")
+      .groupBy(col("thr_pm"))
+      .agg(count(col("doc_b")).as("n_removed"),
+        coalesce(sum(col("q4")), lit(0L)).as("removed_q4"))
+      .selectExpr("thr_pm", "n_removed", "removed_q4",
+        s"CAST(n_removed * 1000 div $nTot AS BIGINT) AS removed_permille",
+        s"CAST(removed_q4 * 1000 div $qTot AS BIGINT) AS q4_removed_permille")
+      .orderBy(col("thr_pm"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "c13_dedup_roi" -> c13_dedup_roi,
     "c10_corpus_drift" -> c10_corpus_drift,
     "c09_cluster_spectrum" -> c09_cluster_spectrum,
     "c11_pagerank" -> c11_pagerank,
@@ -782,6 +829,46 @@ object CurationQueries {
     }.mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
+    // c13: d02's pair CTEs verbatim; per-doc max est_pm decides removal
+    // at every threshold; quality is t02's shared formula over the same
+    // originals ∪ mutated-copies corpus
+    "c13_dedup_roi" ->
+      s"""WITH ${DedupQueries.d02OracleCtes},
+         |mp AS (
+         |  SELECT doc_b,
+         |         max(round((${DedupQueries.estJacDuck}) * 1000)::BIGINT)
+         |           AS mp
+         |  FROM pairs WHERE (${DedupQueries.estJacDuck}) >= 0.5
+         |  GROUP BY doc_b),
+         |qual AS (
+         |  SELECT doc_id,
+         |         round((${TextQueries.qualityExprDuck}) * 10000.0)::BIGINT
+         |           AS q4
+         |  FROM (SELECT doc_id,
+         |               len(string_split(text, ' ')) AS n_words,
+         |               ${TextQueries.duckHitExpr(TextQueries.markers.head._2)}
+         |                 AS sw_hits,
+         |               len(list_distinct(string_split(text, ' ')))
+         |                 AS n_distinct
+         |        FROM corpus)),
+         |tot AS (
+         |  SELECT count(*)::BIGINT AS n, sum(q4)::BIGINT AS sq FROM qual),
+         |thr AS (
+         |  SELECT unnest([${DEDUP_ROI_THRESHOLDS.mkString(", ")}])::BIGINT
+         |           AS thr_pm),
+         |j AS (
+         |  SELECT mp.doc_b, mp.mp, q.q4
+         |  FROM mp JOIN qual q ON q.doc_id = mp.doc_b),
+         |r AS (
+         |  SELECT thr_pm, count(j.doc_b)::BIGINT AS n_removed,
+         |         coalesce(sum(j.q4), 0)::BIGINT AS removed_q4
+         |  FROM thr LEFT JOIN j ON j.mp >= thr.thr_pm
+         |  GROUP BY thr_pm)
+         |SELECT thr_pm, n_removed, removed_q4,
+         |       (n_removed * 1000 // tot.n)::BIGINT AS removed_permille,
+         |       (removed_q4 * 1000 // tot.sq)::BIGINT
+         |         AS q4_removed_permille
+         |FROM r, tot ORDER BY thr_pm""".stripMargin,
     // c08: n09's edge CTEs verbatim + the unrolled synchronous rounds
     "c08_label_propagation" ->
       s"""WITH ${AnnQueries.knnOracleCtes},

@@ -99,7 +99,7 @@ object DedupQueries {
   // the 16.0D suffix matters: a bare 16.0 literal is DECIMAL in Spark SQL
   private val estJacSpark =
     s"round(size(filter(zip_with(sa, sb, (x, y) -> x = y), z -> z)) / ${NUM_PERM}.0D, 4)"
-  private val estJacDuck =
+  private[ops] val estJacDuck =
     s"round(len(list_filter(range(1, $NUM_PERM + 1), i -> sa[i] = sb[i])) / ${NUM_PERM}.0, 4)"
 
   // ------------------------------------------------------------------
@@ -233,7 +233,7 @@ object DedupQueries {
 
   /** The d02 corpus (docs + planted near-dup copies) — ONE definition
     * for d02 and d13. */
-  private def d02Corpus(s: SparkSession, d: String): DataFrame = {
+  private[ops] def d02Corpus(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
     base.unionByName(
       base.withColumn("doc_id", col("doc_id") + lit(copyShift(s, d)))
