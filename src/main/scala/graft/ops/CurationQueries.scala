@@ -731,11 +731,20 @@ object CurationQueries {
     val tot = qual.agg(count(lit(1)), sum(col("q4"))).head()
     val (nTot, qTot) = (tot.getLong(0), tot.getLong(1))
     val removed = mp.join(qual.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-    broadcast(DEDUP_ROI_THRESHOLDS.toDF("thr_pm"))
-      .join(removed, col("mp") >= col("thr_pm"), "left")
+    // the 5-point sweep is a literal-array explode, not a range join —
+    // filter(thresholds, t -> mp >= t) stays inside codegen where a
+    // broadcast BETWEEN join would plan a nested-loop probe; seed rows
+    // keep zero-removal thresholds in the menu
+    val thrArr = s"array(${DEDUP_ROI_THRESHOLDS.mkString("L, ")}L)"
+    val seed = DEDUP_ROI_THRESHOLDS.toDF("thr_pm")
+      .selectExpr("thr_pm", "CAST(0 AS BIGINT) AS hit",
+        "CAST(0 AS BIGINT) AS q4v")
+    removed
+      .selectExpr("q4", s"explode(filter($thrArr, t -> mp >= t)) AS thr_pm")
+      .selectExpr("thr_pm", "CAST(1 AS BIGINT) AS hit", "q4 AS q4v")
+      .unionByName(seed)
       .groupBy(col("thr_pm"))
-      .agg(count(col("doc_b")).as("n_removed"),
-        coalesce(sum(col("q4")), lit(0L)).as("removed_q4"))
+      .agg(sum(col("hit")).as("n_removed"), sum(col("q4v")).as("removed_q4"))
       .selectExpr("thr_pm", "n_removed", "removed_q4",
         s"CAST(n_removed * 1000 div $nTot AS BIGINT) AS removed_permille",
         s"CAST(removed_q4 * 1000 div $qTot AS BIGINT) AS q4_removed_permille")

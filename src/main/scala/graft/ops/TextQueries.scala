@@ -702,16 +702,22 @@ object TextQueries {
       .selectExpr("r", "CAST(size(ws) AS BIGINT) AS tok", "ws")
       .cache()
     val n = ranked.count()
-    val cps = (1 to HEAPS_CP)
+    // the per-checkpoint fan-out is a literal-array explode (a doc-rank
+    // row joins every checkpoint whose boundary covers it), not a
+    // broadcast BETWEEN join — filter() over 8 literal structs stays in
+    // codegen where the range join would plan a nested-loop probe
+    val cpArr = (1 to HEAPS_CP)
       .map(k => (k.toLong, (n * k + HEAPS_CP - 1) / HEAPS_CP))
-      .toDF("k", "rb")
-    val nk = ranked.select(col("r"), col("tok"))
-      .join(broadcast(cps), col("r") <= col("rb"))
-      .groupBy(col("k")).agg(sum(col("tok")).as("n_tokens"))
+      .map { case (k, rb) =>
+        s"struct(CAST($k AS BIGINT) AS k, CAST($rb AS BIGINT) AS rb)" }
+      .mkString("array(", ", ", ")")
+    val nk = ranked
+      .selectExpr("tok", s"explode(filter($cpArr, c -> r <= c.rb)) AS c")
+      .groupBy(col("c.k").as("k")).agg(sum(col("tok")).as("n_tokens"))
     val vk = ranked.selectExpr("r", "explode(ws) AS w")
       .groupBy(col("w")).agg(min(col("r")).as("fr"))
-      .join(broadcast(cps), col("fr") <= col("rb"))
-      .groupBy(col("k")).agg(count(lit(1)).as("vocab"))
+      .selectExpr(s"explode(filter($cpArr, c -> fr <= c.rb)) AS c")
+      .groupBy(col("c.k").as("k")).agg(count(lit(1)).as("vocab"))
     nk.join(vk, "k")
       .selectExpr(
         s"CAST(${FixedLog.sparkLog2Cb("n_tokens")} AS BIGINT) AS x",
