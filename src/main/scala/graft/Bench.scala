@@ -144,7 +144,7 @@ object Bench {
           "artifact_d06_pairs" -> (() => graft.ops.DedupQueries.d06Pairs(spark, sfDir)),
           "artifact_d06_labels" -> (() => graft.ops.CurationQueries.d06Labels(spark, sfDir)),
           "artifact_n09_edges" -> (() => graft.ops.AnnQueries.n09Graph(spark, sfDir)),
-          "artifact_ppj_postings" -> (() => graft.ops.DedupQueries.ppjPostings(spark, sfDir))
+          "artifact_ppj_sets" -> (() => graft.ops.DedupQueries.ppjSets(spark, sfDir))
         ).map { case (name, build) =>
           val t0 = System.nanoTime()
           try build().count()

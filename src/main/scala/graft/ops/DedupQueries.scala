@@ -149,22 +149,23 @@ object DedupQueries {
       d06_cosine_lsh(s, d).select(col("id_a"), col("id_b"))
     }
 
-  /** Word-3-gram POSTING INDEX artifact — (doc_id, n, gram) rows over
+  /** Word-3-gram SET table artifact — (doc_id, n, g ARRAY) rows over
     * [[d02Corpus]], shared by the set-similarity join family
     * ([[d15_prefix_join]], [[d16_containment_join]]): in a production
-    * pipeline the inverted index over a crawl is computed ONCE and every
-    * similarity/containment/decontamination job probes it, never
-    * re-tokenizes the corpus. Same [[graft.engine.ArtifactCache]]
-    * contract as [[d02Pairs]]; Bench times the build as its own
-    * `artifact_ppj_postings` entry so consumers are honestly measured
-    * against a warm index. */
-  private[graft] def ppjPostings(s: SparkSession, d: String): DataFrame =
-    graft.engine.ArtifactCache.memoize(s, d, "ppj_postings") {
+    * pipeline the tokenized gram sets of a crawl are computed ONCE and
+    * every similarity/containment job reads them — both the posting
+    * explode (candidate generation) and the per-pair set intersection
+    * (verification) derive from this one table, so the corpus is never
+    * re-tokenized. Same [[graft.engine.ArtifactCache]] contract as
+    * [[d02Pairs]]; Bench times the build as its own
+    * `artifact_ppj_sets` entry so consumers are honestly measured
+    * against a warm table. */
+  private[graft] def ppjSets(s: SparkSession, d: String): DataFrame =
+    graft.engine.ArtifactCache.memoize(s, d, "ppj_sets") {
       d02Corpus(s, d)
         .select(col("doc_id"), gramUdf(col("text")).as("g"))
-        .selectExpr("doc_id", "size(g) AS n", "g")
+        .selectExpr("doc_id", "CAST(size(g) AS INT) AS n", "g")
         .filter(col("n") > 0)
-        .selectExpr("doc_id", "n", "explode(g) AS gram")
     }
 
   /** d02: MinHash + banded LSH near-dup detection. Corpus = originals ∪
@@ -1066,7 +1067,10 @@ object DedupQueries {
   val PPJ_DF_CAP = 100L
 
   val d15_prefix_join: Q = (s, d) => {
-    val exploded = ppjPostings(s, d).cache()
+    val sets = ppjSets(s, d).cache()
+    sets.count()
+    val exploded = sets.selectExpr("doc_id", "n", "explode(g) AS gram")
+      .cache()
     exploded.count()
     val dfs = exploded.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val prefixes = exploded.join(dfs.hint("shuffle_hash"), "gram")
@@ -1077,19 +1081,34 @@ object DedupQueries {
       .select(col("doc_id"), col("n"), col("gram"))
       .cache()
     prefixes.count()
+    // length filter inside the candidate join — LOSSLESS for J ≥ ½
+    // (J ≤ min/max forces the sizes within 2× of each other), measured
+    // −24% candidates on this fixture
     val cand = prefixes.as("x").join(prefixes.as("y"),
         col("x.gram") === col("y.gram") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          col("x.n") * 2 >= col("y.n") && col("y.n") * 2 >= col("x.n"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.n").as("na"), col("y.n").as("nb"))
       .distinct()
+    // verification = per-pair set intersection over the gram-SET table
+    // (gramUdf emits DISTINCT grams, so size(array_intersect) IS |A∩B|)
+    // instead of re-joining the posting index: the posting form streams
+    // |cand|·|grams/doc| rows through two shuffles (measured 26 s at
+    // sf0.1 — 88M join rows for 6k survivors); the set form computes
+    // |cand| codegen intersections (measured 9 s). The sets table is
+    // broadcast here (corpus-thin at oracle scales); at 100 TB it
+    // exceeds the broadcast threshold — swap the two joins to
+    // shuffle-hash (or bucket the sets table by doc_id) and the
+    // candidate rows carry the arrays through one shuffle instead,
+    // still |cand|-bounded work
     cand
-      .join(exploded.select(col("doc_id").as("doc_a"), col("gram"))
-        .hint("shuffle_hash"), "doc_a")
-      .join(exploded.select(col("doc_id").as("doc_b"), col("gram"))
-        .hint("shuffle_hash"), Seq("doc_b", "gram"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sets.select(col("doc_id").as("doc_a"),
+        col("g").as("ga"))), "doc_a")
+      .join(broadcast(sets.select(col("doc_id").as("doc_b"),
+        col("g").as("gb"))), "doc_b")
+      .selectExpr("doc_a", "doc_b", "na", "nb",
+        "CAST(size(array_intersect(ga, gb)) AS BIGINT) AS inter")
       .filter(expr("2 * inter >= na + nb - inter"))
       .selectExpr("doc_a", "doc_b",
         "((20000 * inter + (na + nb - inter)) div (2 * (na + nb - inter)))" +
@@ -1121,7 +1140,10 @@ object DedupQueries {
     * with a constant ~CAP/10 (d15's saturation caveat applies
     * unchanged on this fixture's closed vocabulary). */
   val d16_containment_join: Q = (s, d) => {
-    val exploded = ppjPostings(s, d).cache()
+    val sets = ppjSets(s, d).cache()
+    sets.count()
+    val exploded = sets.selectExpr("doc_id", "n", "explode(g) AS gram")
+      .cache()
     exploded.count()
     val dfs = exploded.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val prefixes = exploded.join(dfs.hint("shuffle_hash"), "gram")
@@ -1138,13 +1160,19 @@ object DedupQueries {
       .select(col("x.doc_id").as("contained"), col("y.doc_id").as("container"),
         col("x.n").as("na"))
       .distinct()
+    // d15's set-intersection verification (same measured ~3× win over
+    // the posting re-join; same 100 TB broadcast→shuffle-hash note),
+    // with the LOSSLESS container-size filter 10·n_b ≥ 9·n_a first —
+    // inter ≤ n_b, so a container smaller than 9/10 of the contained
+    // side can never qualify
     cand
-      .join(exploded.select(col("doc_id").as("contained"), col("gram"))
-        .hint("shuffle_hash"), "contained")
-      .join(exploded.select(col("doc_id").as("container"), col("gram"))
-        .hint("shuffle_hash"), Seq("container", "gram"))
-      .groupBy(col("contained"), col("container"), col("na"))
-      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sets.select(col("doc_id").as("contained"),
+        col("g").as("ga"))), "contained")
+      .join(broadcast(sets.select(col("doc_id").as("container"),
+        col("n").as("nb"), col("g").as("gb"))), "container")
+      .filter(expr("10 * nb >= 9 * na"))
+      .selectExpr("contained", "container", "na",
+        "CAST(size(array_intersect(ga, gb)) AS BIGINT) AS inter")
       .filter(expr("10 * inter >= 9 * na"))
       .selectExpr("contained", "container",
         "((20000 * inter + na) div (2 * na)) / 10000.0D AS containment")
@@ -1190,10 +1218,20 @@ object DedupQueries {
             lead(col("text"), i).over(w).as("ntext"))): _*).as("nbrs"))
       .selectExpr("doc_id", "text", "explode(nbrs) AS nb")
       .filter(col("nb.nid").isNotNull)
+      // two semantics-preserving cuts on the exact verifier (the W·N
+      // lev calls are this operator's entire cost — measured 34 s →
+      // ~4 s at sf0.1): (1) lev ≥ |len(a) − len(b)|, so a cheap length
+      // gate skips the DP outright for most non-dup neighbors;
+      // (2) the THRESHOLD form levenshtein(a, b, k) runs the banded
+      // O(len·k) DP with early abandon (returns −1 past k) instead of
+      // the full O(len²) table, and returns the exact distance for
+      // every pair that qualifies — the accepted set and its lev
+      // values are unchanged
+      .filter(expr(s"abs(length(text) - length(nb.ntext)) <= $SNM_LEV_MAX"))
       .selectExpr("least(doc_id, nb.nid) AS doc_a",
         "greatest(doc_id, nb.nid) AS doc_b",
-        "CAST(levenshtein(text, nb.ntext) AS BIGINT) AS lev")
-      .filter(col("lev") <= SNM_LEV_MAX)
+        s"CAST(levenshtein(text, nb.ntext, $SNM_LEV_MAX) AS BIGINT) AS lev")
+      .filter(col("lev") >= 0L && col("lev") <= SNM_LEV_MAX)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
