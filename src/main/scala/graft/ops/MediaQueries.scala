@@ -162,7 +162,67 @@ object MediaQueries {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  /** m06 cut rule: a token position opens a new chunk when its W-token
+    * rolling hash ≡ 0 (mod CDC_MOD) — expected chunk ≈ CDC_MOD tokens. */
+  val CDC_MOD = 16L
+
+  /** m06: CONTENT-DEFINED CHUNKING dedup report — the rsync/LBFS/backup
+    * -store primitive a 100 TB blob store rests on: split every blob at
+    * positions where a ROLLING hash of the local content hits a
+    * deterministic pattern (d12's W-token shingle hash, cut when
+    * h % [[CDC_MOD]] = 0), fingerprint each chunk, and report per media
+    * kind how many bytes chunk-level dedup saves. Because boundaries
+    * are content-defined, an EDIT ONLY RESHAPES THE CHUNKS IT TOUCHES —
+    * the corpus here is d02's originals ∪ tail-mutated copies, where
+    * exact blob dedup (d01) saves NOTHING yet every copy's chunks
+    * before the tail dedup against its original (the spec pins ≈ half
+    * the corpus reclaimed); fixed-size blocks would lose that on any
+    * insertion shifting offsets. Short blobs (< W tokens, no rolling
+    * window) are excluded on both engines.
+    *
+    * Scale shape: chunking is one narrow compiled pass per blob
+    * (spanShingleUdf reused verbatim) + a bounded in-row explode; the
+    * only shuffle carries (kind, fp, n_chars) — chunk fingerprints,
+    * never chunk bodies; the report is kind-sized. The production knobs
+    * (min/max chunk bounds making cut eligibility sequential per blob)
+    * drop into the same compiled pass without changing any downstream
+    * shape. */
+  val m06_cdc_chunks: Q = (s, d) => {
+    val chunks = DedupQueries.d02Corpus(s, d)
+      .select(col("doc_id"), col("text"),
+        DedupQueries.spanShingleUdf(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .selectExpr("doc_id", "split(text, ' ') AS ws",
+        s"concat(array(1), filter(sequence(1, size(sh)), " +
+          s"i -> i >= 2 AND element_at(sh, i) % $CDC_MOD = 0)) AS starts")
+      .selectExpr("doc_id", "ws",
+        "explode(transform(starts, (st, ci) -> struct(st AS st, " +
+          "CASE WHEN ci = size(starts) - 1 THEN size(ws) " +
+          "ELSE element_at(starts, ci + 2) - 1 END AS en))) AS c")
+      .selectExpr(
+        // kind keys on the ORIGINAL id (a copy of an image IS an image)
+        // so copy chunks dedup against their original's group
+        "CASE CAST((doc_id % " +
+          s"${DedupQueries.copyShift(s, d)}L) % 3 AS INT) " +
+          "WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind",
+        "concat_ws(' ', slice(ws, c.st, c.en - c.st + 1)) AS body")
+      .selectExpr("kind", "md5(body) AS fp",
+        "CAST(length(body) AS BIGINT) AS n_chars")
+    chunks.groupBy(col("kind"), col("fp"))
+      .agg(count(lit(1)).as("c"), min(col("n_chars")).as("nc"))
+      .groupBy(col("kind"))
+      .agg(sum(col("c")).as("n_chunks"), count(lit(1)).as("uniq_chunks"),
+        sum(col("c") * col("nc")).as("total_chars"),
+        sum(col("nc")).as("uniq_chars"))
+      .selectExpr("kind", "n_chunks", "uniq_chunks", "total_chars",
+        "uniq_chars",
+        "CAST((total_chars - uniq_chars) * 1000 div total_chars AS BIGINT)" +
+          " AS savings_permille")
+      .orderBy(col("kind"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "m06_cdc_chunks" -> m06_cdc_chunks,
     "m05_perceptual_dedup" -> m05_perceptual_dedup,
     "m03_shard_checksum" -> m03_shard_checksum,
     "m01_media_catalog" -> m01_media_catalog,
@@ -213,6 +273,55 @@ object MediaQueries {
       |FROM documents""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // m06: d12's token-polynomial and W-window fold verbatim; identical
+    // cut rule, chunk ranges, md5 fingerprints and savings arithmetic
+    "m06_cdc_chunks" -> {
+      import DedupQueries.{SPAN_W, tokPolyDuck, spanFold}
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+         |         text || ' mutated tail' FROM documents),
+         |th AS (
+         |  SELECT doc_id, text,
+         |         list_transform(string_split(text, ' '),
+         |           t -> ($tokPolyDuck)) AS th
+         |  FROM corpus),
+         |sh AS (
+         |  SELECT doc_id, text,
+         |         list_transform(range(1, len(th) - ${SPAN_W - 2}),
+         |           i -> ${spanFold(j => s"th[i + $j]")}) AS sh
+         |  FROM th WHERE len(th) >= $SPAN_W),
+         |st AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws,
+         |         list_concat([1], list_filter(range(2, len(sh) + 1),
+         |           i -> sh[i] % $CDC_MOD = 0)) AS starts
+         |  FROM sh),
+         |ch AS (
+         |  SELECT doc_id, ws, starts[i] AS st,
+         |         CASE WHEN i = len(starts) THEN len(ws)
+         |              ELSE starts[i + 1] - 1 END AS en
+         |  FROM st, unnest(range(1, len(starts) + 1)) AS u(i)),
+         |cf AS (
+         |  SELECT CASE ((doc_id %
+         |               (SELECT max(doc_id) + 1 FROM documents)) % 3)::INT
+         |              WHEN 0 THEN 'image'
+         |              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |         md5(array_to_string(ws[st:en], ' ')) AS fp,
+         |         length(array_to_string(ws[st:en], ' '))::BIGINT
+         |           AS n_chars
+         |  FROM ch),
+         |pf AS (
+         |  SELECT kind, fp, count(*)::BIGINT AS c, min(n_chars) AS nc
+         |  FROM cf GROUP BY kind, fp)
+         |SELECT kind, sum(c)::BIGINT AS n_chunks,
+         |       count(*)::BIGINT AS uniq_chunks,
+         |       sum(c * nc)::BIGINT AS total_chars,
+         |       sum(nc)::BIGINT AS uniq_chars,
+         |       ((sum(c * nc) - sum(nc)) * 1000 // sum(c * nc))::BIGINT
+         |         AS savings_permille
+         |FROM pf GROUP BY kind ORDER BY kind""".stripMargin
+    },
     // m05: same grid/dHash/block/cap arithmetic (unicode == ascii on
     // the rpad'd non-empty head)
     "m05_perceptual_dedup" -> {

@@ -2800,6 +2800,61 @@ class OperatorBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("m06: CDC report matches a full driver re-derivation of the " +
+    "chunking, and content-defined cuts reclaim what exact dedup cannot") {
+    val P = 1000000007L
+    val W = graft.ops.DedupQueries.SPAN_W
+    val MOD = MediaQueries.CDC_MOD
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val shift = docs.map(_._1).max + 1
+    val corpus = docs ++ docs.map { case (id, t) =>
+      (id + shift, t + " mutated tail") }
+    def tokHash(t: String): Long = {
+      val cp = t.codePoints().toArray
+      (0 until 8).foldLeft(0L)((a, j) =>
+        a * 31 + (if (j < cp.length) cp(j) else '_'.toInt))
+    }
+    val chunks = corpus.flatMap { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val th = ws.map(tokHash)
+      if (th.length < W) Seq.empty
+      else {
+        val sh = (0 to th.length - W).map { k =>
+          (0 until W).foldLeft(0L)((a, j) => (a * 31 + th(k + j)) % P) }
+        val starts = 1L +: (2 to sh.length)
+          .filter(i => sh(i - 1) % MOD == 0).map(_.toLong)
+        val kind = ((id % shift) % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video" }
+        starts.zipWithIndex.map { case (st, ci) =>
+          val en = if (ci == starts.length - 1) ws.length.toLong
+            else starts(ci + 1) - 1
+          val body = ws.slice(st.toInt - 1, en.toInt).mkString(" ")
+          (kind, body, body.length.toLong)
+        }
+      }
+    }
+    val expected = chunks.groupBy(c => (c._1, c._2)).toSeq
+      .map { case ((kind, _), v) => (kind, v.size.toLong, v.head._3) }
+      .groupBy(_._1).toSeq.map { case (kind, v) =>
+        val total = v.map(x => x._2 * x._3).sum
+        val uniq = v.map(_._3).sum
+        (kind, v.map(_._2).sum, v.size.toLong, total, uniq,
+          (total - uniq) * 1000 / total)
+      }.sortBy(_._1)
+    val got = MediaQueries.m06_cdc_chunks(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, s"$got vs $expected")
+    // the modality's reason to exist: there are ZERO exact duplicate
+    // blobs (tail-mutated copies differ), yet chunk-level dedup reclaims
+    // a substantial fraction — the copies' pre-tail chunks
+    assert(corpus.map(_._2).distinct.length == corpus.length)
+    got.foreach { case (kind, _, _, _, _, savings) =>
+      assert(savings >= 100, s"$kind savings $savings‰ — CDC not biting") }
+  }
+
   test("t24: planted open vocabulary fits beta ~ 1 with r2 = 1000; a " +
     "fully saturated vocabulary collapses to beta 0 with the r2 guard") {
     import spark.implicits._
