@@ -313,6 +313,49 @@ object ScaleQueries {
 
   private val CONTEXT_TOKENS = 2048
 
+  /** p16: PACKING-EFFICIENCY AUDIT — the numbers that decide between
+    * the two standard sequence-packing strategies before a training
+    * run: p04's CONCAT-AND-SLICE (zero padding inside the stream, but
+    * documents straddling a context boundary get split — an attention
+    * -quality cost) vs NAIVE one-doc-per-sequence (no splits, but every
+    * short doc pads its sequence tail and every long doc truncates).
+    * Per source: sequence counts, padded/wasted tokens, split-doc and
+    * truncated-doc counts, and both strategies' fill rates in permille
+    * — all exact BIGINT arithmetic over p04's own running-offset
+    * window, so the audit prices exactly the plan p04 ships.
+    *
+    * Scale shape: one source-keyed window (p04's shuffle, reused
+    * shape) + one source-keyed aggregate; output is |sources|-sized. */
+  val p16_packing_efficiency: Q = (s, d) => {
+    val C = CONTEXT_TOKENS
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("tokens"))
+      .withColumn("off", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("total_tokens"),
+        sum(expr(s"CASE WHEN off div $C != (off + tokens - 1) div $C " +
+          "THEN 1 ELSE 0 END")).as("n_split_docs"),
+        sum(expr(s"least(tokens, $C)")).as("used_naive"),
+        sum(expr(s"CASE WHEN tokens > $C THEN 1 ELSE 0 END"))
+          .as("n_trunc_docs"))
+      .selectExpr("source", "n_docs", "total_tokens", "n_split_docs",
+        "n_trunc_docs",
+        s"CAST((total_tokens + ${C - 1}) div $C AS BIGINT) AS packed_seqs",
+        s"CAST(((total_tokens + ${C - 1}) div $C) * $C - total_tokens " +
+          "AS BIGINT) AS packed_pad",
+        "n_docs AS naive_seqs",
+        s"CAST(n_docs * $C - used_naive AS BIGINT) AS naive_pad",
+        s"CAST(total_tokens * 1000 div (((total_tokens + ${C - 1}) " +
+          s"div $C) * $C) AS BIGINT) AS packed_fill_pm",
+        s"CAST(used_naive * 1000 div (n_docs * $C) AS BIGINT) " +
+          "AS naive_fill_pm")
+      .orderBy(col("source"))
+  }
+
   /** s02: skew-safe SALTED JOIN — s01's companion for the other half of
     * the skew problem: a fact⋈dim join where a few hot keys own an
     * outsized share of the fact side, so one reducer would receive a
@@ -928,6 +971,7 @@ object ScaleQueries {
     "r02_cube" -> r02_cube,
     "r03_grouping_sets" -> r03_grouping_sets,
     "h07_kmv_distinct" -> h07_kmv_distinct,
+    "p16_packing_efficiency" -> p16_packing_efficiency,
     "p14_rendezvous" -> p14_rendezvous,
     "s01_salted_agg" -> s01_salted_agg,
     "h01_approx_distinct" -> h01_approx_distinct,
@@ -1175,6 +1219,43 @@ object ScaleQueries {
          |    * ((d.doc_id * 2246822519) % 1000) * c.n_s
          |    < ${TEMP_K * TEMP_K * 1000L * 1000L}
          |ORDER BY d.doc_id""".stripMargin,
+    // p16: p04's running-offset window verbatim; identical boundary,
+    // truncation and fill arithmetic
+    "p16_packing_efficiency" -> {
+      val C = CONTEXT_TOKENS
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |         len(string_split(text, ' '))::BIGINT AS tokens
+         |  FROM documents),
+         |p AS (
+         |  SELECT source, tokens,
+         |         coalesce(sum(tokens) OVER (PARTITION BY source
+         |           ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS off
+         |  FROM b),
+         |a AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs,
+         |         sum(tokens)::BIGINT AS total_tokens,
+         |         sum(CASE WHEN off // $C != (off + tokens - 1) // $C
+         |                  THEN 1 ELSE 0 END)::BIGINT AS n_split_docs,
+         |         sum(least(tokens, $C))::BIGINT AS used_naive,
+         |         sum(CASE WHEN tokens > $C THEN 1 ELSE 0 END)::BIGINT
+         |           AS n_trunc_docs
+         |  FROM p GROUP BY source)
+         |SELECT source, n_docs, total_tokens, n_split_docs, n_trunc_docs,
+         |       ((total_tokens + ${C - 1}) // $C)::BIGINT AS packed_seqs,
+         |       (((total_tokens + ${C - 1}) // $C) * $C - total_tokens
+         |         )::BIGINT AS packed_pad,
+         |       n_docs AS naive_seqs,
+         |       (n_docs * $C - used_naive)::BIGINT AS naive_pad,
+         |       (total_tokens * 1000 //
+         |        (((total_tokens + ${C - 1}) // $C) * $C))::BIGINT
+         |         AS packed_fill_pm,
+         |       (used_naive * 1000 // (n_docs * $C))::BIGINT
+         |         AS naive_fill_pm
+         |FROM a ORDER BY source""".stripMargin
+    },
     // h07: identical multiplicative hash, bottom-k rank and estimator;
     // every divide is on non-negative values (sign CASE for err_pm)
     "h07_kmv_distinct" ->
