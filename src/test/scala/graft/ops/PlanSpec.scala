@@ -406,4 +406,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange SinglePartition"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
+
+  test("m06 CDC chunking: zero joins anywhere — chunking is a narrow " +
+    "compiled pass and only the fingerprint census shuffles") {
+    val p = planOf(MediaQueries.m06_cdc_chunks)
+    assert(!p.contains("Join"), s"no join operator expected:\n$p")
+    assert(p.contains("Generate"), p) // the bounded in-row chunk explode
+  }
+
+  test("p16 packing audit: the running-offset window and the source " +
+    "aggregate share ONE source-keyed exchange") {
+    val p = planOf(ScaleQueries.p16_packing_efficiency)
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(p).length == 1,
+      s"window and aggregate must reuse one source shuffle:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("e25 native session windows: the plan uses Spark's merging " +
+    "session-window operators over ONE user-keyed exchange") {
+    val p = planOf(EventQueries.e25_session_window)
+    assert(p.contains("Sessions"), // UpdatingSessions/MergingSessions
+      s"expected session-window physical operators:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length <= 1, p)
+  }
 }
