@@ -507,7 +507,40 @@ object VectorQueries {
       .limit(20)
   }
 
+  /** v14: ANISOTROPY / EMBEDDING-COLLAPSE AUDIT — the mean pairwise dot
+    * product of the corpus relative to the mean self dot, in ppb:
+    * isotropic (healthy) embedding clouds sit near 0, a collapsing
+    * encoder (all outputs drifting toward one direction — the classic
+    * contrastive-training failure) drives it toward 10⁹. Both moments
+    * fall out of the SAME one-pass gramian v13 uses (Σᵢ(Σqᵢ)² counts
+    * every pairwise dot once via (Σq)·(Σq); Σᵢ Σqᵢ² is the self mass),
+    * so at 100 TB one persisted gramian artifact serves both audits —
+    * no pair sampling, no second corpus pass. Exact BigInt throughout
+    * (v13's discipline): aniso_ppb = sign·(|Σsᵢ² − ssq|·10⁹ div
+    * ((n−1)·ssq)), every divide non-negative. */
+  val v14_anisotropy: Q = (s, d) => {
+    import s.implicits._
+    val D = GRAM_DIM
+    val g = Tables.embeddings(s, d)
+      .agg(graft.agg.GramianAggregator.gramian(D)(col("embedding")).as("g"))
+      .head().getSeq[Long](0)
+    val n = BigInt(g(0))
+    val ssq = (0 until D).map(i => BigInt(g(1 + D + i))).sum
+    val normS = (0 until D).map(i => BigInt(g(1 + i)) * BigInt(g(1 + i))).sum
+    val dif = normS - ssq
+    val sgn = if (dif >= 0) 1L else -1L
+    // raw Σsᵢ² exceeds 2⁶³ on large corpora — emit only n-normalized
+    // moments (all ratios of BigInts, bounded by construction)
+    val aniso =
+      if (n > 1 && ssq > 0) (dif.abs * BigInt(1000000000L) / ((n - 1) * ssq)).toLong
+      else 0L
+    val meanSelf = if (n > 0) (ssq / n).toLong else 0L
+    Seq((n.toLong, meanSelf, sgn, aniso))
+      .toDF("n_vecs", "mean_self_q2", "sgn", "aniso_ppb")
+  }
+
   def queries: Map[String, Q] = Map(
+    "v14_anisotropy" -> v14_anisotropy,
     "v13_dim_correlation" -> v13_dim_correlation,
     "v12_jl_projection" -> v12_jl_projection,
     "v11_principal_component" -> v11_principal_component,
@@ -522,6 +555,28 @@ object VectorQueries {
     "v07_dim_calibration" -> v07_dim_calibration)
 
   def oracleSql: Map[String, String] = Map(
+    // v14: same quantization; Σsᵢ² and ssq combined in HUGEINT, output
+    // only the bounded n-normalized moments
+    "v14_anisotropy" ->
+      """WITH m AS (
+        |  SELECT vec_id, i,
+        |         CAST(floor(x::DOUBLE * 10000.0 + 0.5) AS BIGINT) AS q
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |               unnest(range(1, len(embedding)+1)) AS i
+        |        FROM embeddings)),
+        |s AS (
+        |  SELECT i, sum(q)::HUGEINT AS si, sum(q * q)::HUGEINT AS pii
+        |  FROM m GROUP BY i),
+        |t AS (
+        |  SELECT (SELECT count(*) FROM embeddings)::HUGEINT AS n,
+        |         sum(pii) AS ssq, sum(si * si) AS norm_s
+        |  FROM s)
+        |SELECT n::BIGINT AS n_vecs, (ssq // n)::BIGINT AS mean_self_q2,
+        |       (CASE WHEN norm_s >= ssq THEN 1 ELSE -1 END)::BIGINT AS sgn,
+        |       (CASE WHEN n > 1 AND ssq > 0
+        |         THEN abs(norm_s - ssq) * 1000000000 // ((n - 1) * ssq)
+        |         ELSE 0 END)::BIGINT AS aniso_ppb
+        |FROM t""".stripMargin,
     // v13: same tenth-milli quantization and gramian sums; HUGEINT for
     // the n·P − S·S combinations, all divides on non-negative values
     "v13_dim_correlation" ->

@@ -2800,6 +2800,27 @@ class OperatorBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("v14: a fully collapsed corpus (identical vectors) pins " +
+    "aniso_ppb at exactly 1e9, and the fixture sits near isotropy") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("aniso").toString
+    val v = Array.tabulate(64)(i => (math.sin(i + 1) / 8.0).toFloat)
+    (1L to 100L).map(id => (id, v))
+      .toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val collapsed = VectorQueries.v14_anisotropy(spark, dir).head()
+    // identical vectors: Σsᵢ² = n²·Σq², ssq = n·Σq² ⇒ ratio exactly 1
+    assert(collapsed.getAs[Long]("aniso_ppb") == 1000000000L, collapsed)
+    assert(collapsed.getAs[Long]("sgn") == 1L)
+    val fixture = VectorQueries.v14_anisotropy(spark, sf).head()
+    assert(fixture.getAs[Long]("aniso_ppb") < 100000000L,
+      s"synthetic cloud should be near-isotropic: $fixture")
+    // unit vectors: mean self dot in q² units ≈ (10⁴)² = 10⁸
+    val ms = fixture.getAs[Long]("mean_self_q2")
+    assert(ms > 99000000L && ms < 101000000L, s"mean_self_q2 $ms")
+  }
+
   test("m06: CDC report matches a full driver re-derivation of the " +
     "chunking, and content-defined cuts reclaim what exact dedup cannot") {
     val P = 1000000007L
