@@ -217,7 +217,41 @@ object RelationalQueries {
       .orderBy(col("decile"))
   }
 
+  /** q12: SHIPPING-PRIORITY report (the TPC-H Q3 shape) — unshipped
+    * revenue per order for one market segment at a cutoff date: the
+    * classic dim-filter → fact-join → group → top-k chain. The segment
+    * filter prunes customers ~5× and that side BROADCASTS; orders and
+    * lineitem carry their date filters down to the parquet scan;
+    * the orderkey join is shuffle-hash (both sides filtered
+    * fact-sized); revenue is exact cents·percent BIGINT
+    * (Σ cents(extprice)·(100 − disc_pct)), so the top-10 ranking has no
+    * float ties to diverge on (id tiebreak regardless). */
+  val q12_shipping_priority: Q = (s, d) => {
+    val cutoff = "1998-07-01"
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit(cutoff))
+      .selectExpr("o_orderkey", "o_custkey",
+        "CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100 " +
+          "+ day(o_orderdate) AS BIGINT) AS odate",
+        "o_orderpriority")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit(cutoff))
+      .selectExpr("l_orderkey",
+        "CAST(round(l_extendedprice * 100.0D) AS BIGINT) " +
+          "* (100 - CAST(round(l_discount * 100.0D) AS BIGINT)) AS rev")
+    ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(li.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("odate"), col("o_orderpriority"))
+      .agg(sum(col("rev")).as("revenue_cp"))
+      .orderBy(col("revenue_cp").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q12_shipping_priority" -> q12_shipping_priority,
     "q11_revenue_deciles" -> q11_revenue_deciles,
     "q09_small_qty_revenue" -> q09_small_qty_revenue,
     "q10_custorder_dist" -> q10_custorder_dist,
@@ -231,6 +265,23 @@ object RelationalQueries {
     "q08_distinct_sources" -> q08_distinct_sources)
 
   def oracleSql: Map[String, String] = Map(
+    // q12: identical segment/date filters and cents·percent arithmetic
+    "q12_shipping_priority" ->
+      """SELECT o.o_orderkey,
+        |       (year(o.o_orderdate) * 10000 + month(o.o_orderdate) * 100
+        |        + day(o.o_orderdate))::BIGINT AS odate,
+        |       o.o_orderpriority,
+        |       sum(CAST(round(l.l_extendedprice * 100.0) AS BIGINT)
+        |           * (100 - CAST(round(l.l_discount * 100.0) AS BIGINT))
+        |          )::BIGINT AS revenue_cp
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cp DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     // q11: identical cents aggregate → ntile → census/cumulative
     "q11_revenue_deciles" ->
       """WITH pc AS (
