@@ -192,6 +192,71 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** NORMALIZE-THEN-DOT: dot(v/‖v‖₂, q) with v an un-normalized
+    * ARRAY<DOUBLE> accumulator (a vecSum centroid) and q the fp32 query —
+    * the centroid-probe kernel (w01 word scoring, n01 IVF cell ranking,
+    * w03 phrase estimates: the reference's `guess_phrase_embedding`,
+    * `rclip_server.py:314-318`, normalizes the word-vector sum before
+    * scoring). One fused generated loop pair replaces the interpreted
+    * `dotNormalized` UDF (VERDICT r06 wrong-#1) with arithmetic kept
+    * IDENTICAL to it: ‖v‖ over ALL of v in Double, then
+    * Σ (vᵢ/‖v‖)·(double)qᵢ over min(len) in index order — so every
+    * oracle hash is unchanged. Zero vector scores 0.0, as the UDF did. */
+  case class VecNDot(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(DoubleType), ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_ndot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      var n2 = 0.0
+      var i = 0
+      while (i < x.numElements()) {
+        val v = x.getDouble(i); n2 += v * v; i += 1
+      }
+      val n = math.sqrt(n2)
+      if (n == 0.0) 0.0
+      else {
+        var s = 0.0
+        val m = math.min(x.numElements(), y.numElements())
+        i = 0
+        while (i < m) {
+          s += (x.getDouble(i) / n) * y.getFloat(i).toDouble; i += 1
+        }
+        s
+      }
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n2 = ctx.freshName("n2"); val nrm = ctx.freshName("nrm")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val v = ctx.freshName("v"); val m = ctx.freshName("m")
+        val acc = ctx.freshName("acc")
+        s"""double $n2 = 0.0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  double $v = $a.getDouble($i);
+           |  $n2 += $v * $v;
+           |}
+           |double $nrm = java.lang.Math.sqrt($n2);
+           |double $acc = 0.0;
+           |if ($nrm != 0.0) {
+           |  int $m = java.lang.Math.min($a.numElements(), $b.numElements());
+           |  for (int $j = 0; $j < $m; $j++) {
+           |    $acc += ($a.getDouble($j) / $nrm) * (double) $b.getFloat($j);
+           |  }
+           |}
+           |${ev.value} = $acc;""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** int8-QUANTIZED dot against pre-quantized query codes — the v06/n05
     * coarse kernel as a native expression: per-row symmetric
     * quantization (m = max|xᵢ|, code = floor(xᵢ·127/m + 0.5)) FUSED with
@@ -610,6 +675,9 @@ object VectorExpressions {
     (FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
       arity("vec_cosine", 2)(args => VecCosine(args(0), args(1)))),
+    (FunctionIdentifier("vec_ndot"),
+      new ExpressionInfo(classOf[VecNDot].getName, "vec_ndot"),
+      arity("vec_ndot", 2)(args => VecNDot(args(0), args(1)))),
     (FunctionIdentifier("vec_nrm2_micro"),
       new ExpressionInfo(classOf[VecNrm2Micro].getName, "vec_nrm2_micro"),
       arity("vec_nrm2_micro", 1)(args => VecNrm2Micro(args(0)))),

@@ -26,23 +26,6 @@ object AnnQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** dot(vsum/‖vsum‖, q) entirely in Double (shared shape with w01). */
-  private def dotNormalized(q: Array[Float]) = udf { (v: Array[Double]) =>
-    if (v == null) null
-    else {
-      var n2 = 0.0; var i = 0
-      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
-      val n = math.sqrt(n2)
-      if (n == 0.0) java.lang.Double.valueOf(0.0)
-      else {
-        var s = 0.0; i = 0
-        val m = math.min(v.length, q.length)
-        while (i < m) { s += (v(i) / n) * q(i).toDouble; i += 1 }
-        java.lang.Double.valueOf(s)
-      }
-    }
-  }
-
   /** n01: IVF probe search. Coarse quantizer = per-label centroids (the
     * offline analog of a trained k-means codebook); nprobe=2; exact
     * top-10 inside the probed cells. The 2-row probe list broadcasts.
@@ -55,7 +38,7 @@ object AnnQueries {
     val probes = emb
       .groupBy(col("label"))
       .agg(VectorAggregators.vecSum(col("embedding")).as("vsum"))
-      .select(col("label"), dotNormalized(q)(col("vsum")).as("cscore"))
+      .select(col("label"), VectorOps.ndotQueryNative(col("vsum"), q).as("cscore"))
       .orderBy(col("cscore").desc, col("label").asc)
       .limit(2)
       .select(col("label"))
@@ -744,7 +727,7 @@ object AnnQueries {
     val emb = Tables.embeddings(s, d)
     val cellRank = emb.groupBy(col("label"))
       .agg(VectorAggregators.vecSum(col("embedding")).as("vsum"))
-      .select(col("label"), dotNormalized(q)(col("vsum")).as("cscore"))
+      .select(col("label"), VectorOps.ndotQueryNative(col("vsum"), q).as("cscore"))
       .withColumn("crank", row_number().over(
         Window.orderBy(col("cscore").desc, col("label").asc)))
       .select(col("label"), col("crank"))

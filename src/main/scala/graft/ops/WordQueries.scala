@@ -21,23 +21,6 @@ object WordQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** dot(vsum/‖vsum‖, q) entirely in Double. */
-  private def dotNormalized(q: Array[Float]) = udf { (v: Array[Double]) =>
-    if (v == null) null
-    else {
-      var n2 = 0.0; var i = 0
-      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
-      val n = math.sqrt(n2)
-      if (n == 0.0) java.lang.Double.valueOf(0.0)
-      else {
-        var s = 0.0; i = 0
-        val m = math.min(v.length, q.length)
-        while (i < m) { s += (v(i) / n) * q(i).toDouble; i += 1 }
-        java.lang.Double.valueOf(s)
-      }
-    }
-  }
-
   /** K2/W1: words = per-label centroids (normalize ∘ element-wise sum, one
     * map-side-combining Aggregator pass), scored against the flagship
     * query vector, top-50 by (score DESC, word ASC) — the reference's
@@ -48,7 +31,8 @@ object WordQueries {
       .agg(VectorAggregators.vecSum(col("embedding")).as("vsum"))
       .select(
         concat(lit("label"), col("label").cast("string")).as("word"),
-        round(dotNormalized(VectorQueries.flagshipVec)(col("vsum")), 4).as("score"))
+        round(VectorOps.ndotQueryNative(col("vsum"), VectorQueries.flagshipVec), 4)
+          .as("score"))
       .orderBy(col("score").desc, col("word").asc)
       .limit(50)
   }

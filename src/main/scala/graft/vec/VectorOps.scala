@@ -174,6 +174,12 @@ object VectorOps {
   def dotQueryNative(v: Column, q: Array[Float]): Column =
     call_function("vec_dot", v, typedlit(q))
 
+  /** Codegen normalize-then-dot of an ARRAY<DOUBLE> accumulator (vecSum
+    * centroid) against a fixed fp32 query — the centroid-probe kernel
+    * (vec_ndot); replaces the interpreted dotNormalized UDF. */
+  def ndotQueryNative(v: Column, q: Array[Float]): Column =
+    call_function("vec_ndot", v, typedlit(q))
+
   /** Codegen int8-quantized dot against pre-quantized query codes
     * (vec_qdot — the v06/n05 coarse kernel). */
   def qdotQueryNative(v: Column, qq: Array[Long]): Column =

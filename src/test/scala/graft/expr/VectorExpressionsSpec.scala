@@ -54,6 +54,37 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(e.eval(null).asInstanceOf[Long] == ref(vs.head))
   }
 
+  test("vec_ndot matches the retired dotNormalized UDF arithmetic exactly " +
+    "(norm over ALL of v, dot over min-length, zero vector → 0.0)") {
+    import spark.implicits._
+    val q = vec(64)
+    val vs = Seq.fill(50)(vec(64).map(_.toDouble)) :+
+      Array.fill(64)(0.0) :+                      // zero vector
+      vec(80).map(_.toDouble)                     // longer than q: norm uses all 80
+    def ref(v: Array[Double]): Double = {
+      var n2 = 0.0; var i = 0
+      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+      val n = math.sqrt(n2)
+      if (n == 0.0) 0.0
+      else {
+        var s = 0.0; i = 0
+        val m = math.min(v.length, q.length)
+        while (i < m) { s += (v(i) / n) * q(i).toDouble; i += 1 }
+        s
+      }
+    }
+    val rows = vs.map(Tuple1(_)).toDF("v")
+      .select(VectorOps.ndotQueryNative(col("v"), q).as("s")).collect()
+    rows.zip(vs).foreach { case (r, v) => assert(r.getDouble(0) == ref(v)) }
+    // interpreted eval agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val e = VectorExpressions.VecNDot(
+      Literal.create(vs.head, ArrayType(DoubleType)),
+      Literal.create(q, ArrayType(FloatType)))
+    assert(e.eval(null).asInstanceOf[Double] == ref(vs.head))
+  }
+
   test("null and length-mismatch inputs behave") {
     import spark.implicits._
     val df = Seq(

@@ -422,6 +422,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("w01/n01 centroid scoring runs on the codegen vec_ndot kernel — " +
+    "no interpreted ScalaUDF anywhere in either scoring plan") {
+    // VERDICT r06 wrong-#1: the last two interpreted dot kernels.
+    // vec_ndot rides the aggregate's result projection, which the physical
+    // toString abbreviates — assert it on the optimized logical plan, and
+    // the absence of any interpreted UDF on the physical one.
+    for (q <- Seq(WordQueries.w01_words_topk, AnnQueries.n01_ann_ivf)) {
+      val df = q(spark, sf)
+      assert(df.queryExecution.optimizedPlan.toString.contains("vec_ndot"),
+        df.queryExecution.optimizedPlan.toString)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("ScalaUDF"), s"centroid dot must be codegen:\n$p")
+    }
+  }
+
   test("e25 native session windows: the plan uses Spark's merging " +
     "session-window operators over ONE user-keyed exchange") {
     val p = planOf(EventQueries.e25_session_window)
