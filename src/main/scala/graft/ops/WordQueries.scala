@@ -37,6 +37,68 @@ object WordQueries {
       .limit(50)
   }
 
+  /** w03 candidate generation: seed + draws per phrase length. The
+    * reference samples 1000 combos per length from its top-200 word pool
+    * (`rclip_server.py:331-336`); the table-derived pool here is the 10
+    * label words, so [[W03_PER_LEN]] seeded draws per length saturate the
+    * small pool's variety without degenerating to the full cross
+    * product. */
+  val W03_SEED = 7L
+  val W03_PER_LEN = 60
+
+  /** The seeded 2/3/4-word candidate phrases, generated ONCE and shared
+    * VERBATIM by the Spark query and the DuckDB oracle (SURVEY §5.2(1):
+    * candidate sampling is engine-OUTSIDE randomness — the reference's
+    * `random.sample` at `rclip_server.py:333` — so it enters both engines
+    * as the same literal list; everything downstream is relational and
+    * hash-compared). Same LinkedHashSet distinct-index draw as the engine
+    * façade's `similarPhrases`. */
+  private[ops] lazy val w03Candidates: Seq[String] = {
+    val pool = (0 to 9).map(i => s"label$i")
+    val rnd = new java.util.Random(W03_SEED)
+    def pick(n: Int): Seq[String] = {
+      val idx = scala.collection.mutable.LinkedHashSet.empty[Int]
+      while (idx.size < n) idx += rnd.nextInt(pool.length)
+      idx.toSeq.map(pool)
+    }
+    (2 to 4).flatMap { len =>
+      (1 to W03_PER_LEN).map(_ => pick(len).mkString(" "))
+    }.distinct
+  }
+
+  /** W3: PHRASE SUGGESTION — the reference's `/similar_words` phrase
+    * stage (`rclip_server.py:330-342,399-400`): random multi-word
+    * candidates from the word pool, each scored by the W1 ESTIMATE
+    * (normalized Σ of member-word vectors, `:314-318` — word vector =
+    * the label centroid, w01's convention: the raw element-wise sum,
+    * normalized at scoring) against the flagship query, top-50 by
+    * (score DESC, phrase ASC) — the endpoint's serving cut (`:400`).
+    *
+    * Scale shape: the candidate→word map (≤ a few hundred thin rows)
+    * BROADCASTS onto one corpus pass; the only shuffle is the
+    * phrase-keyed vecSum aggregate (map-side combining, one 64-dim
+    * Double buffer per phrase per partition); the top-50 is a
+    * TakeOrderedAndProject. Phrase estimates are Σ of float-widened
+    * Doubles — exactly representable at any row count that fits 29
+    * spare mantissa bits, so the aggregate is addition-order-proof and
+    * the hash compare holds at 10×. */
+  val w03_phrase_suggest: Q = (s, d) => {
+    import s.implicits._
+    val cw = w03Candidates.toDF("phrase")
+      .select(col("phrase"), explode(split(col("phrase"), " ")).as("word"))
+    Tables.embeddings(s, d)
+      .select(concat(lit("label"), col("label").cast("string")).as("word"),
+        col("embedding"))
+      .join(broadcast(cw), "word") // J3: word→embedding, candidate side tiny
+      .groupBy(col("phrase"))
+      .agg(VectorAggregators.vecSum(col("embedding")).as("vsum")) // W1
+      .select(col("phrase"),
+        (round(VectorOps.ndotQueryNative(col("vsum"), VectorQueries.flagshipVec), 4)
+          + lit(0.0)).as("score")) // W2 approx score; +0.0 drops IEEE -0.0
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(50)
+  }
+
   /** A5: element-wise vector SUM per group via the typed Aggregator,
     * exploded to scalars for the oracle compare. The shuffle carries one
     * 64-dim Double buffer per (partition × label), not N×64 rows. */
@@ -132,6 +194,7 @@ object WordQueries {
   def queries: Map[String, Q] = Map(
     "w02_pmi_collocations" -> w02_pmi_collocations,
     "w01_words_topk" -> w01_words_topk,
+    "w03_phrase_suggest" -> w03_phrase_suggest,
     "a05_label_vecsum" -> a05_label_vecsum,
     "a06_dedup_window" -> a06_dedup_window,
     "v05_vector_stats_agg" -> v05_vector_stats_agg)
@@ -166,6 +229,28 @@ object WordQueries {
          |        - ${FixedLog.duckLog2Cb("c_a")}
          |        - ${FixedLog.duckLog2Cb("c_b")})::BIGINT AS pmi_cb
          |FROM sc ORDER BY pmi_cb DESC, a, b LIMIT 50""".stripMargin,
+    // w03: the identical candidate literals + per-(phrase, dim) Double
+    // sum + index-order normalize∘dot — w01's oracle pattern with the
+    // phrase→word map as a VALUES CTE
+    "w03_phrase_suggest" -> {
+      val values = w03Candidates.map(p => s"('$p')").mkString(", ")
+      s"""WITH cand(phrase) AS (VALUES $values),
+         |cw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS word
+         |       FROM cand),
+         |e AS (SELECT 'label' || label::VARCHAR AS word,
+         |             unnest(embedding::DOUBLE[]) AS x,
+         |             unnest(range(1, len(embedding)+1)) AS i
+         |      FROM embeddings),
+         |sums AS (SELECT phrase, i, sum(x) AS sx
+         |         FROM cw JOIN e USING (word) GROUP BY phrase, i),
+         |vecs AS (SELECT phrase, list(sx ORDER BY i) AS v
+         |         FROM sums GROUP BY phrase)
+         |SELECT phrase,
+         |       round(list_dot_product(
+         |         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))),
+         |         ${VectorOps.sqlDoubleArray(VectorQueries.flagshipVec)}), 4) + 0.0 AS score
+         |FROM vecs ORDER BY score DESC, phrase ASC LIMIT 50""".stripMargin
+    },
     "w01_words_topk" ->
       s"""WITH sums AS (
          |  SELECT label, i, sum(x) AS sx

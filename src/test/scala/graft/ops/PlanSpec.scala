@@ -437,6 +437,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("w03 phrase suggest: candidate words broadcast onto ONE corpus " +
+    "pass, one phrase-keyed vecSum shuffle, top-50 is a TakeOrdered") {
+    val p = planOf(WordQueries.w03_phrase_suggest)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("Exchange hashpartitioning\\(phrase".r.findAllIn(p).length == 1,
+      s"exactly one phrase-keyed aggregate shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("e25 native session windows: the plan uses Spark's merging " +
     "session-window operators over ONE user-keyed exchange") {
     val p = planOf(EventQueries.e25_session_window)
