@@ -623,34 +623,31 @@ object ScaleQueries {
     * built into the same row, the audit a pipeline runs before
     * trusting sketched cardinalities at 100 TB.
     *
-    * Scale shape: the distinct-(type, hash) census is one map-side-
-    * combinable aggregate; the rank window then runs over DISTINCT
-    * hashes only. At true 100 TB the window is replaced by the
-    * production form — a typed aggregator holding a K-bounded heap
-    * per group (state = K longs, mergeable by keeping the K smallest
-    * of each union), or a threshold pre-filter h < τ from the prior
-    * epoch's sketch; the estimator arithmetic is unchanged. */
+    * Scale shape: the PRODUCTION sketch form — ONE map-side-combining
+    * typed aggregate ([[graft.agg.SketchAggregators.BottomK]]) whose
+    * state is the K smallest distinct hashes per group (K bounded longs,
+    * merged by keeping the K smallest of each union). No distinct
+    * census, no rank window, no per-group sort anywhere: the shuffle
+    * carries ≤ K longs per group per partition, and the estimator reads
+    * size(sk) and element_at(sk, K). `sk_size` = |sketch| =
+    * min(distinct, K) — below K the sketch IS the exact distinct set. */
   val h07_kmv_distinct: Q = (s, d) => {
     val P = 2147483647L
-    val hashes = Tables.events(s, d)
+    val sk = Tables.events(s, d)
       .selectExpr("event_type",
         s"(user_id * 2654435761) % $P AS h")
-      .distinct()
-    val ranked = hashes
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("event_type")).orderBy(col("h").asc)))
-    val sk = ranked.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_hashes"),
-        max(when(col("rn") === KMV_K, col("h"))).as("hk"))
-      .selectExpr("event_type", "n_hashes",
-        s"""CASE WHEN n_hashes < $KMV_K THEN n_hashes
-           |     ELSE ${(KMV_K - 1) * P}L div hk END AS est_users"""
-          .stripMargin)
+      .groupBy(col("event_type"))
+      .agg(graft.agg.SketchAggregators.bottomK(KMV_K)(col("h")).as("sk"))
+      .selectExpr("event_type",
+        "CAST(size(sk) AS BIGINT) AS sk_size",
+        s"""CASE WHEN size(sk) < $KMV_K THEN CAST(size(sk) AS BIGINT)
+           |     ELSE ${(KMV_K - 1) * P}L div element_at(sk, $KMV_K)
+           |END AS est_users""".stripMargin)
     val exact = Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
     sk.join(exact, "event_type")
-      .selectExpr("event_type", "n_hashes", "est_users", "exact_users",
+      .selectExpr("event_type", "sk_size", "est_users", "exact_users",
         """CAST(CASE WHEN est_users >= exact_users
           |  THEN (est_users - exact_users) * 1000 div exact_users
           |  ELSE -((exact_users - est_users) * 1000 div exact_users)
@@ -1257,7 +1254,8 @@ object ScaleQueries {
          |FROM a ORDER BY source""".stripMargin
     },
     // h07: identical multiplicative hash, bottom-k rank and estimator;
-    // every divide is on non-negative values (sign CASE for err_pm)
+    // every divide is on non-negative values (sign CASE for err_pm).
+    // sk_size = least(distinct, K) = |the Spark side's bounded sketch|
     "h07_kmv_distinct" ->
       s"""WITH h AS (
          |  SELECT DISTINCT event_type,
@@ -1269,7 +1267,8 @@ object ScaleQueries {
          |           ORDER BY h ASC) AS rn
          |  FROM h),
          |sk AS (
-         |  SELECT event_type, count(*)::BIGINT AS n_hashes,
+         |  SELECT event_type,
+         |         least(count(*), $KMV_K)::BIGINT AS sk_size,
          |         CASE WHEN count(*) < $KMV_K THEN count(*)
          |              ELSE ${(KMV_K - 1) * 2147483647L}
          |                   // max(CASE WHEN rn = $KMV_K THEN h END)
@@ -1279,7 +1278,7 @@ object ScaleQueries {
          |  SELECT event_type, count(DISTINCT user_id)::BIGINT
          |           AS exact_users
          |  FROM events GROUP BY event_type)
-         |SELECT sk.event_type, n_hashes, est_users, exact_users,
+         |SELECT sk.event_type, sk_size, est_users, exact_users,
          |       (CASE WHEN est_users >= exact_users
          |         THEN (est_users - exact_users) * 1000 // exact_users
          |         ELSE -((exact_users - est_users) * 1000 // exact_users)

@@ -447,6 +447,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("h07 KMV: the sketch is a map-side-combining bounded aggregate — " +
+    "no rank window, no per-group sort of the distinct census") {
+    val p = planOf(ScaleQueries.h07_kmv_distinct)
+    assert(!p.contains("Window"), s"sketch form must not rank-window:\n$p")
+    assert(p.contains("partial_bottomk"),
+      s"bottom-K state must partial-combine before the shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("e25 native session windows: the plan uses Spark's merging " +
     "session-window operators over ONE user-keyed exchange") {
     val p = planOf(EventQueries.e25_session_window)
