@@ -1191,54 +1191,81 @@ object DedupQueries {
   val SNM_WINDOW = 4
   val SNM_LEV_MAX = 16L
 
-  /** d17: SORTED-NEIGHBORHOOD DEDUP (Hernández & Stolfo 1995) — the
-    * SORT-based near-dup modality the LSH family (d02/d03/d06) doesn't
-    * cover: derive a normalized blocking key (first 24 chars of the
-    * lowercased alphanumeric skeleton), sort each 2-char key block by
-    * (key, id), and compare every row with only its next
-    * [[SNM_WINDOW]] neighbors in sort order via `lead` — per-row work
-    * is CONSTANT (no self-join, no candidate explosion anywhere), and
-    * the expensive exact `levenshtein` verifier runs on exactly
-    * W·N pairs. d02Corpus's tail-mutated copies share their original's
-    * key prefix, so orig→copy pairs sort adjacent and surface at
-    * lev = 13; pairs separated by > W same-key rows are missed — the
-    * documented SNM recall trade (multi-pass with rotated keys is the
-    * standard extension; both engines see the identical windows, so
-    * the output is still exact for the hash compare).
-    *
-    * Scale shape: ONE hash-partitioned window shuffle keyed by the
-    * 2-char block (≤ 36² groups here — the block length is the skew
-    * knob at 100 TB: longer blocks ⇒ smaller sort groups), then a
-    * narrow explode of at most W neighbor structs per row. Only
-    * (id, text, key) ride the shuffle; levenshtein cost is
-    * O(W·N·len²) — linear in the corpus, unlike any pair join. */
-  val d17_sorted_neighborhood: Q = (s, d) => {
-    val keyed = d02Corpus(s, d)
-      .selectExpr("doc_id", "text",
-        "substring(regexp_replace(lower(text), '[^a-z0-9]', ''), 1, 24) AS skey")
-      .withColumn("block", expr("substring(skey, 1, 2)"))
+  /** d17 fixture corpus: d02's tail-mutated copies PLUS head-mutated
+    * copies (`'mutated head ' || text`, ids shifted by 2·(max+1)) — the
+    * mutation class a single forward SNM pass is STRUCTURALLY blind to
+    * (a head edit rewrites the key prefix, so orig and copy sort into
+    * different blocks) and the rotated second pass exists to recover. */
+  private[ops] def d17Corpus(s: SparkSession, d: String): DataFrame = {
+    val shift = copyShift(s, d)
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    base
+      .unionByName(base.withColumn("doc_id", col("doc_id") + lit(shift))
+        .withColumn("text", concat(col("text"), lit(" mutated tail"))))
+      .unionByName(base.withColumn("doc_id", col("doc_id") + lit(2 * shift))
+        .withColumn("text", concat(lit("mutated head "), col("text"))))
+  }
+
+  /** One SNM window pass over a (doc_id, text, skey) frame: sort each
+    * 2-char key block by (skey, id), compare every row with its next
+    * [[SNM_WINDOW]] neighbors via `lead`, verify with the banded exact
+    * levenshtein. Per-row work is CONSTANT — no self-join, no candidate
+    * explosion anywhere; the W·N lev calls are the operator's entire
+    * cost, cut by (1) the |Δlen| gate that skips the DP outright for
+    * most non-dup neighbors and (2) the THRESHOLD form
+    * `levenshtein(a, b, k)` running the banded O(len·k) DP with early
+    * abandon (returns −1 past k) — the accepted set and its lev values
+    * are unchanged (measured 34 s → ~4 s at sf0.1). */
+  private def snmPass(keyed: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("block")).orderBy(col("skey"), col("doc_id"))
     keyed
+      .withColumn("block", expr("substring(skey, 1, 2)"))
       .select(col("doc_id"), col("text"),
         array((1 to SNM_WINDOW).map(i =>
           struct(lead(col("doc_id"), i).over(w).as("nid"),
             lead(col("text"), i).over(w).as("ntext"))): _*).as("nbrs"))
       .selectExpr("doc_id", "text", "explode(nbrs) AS nb")
       .filter(col("nb.nid").isNotNull)
-      // two semantics-preserving cuts on the exact verifier (the W·N
-      // lev calls are this operator's entire cost — measured 34 s →
-      // ~4 s at sf0.1): (1) lev ≥ |len(a) − len(b)|, so a cheap length
-      // gate skips the DP outright for most non-dup neighbors;
-      // (2) the THRESHOLD form levenshtein(a, b, k) runs the banded
-      // O(len·k) DP with early abandon (returns −1 past k) instead of
-      // the full O(len²) table, and returns the exact distance for
-      // every pair that qualifies — the accepted set and its lev
-      // values are unchanged
       .filter(expr(s"abs(length(text) - length(nb.ntext)) <= $SNM_LEV_MAX"))
       .selectExpr("least(doc_id, nb.nid) AS doc_a",
         "greatest(doc_id, nb.nid) AS doc_b",
         s"CAST(levenshtein(text, nb.ntext, $SNM_LEV_MAX) AS BIGINT) AS lev")
       .filter(col("lev") >= 0L && col("lev") <= SNM_LEV_MAX)
+  }
+
+  /** d17: SORTED-NEIGHBORHOOD DEDUP (Hernández & Stolfo 1995), MULTI-PASS
+    * — the SORT-based near-dup modality the LSH family (d02/d03/d06)
+    * doesn't cover, in the standard two-pass form (the rotated-key
+    * extension of the original paper): pass 1 keys each row by the first
+    * 24 chars of its lowercased alphanumeric skeleton (tail-mutated
+    * copies sort adjacent to their original and surface at lev = 13);
+    * pass 2 keys by the REVERSED skeleton's first 24 chars, recovering
+    * head-mutated near-dups the forward sort is structurally blind to.
+    * Pair sets union and dedup; each pass is the same constant-work
+    * lead-window + banded-levenshtein verifier ([[snmPass]]). Pairs
+    * separated by > W same-key rows within BOTH sort orders are still
+    * missed — the (halved) SNM recall trade, exact for the hash compare
+    * because both engines run the identical windows.
+    *
+    * Scale shape: TWO hash-partitioned window shuffles keyed by 2-char
+    * blocks (the block length is the skew knob at 100 TB: longer blocks
+    * ⇒ smaller sort groups), each a narrow explode of ≤ W neighbor
+    * structs per row; only (id, text, key) ride the shuffles. The
+    * rotation also halves hot-block exposure: a prefix-hot block
+    * (boilerplate-headed corpora) is typically not suffix-hot, so the
+    * recall a hot forward block would need a giant window for arrives
+    * via the rotated sort instead. Cost stays linear: 2·W·N banded lev
+    * calls, never a pair join. */
+  val d17_sorted_neighborhood: Q = (s, d) => {
+    val skeleton = d17Corpus(s, d)
+      .selectExpr("doc_id", "text",
+        "regexp_replace(lower(text), '[^a-z0-9]', '') AS skel")
+    val fwd = skeleton.selectExpr("doc_id", "text",
+      "substring(skel, 1, 24) AS skey")
+    val rev = skeleton.selectExpr("doc_id", "text",
+      "substring(reverse(skel), 1, 24) AS skey")
+    snmPass(fwd).unionByName(snmPass(rev))
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1307,37 +1334,51 @@ object DedupQueries {
       s"(CASE WHEN list_sum(list_transform(th$s, h -> CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << (15 * s + b)} ELSE 0 END)"
     ).mkString(" + ")
     Map(
-      // d17: identical key/block/window/lead arithmetic; DuckDB
-      // regexp_replace needs the 'g' flag to match Spark's
+      // d17: identical skeleton/rotation/block/window/lead arithmetic;
+      // DuckDB regexp_replace needs the 'g' flag to match Spark's
       // replace-all default; the i=1..W lead arms are generated from
-      // the same SNM_WINDOW constant
+      // the same SNM_WINDOW constant, once per sort-key rotation
       "d17_sorted_neighborhood" -> {
         val leadCols = (1 to SNM_WINDOW).map(i =>
           s"lead(doc_id, $i) OVER w AS id$i, lead(text, $i) OVER w AS t$i")
           .mkString(",\n         ")
-        val arms = (1 to SNM_WINDOW).map(i =>
+        def arms(src: String) = (1 to SNM_WINDOW).map(i =>
           s"""  SELECT doc_id, id$i AS nid, levenshtein(text, t$i) AS lv
-             |  FROM leads WHERE id$i IS NOT NULL""".stripMargin)
+             |  FROM $src WHERE id$i IS NOT NULL""".stripMargin)
           .mkString("\nUNION ALL\n")
         s"""WITH corpus AS (
            |  SELECT doc_id, text FROM documents
            |  UNION ALL
            |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
-           |         text || ' mutated tail' FROM documents),
-           |keyed AS (
+           |         text || ' mutated tail' FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 2 * (SELECT max(doc_id) + 1 FROM documents),
+           |         'mutated head ' || text FROM documents),
+           |skeleton AS (
            |  SELECT doc_id, text,
-           |         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
-           |                1, 24) AS skey
+           |         regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS skel
            |  FROM corpus),
-           |leads AS (
+           |fwd AS (SELECT doc_id, text, substr(skel, 1, 24) AS skey
+           |        FROM skeleton),
+           |rev AS (SELECT doc_id, text, substr(reverse(skel), 1, 24) AS skey
+           |        FROM skeleton),
+           |leads_f AS (
            |  SELECT doc_id, text,
            |         $leadCols
-           |  FROM keyed
+           |  FROM fwd
+           |  WINDOW w AS (PARTITION BY substr(skey, 1, 2)
+           |               ORDER BY skey, doc_id)),
+           |leads_r AS (
+           |  SELECT doc_id, text,
+           |         $leadCols
+           |  FROM rev
            |  WINDOW w AS (PARTITION BY substr(skey, 1, 2)
            |               ORDER BY skey, doc_id)),
            |pairs AS (
-           |$arms)
-           |SELECT least(doc_id, nid)::BIGINT AS doc_a,
+           |${arms("leads_f")}
+           |UNION ALL
+           |${arms("leads_r")})
+           |SELECT DISTINCT least(doc_id, nid)::BIGINT AS doc_a,
            |       greatest(doc_id, nid)::BIGINT AS doc_b,
            |       lv::BIGINT AS lev
            |FROM pairs WHERE lv <= $SNM_LEV_MAX

@@ -2625,16 +2625,18 @@ class OperatorBehaviorSpec extends SparkSpec {
     assert(got.head._1 * 25 > 300, "natural corpus well above 3 bits")
   }
 
-  test("d17: sorted-neighborhood output matches a driver recomputation " +
-    "and every planted tail-mutation pair surfaces at lev = 13") {
+  test("d17: two-pass sorted-neighborhood output matches a driver " +
+    "recomputation; tail pairs surface in the forward sort, head pairs " +
+    "ONLY via the rotated sort") {
     val W = DedupQueries.SNM_WINDOW
     val LMAX = DedupQueries.SNM_LEV_MAX
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
     val shift = docs.map(_._1).max + 1
-    val corpus = docs ++ docs.map { case (id, t) =>
-      (id + shift, t + " mutated tail") }
+    val corpus = docs ++
+      docs.map { case (id, t) => (id + shift, t + " mutated tail") } ++
+      docs.map { case (id, t) => (id + 2 * shift, "mutated head " + t) }
     def lev(a: String, b: String): Long = {
       var prev = Array.tabulate(b.length + 1)(_.toLong)
       for (i <- 1 to a.length) {
@@ -2646,28 +2648,41 @@ class OperatorBehaviorSpec extends SparkSpec {
       }
       prev(b.length)
     }
-    val keyed = corpus.map { case (id, t) =>
-      (t.toLowerCase.replaceAll("[^a-z0-9]", "").take(24), id, t) }
-    val expected = keyed.groupBy(_._1.take(2)).toSeq.flatMap { case (_, rs) =>
-      val sorted = rs.sortBy(x => (x._1, x._2))
-      sorted.indices.flatMap { i =>
-        ((i + 1) to math.min(i + W, sorted.length - 1)).flatMap { j =>
-          val l = lev(sorted(i)._3, sorted(j)._3)
-          if (l <= LMAX)
-            Some((math.min(sorted(i)._2, sorted(j)._2),
-              math.max(sorted(i)._2, sorted(j)._2), l))
-          else None
+    def pass(key: String => String): Seq[(Long, Long, Long)] = {
+      val keyed = corpus.map { case (id, t) =>
+        (key(t.toLowerCase.replaceAll("[^a-z0-9]", "")), id, t) }
+      keyed.groupBy(_._1.take(2)).toSeq.flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(x => (x._1, x._2))
+        sorted.indices.flatMap { i =>
+          ((i + 1) to math.min(i + W, sorted.length - 1)).flatMap { j =>
+            val l = lev(sorted(i)._3, sorted(j)._3)
+            if (l <= LMAX)
+              Some((math.min(sorted(i)._2, sorted(j)._2),
+                math.max(sorted(i)._2, sorted(j)._2), l))
+            else None
+          }
         }
-      }
-    }.sorted.toSeq
+      }.toSeq
+    }
+    val fwd = pass(_.take(24))
+    val rev = pass(_.reverse.take(24))
+    val expected = (fwd ++ rev).distinct.sorted
     val got = DedupQueries.d17_sorted_neighborhood(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == expected, s"${got.take(3)} vs ${expected.take(3)}")
-    // the signal: every orig→copy pair is adjacent in its key block and
-    // scores exactly the 13-char appended-tail edit
-    val planted = got.filter { case (a, b, l) => b - a == shift }
-    assert(planted.size == docs.length, "all planted pairs found")
-    assert(planted.forall(_._3 == 13L), "tail mutation is 13 edits")
+    // the signal: tail copies sort adjacent in the FORWARD pass (same
+    // key prefix) and score exactly the 13-char appended-tail edit...
+    val tail = got.filter { case (a, b, _) => b - a == shift && a < shift }
+    assert(tail.size == docs.length, "all planted tail pairs found")
+    assert(tail.forall(_._3 == 13L), "tail mutation is 13 edits")
+    // ...head copies rewrite the key prefix, so the forward sort is
+    // structurally blind to them — the rotated pass recovers them all
+    val head = got.filter { case (a, b, _) => b - a == 2 * shift }
+    assert(head.size == docs.length, "all planted head pairs found")
+    assert(head.forall(_._3 == 13L), "head mutation is 13 edits")
+    val fwdHead = fwd.filter { case (a, b, _) => b - a == 2 * shift }
+    assert(fwdHead.size < docs.length / 10,
+      s"forward pass should be mostly blind to head edits, saw ${fwdHead.size}")
   }
 
   test("t23: chunk plan matches a driver recomputation, covers every " +
