@@ -181,8 +181,12 @@ object Bench {
       if (only.isDefined) Seq.empty
       else microDot(spark) ++ microFingerprint(spark)
 
+    val serving =
+      if (only.isDefined) Seq.empty else microServing(spark, sfDir)
+
     val qJson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val mJson = micro.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val sJson = serving.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val (loadEnd, javaEnd) = machineState()
     // machine-readable idle gate (VERDICT r04 #6 / r05 #3): a record is a
@@ -222,7 +226,7 @@ object Bench {
       .map(_.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]"))
       .getOrElse("null")
     val record =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"micro":$mJson,"env":$envJson,"filter":$filterJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"micro":$mJson,"serving":$sJson,"env":$envJson,"filter":$filterJson,"sf":"$sfDir"}"""
     println(record)
     // self-record to a file too (VERDICT r03 #2: BENCH_r03's stdout tail
     // was truncated mid-record, losing the total and 30 per-query rows —
@@ -235,6 +239,49 @@ object Bench {
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     spark.stop()
+  }
+
+  /** Serving-latency section (VERDICT r06 missing-#2): warm per-REQUEST
+    * p50/p95 of the engine façade's `search(q, 12)` — the reference's
+    * actual interactive workload (`rclip_server.py:386-393`), a number
+    * the per-QUERY walls above cannot see — measured on both paths:
+    * the driver-resident RAM-matrix fast path (the reference's own
+    * serving regime, sub-millisecond target) and the distributed scored
+    * scan (pays the ~0.1 s local job-dispatch floor; the regime past
+    * [[graft.engine.RClipEngine.FastPathMaxRows]]). 10 rotating queries,
+    * 200/100 timed requests after warmup. */
+  def microServing(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bench-serving").toString
+    val store = new graft.engine.SnapshotStore(dir)
+    store.initFrom(spark, s"$sfDir/embeddings.parquet")
+    val emb = new graft.embed.DeterministicEmbedder(64)
+    val fast = new graft.engine.RClipEngine(spark, store, emb)
+    val dist = new graft.engine.RClipEngine(spark, store, emb,
+      fastPathMaxRows = 0L)
+    val queries = (0 until 10).map(i => s"label$i")
+    def run(n: Int)(req: String => Unit): IndexedSeq[Double] = {
+      queries.foreach(req) // warm path + caches
+      (0 until n).map { i =>
+        val q = queries(i % queries.length)
+        val t0 = System.nanoTime()
+        req(q)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+    }
+    def pct(xs: IndexedSeq[Double], p: Double): Double =
+      xs(math.min(xs.length - 1, (p * xs.length).toInt))
+    spark.sparkContext.setJobDescription("micro-serving")
+    // the interactive number: typed rows off the RAM matrix (what
+    // /search_api actually serves — no DataFrame, no planner)
+    val r = run(500)(q => { fast.searchRows(q, 12); () })
+    // the DataFrame façade on both regimes (fast = 12-row local plan,
+    // dist = one scored-scan Spark job)
+    val f = run(200)(q => { fast.search(q, 12).collect(); () })
+    val d = run(100)(q => { dist.search(q, 12).collect(); () })
+    Seq("serving_rows_p50" -> pct(r, 0.50), "serving_rows_p95" -> pct(r, 0.95),
+      "serving_fast_p50" -> pct(f, 0.50), "serving_fast_p95" -> pct(f, 0.95),
+      "serving_dist_p50" -> pct(d, 0.50), "serving_dist_p95" -> pct(d, 0.95))
   }
 
   /** Shared micro fixtures: ONE corpus recipe and ONE warmup+best-of-3

@@ -91,12 +91,14 @@ final class RClipHttpServer(
   // ------------------------------------------------------------ payloads
 
   /** [[id, score]] pairs — the reference's `search_api` shape
-    * (`rclip_server.py:386-393`). */
+    * (`rclip_server.py:386-393`). Served from the typed `searchRows`
+    * path: identical rows to `search()`, but an interactive request on
+    * the RAM-matrix regime never touches the query planner. */
   private def searchPairs(q: String, num: Int): java.util.List[Any] = {
     val out = new java.util.ArrayList[Any]()
-    engine.search(q, num).collect().foreach { r =>
+    engine.searchRows(q, num).foreach { case (id, score) =>
       val pair = new java.util.ArrayList[Any]()
-      pair.add(r.getLong(0)); pair.add(r.getDouble(1))
+      pair.add(id); pair.add(score)
       out.add(pair)
     }
     out

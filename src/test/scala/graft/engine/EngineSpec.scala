@@ -24,6 +24,45 @@ class EngineSpec extends SparkSpec {
     assert(scores.sameElements(scores.sortBy(-(_: Double))))
   }
 
+  test("serving fast path: the driver-matrix search is bit-identical to " +
+    "the distributed scored scan (every row, ties included) and mutations " +
+    "invalidate the matrix") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-engine").toString
+    val store = new SnapshotStore(dir)
+    store.initFrom(spark, s"$sf/embeddings.parquet")
+    val fast = new RClipEngine(spark, store, new DeterministicEmbedder(64),
+      censorKey = Some("k"))
+    val dist = new RClipEngine(spark, store, new DeterministicEmbedder(64),
+      censorKey = Some("k"), fastPathMaxRows = 0L)
+    def rows(e: RClipEngine, q: String, k: Int) =
+      e.search(q, k).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    for (q <- Seq("label5 -label6", "label0", "label3 2.0*label7",
+        "{\"random_seed\": 3}")) {
+      // k > corpus size = the strongest check: EVERY row and tie compared
+      assert(rows(fast, q, 600) == rows(dist, q, 600), q)
+      assert(rows(fast, q, 12) == rows(dist, q, 12), q)
+    }
+    // the typed serving API returns the same rows as the DataFrame façade
+    // on BOTH regimes (it's what /search_api serves)
+    for (q <- Seq("label5 -label6", "label0")) {
+      assert(fast.searchRows(q, 12) == rows(fast, q, 12), q)
+      assert(dist.searchRows(q, 12) == rows(dist, q, 12), q)
+    }
+    assert(fast.searchRows("", 12).isEmpty)
+    // structural proof the fast engine answered from the driver matrix
+    // (a local relation), not a scan
+    val plan = fast.search("label5", 5).queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), plan)
+    assert(!plan.contains("FileScan") && !plan.contains("InMemoryTableScan"), plan)
+    // a mutation must invalidate the RAM matrix, not serve stale rows
+    val victim = rows(fast, "label5", 1).head._1
+    assert(fast.censor(victim, "k"))
+    assert(!rows(fast, "label5", 600).exists(_._1 == victim))
+    val dist2 = new RClipEngine(spark, store, new DeterministicEmbedder(64),
+      fastPathMaxRows = 0L)
+    assert(rows(fast, "label5", 600) == rows(dist2, "label5", 600))
+  }
+
   test("Q11: empty query → empty result") {
     assert(engine.search("", 12).count() == 0)
     assert(engine.search("!!!", 12).count() == 0)

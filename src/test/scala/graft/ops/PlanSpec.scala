@@ -120,8 +120,12 @@ class PlanSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-planspec").toString
     val store = new graft.engine.SnapshotStore(dir)
     store.initFrom(spark, s"$sf/embeddings.parquet")
+    // fastPathMaxRows = 0 forces the distributed path: this test pins the
+    // CLUSTER-shape plan (the serving fast path is a driver matrix with
+    // no plan at all — EngineSpec pins its equality instead)
     val engine = new graft.engine.RClipEngine(
-      spark, store, new graft.embed.DeterministicEmbedder(64))
+      spark, store, new graft.embed.DeterministicEmbedder(64),
+      fastPathMaxRows = 0L)
     val p = engine.search("label5 -label6", 12)
       .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p)
