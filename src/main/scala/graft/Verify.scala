@@ -15,9 +15,15 @@ object Verify {
   def runQueries(spark: SparkSession, sfDir: String, outDir: String,
       subset: Option[Set[String]]): Unit = {
     new java.io.File(outDir).mkdirs()
+    // per-query Spark wall clock (compute + the coalesce(1) dump write),
+    // recorded alongside the dumps — the Spark-side half of the
+    // STRESS_r{N} per-query cost record (the DuckDB half comes from
+    // tools/check_oracle_timed.py)
+    val walls = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries
       .filter { case (name, _) => subset.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -27,7 +33,12 @@ object Verify {
         try Files.writeString(Paths.get(s"$outDir/$name.err"), head + "\n")
         catch { case _: Throwable => () }
       }
+      walls(name) = (System.nanoTime() - t0) / 1e9
     }
+    val wallsJson = walls
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    try Files.writeString(Paths.get(s"$outDir/spark_walls.json"), wallsJson)
+    catch { case _: Throwable => () }
   }
 
   def main(args: Array[String]): Unit = {
