@@ -24,8 +24,13 @@ object Verify {
       .filter { case (name, _) => subset.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // a rerun that succeeds must clear a prior failure's marker —
+        // a stale .err next to a fresh dump reads as "still broken"
+        Files.deleteIfExists(Paths.get(s"$outDir/$name.err"))
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         val head = (s"${e.getClass.getName}: ${e.getMessage}" +:

@@ -683,6 +683,56 @@ object AnnQueries {
       .orderBy(col("score").desc, col("vec_id").asc)
   }
 
+  /** n20: BATCHED graph beam search — n17's fixed-budget walk with
+    * query_id as ONE MORE KEY, the serving shape n17's scaladoc
+    * promises: all queries (here the 10 label centroids, n03's query
+    * block) walk the persisted n09 graph in ONE unrolled plan. Each
+    * step broadcasts the |queries|·width frontier onto an id-pruned
+    * edge probe, rescores the candidates against each query's own
+    * vector (one qlabel-keyed window per step replaces n17's global
+    * TakeOrdered — same rounded score, same (score DESC, vec_id ASC)
+    * tiebreak per query), and keeps the per-query best
+    * [[BEAM_WIDTH]]. Entry points are the same [[BEAM_ENTRIES]]
+    * smallest ids for every query, fanned out by an exploded literal
+    * label array (a Generate — never a cartesian join).
+    *
+    * Scale shape: identical to n17 per query — candidate sets are
+    * ≤ |queries|·width·(k+1) thin rows at every stage, so every join
+    * broadcasts and every window sorts a bounded set; one corpus-wide
+    * structure (the memoized edge artifact) is probed, never built,
+    * per batch. Batch-serving cost is one plan regardless of |queries|. */
+  val n20_beam_batch: Q = (s, d) => {
+    val qs = qsDf(s, d) // (qlabel, qvec), broadcast
+    val edges = n09Graph(s, d)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    def scoredTop(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("qlabel"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      emb.join(broadcast(cand.distinct()), "vec_id")
+        .join(qs, "qlabel")
+        .select(col("qlabel"), col("vec_id"),
+          (round(VectorOps.dotColsNative(col("embedding"), col("qvec")), 4)
+            + lit(0.0)).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= BEAM_WIDTH)
+        .select(col("qlabel"), col("vec_id"), col("score"))
+    }
+    var beam = emb.select(col("vec_id"))
+      .orderBy(col("vec_id").asc).limit(BEAM_ENTRIES)
+      .select(explode(typedlit((0 to 9).toArray)).as("qlabel"), col("vec_id"))
+    for (_ <- 1 to BEAM_STEPS) {
+      val nbrs = edges
+        .join(broadcast(beam.select(col("qlabel"), col("vec_id").as("src"))),
+          "src")
+        .select(col("qlabel"), col("nbr").as("vec_id"))
+      beam = scoredTop(beam.unionByName(nbrs))
+        .select(col("qlabel"), col("vec_id"))
+    }
+    scoredTop(beam)
+      .selectExpr("CAST(qlabel AS BIGINT) AS qlabel", "vec_id", "score")
+      .orderBy(col("qlabel"), col("score").desc, col("vec_id").asc)
+  }
+
   /** n18: MULTIPROBE LSH top-k — n02's bucketed scan widened to the
     * Hamming-1 neighborhood of the query's bucket in every table
     * (Lv et al. 2007): the standard recall lever when re-hashing with
@@ -775,6 +825,7 @@ object AnnQueries {
     "n19_nprobe_curve" -> n19_nprobe_curve,
     "n18_multiprobe" -> n18_multiprobe,
     "n17_beam_search" -> n17_beam_search,
+    "n20_beam_batch" -> n20_beam_batch,
     "n16_kmeans_inertia" -> n16_kmeans_inertia,
     "n01_ann_ivf" -> n01_ann_ivf,
     "n02_ann_lsh_topk" -> n02_ann_lsh_topk,
@@ -856,6 +907,45 @@ object AnnQueries {
            |FROM embeddings
            |WHERE $cond
            |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+      },
+      // n20: n17's unrolled walk with qlabel as one more key — the
+      // per-query beam cut is a qlabel-partitioned rank, everything
+      // else (edges, UNION dedup, rounded score, tiebreak) identical
+      "n20_beam_batch" -> {
+        val steps = (1 to BEAM_STEPS).map { r =>
+          s"""c$r AS (
+             |  SELECT qlabel, vec_id FROM b${r - 1}
+             |  UNION
+             |  SELECT b.qlabel, e.nbr
+             |  FROM gs_edges e JOIN b${r - 1} b ON e.src = b.vec_id),
+             |b$r AS MATERIALIZED (
+             |  SELECT qlabel, vec_id FROM (
+             |    SELECT c.qlabel, c.vec_id,
+             |           row_number() OVER (PARTITION BY c.qlabel
+             |             ORDER BY sc.score DESC, c.vec_id ASC) AS rn
+             |    FROM c$r c
+             |    JOIN sc ON sc.qlabel = c.qlabel AND sc.vec_id = c.vec_id)
+             |  WHERE rn <= $BEAM_WIDTH)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $knnOracleCtes,
+           |gs_edges AS MATERIALIZED (
+           |  SELECT src, nbr FROM ranked WHERE rn <= 3),
+           |$centroidCte,
+           |$qsCte,
+           |sc AS MATERIALIZED (
+           |  SELECT q.qlabel, e.vec_id,
+           |         round(list_dot_product(e.embedding::DOUBLE[], q.qvec), 4)
+           |           + 0.0 AS score
+           |  FROM embeddings e, qs q),
+           |b0 AS (
+           |  SELECT q.qlabel, v.vec_id
+           |  FROM qs q, (SELECT vec_id FROM embeddings
+           |              ORDER BY vec_id ASC LIMIT $BEAM_ENTRIES) v),
+           |$steps
+           |SELECT b.qlabel::BIGINT AS qlabel, b.vec_id, sc.score
+           |FROM b$BEAM_STEPS b
+           |JOIN sc ON sc.qlabel = b.qlabel AND sc.vec_id = b.vec_id
+           |ORDER BY qlabel, sc.score DESC, b.vec_id ASC""".stripMargin
       },
       // n17: n09's edge CTEs + BEAM_STEPS unrolled frontier expansions;
       // UNION dedups candidates, every beam cut is the same rounded

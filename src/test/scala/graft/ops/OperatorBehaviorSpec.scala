@@ -2105,6 +2105,53 @@ class OperatorBehaviorSpec extends SparkSpec {
       "the walk actually moved off the entry set")
   }
 
+  test("n20: the batched walk equals an independent per-query driver " +
+    "replay (same edges, per-centroid scores, per-query beam cuts)") {
+    val edges = AnnQueries.n09Graph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    // per-label unit centroid, exactly qsDf's arithmetic: Double sums
+    // (exact, order-proof for float-widened addends), index-order norm,
+    // THEN the float cast
+    val qvecs: Map[Int, Array[Float]] = rows.groupBy(_._3).map {
+      case (l, rs) =>
+        val dim = rs.head._2.length
+        val sum = new Array[Double](dim)
+        rs.foreach { case (_, e, _) =>
+          var i = 0; while (i < dim) { sum(i) += e(i).toDouble; i += 1 } }
+        var ss = 0.0; var i = 0
+        while (i < dim) { ss += sum(i) * sum(i); i += 1 }
+        val n = math.sqrt(ss)
+        l -> (if (n == 0.0) sum.map(_.toFloat) else sum.map(x => (x / n).toFloat))
+    }
+    def score(e: Array[Float], q: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val m = math.min(e.length, q.length)
+      while (i < m) { s += e(i).toDouble * q(i).toDouble; i += 1 }
+      java.math.BigDecimal.valueOf(s)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    }
+    val entries = rows.map(_._1).sorted.take(AnnQueries.BEAM_ENTRIES).toSeq
+    val expected = qvecs.keys.toSeq.sorted.flatMap { l =>
+      val sc = rows.map { case (id, e, _) => id -> score(e, qvecs(l)) }.toMap
+      def cut(ids: Seq[Long]): Seq[Long] =
+        ids.distinct.sortBy(v => (-sc(v), v)).take(AnnQueries.BEAM_WIDTH)
+      var beam = entries
+      for (_ <- 1 to AnnQueries.BEAM_STEPS)
+        beam = cut(beam ++ beam.flatMap(v => edges.getOrElse(v, Set.empty)))
+      beam.sortBy(v => (-sc(v), v)).map(v => (l.toLong, v, sc(v)))
+    }
+    val got = AnnQueries.n20_beam_batch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected, s"${got.take(3)} vs ${expected.take(3)}")
+    // batching must not collapse queries: different centroids walk to
+    // different beams somewhere in the batch
+    assert(got.groupBy(_._1).values.map(_.map(_._2).toSet).toSet.size > 1)
+  }
+
   test("t21: novelty census matches a driver re-derivation over the " +
     "same rolling shingles, and an exact clone zeroes both docs") {
     val P = 1000000007L
