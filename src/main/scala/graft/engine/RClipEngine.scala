@@ -288,6 +288,31 @@ final class RClipEngine(
           .limit(num)
     }
 
+  /** Typed serving twin of [[similarWords]] (the `/similar_words` word
+    * half, `rclip_server.py:395-402`): when the vocabulary-sized word
+    * map is driver-resident (the [[wordMapMax]] regime — the reference's
+    * own RAM word matrix, `rclip_server.py:306-308`), score it directly
+    * with the same index-order Double dot + HALF_UP 4-dp round and the
+    * same (score DESC, word ASC) cut; over the cap, collect the
+    * distributed ranking. EngineSpec pins map ≡ distributed. */
+  def similarWordsRows(q: String, num: Int = 50): Seq[(String, Double)] =
+    resolver.resolve(q) match {
+      case None => Seq.empty
+      case Some(v) => wordVectors match {
+        case Some(m) =>
+          m.toSeq.map { case (w, vec) =>
+            val n = math.min(vec.length, v.length)
+            var s = 0.0
+            var i = 0
+            while (i < n) { s += vec(i).toDouble * v(i).toDouble; i += 1 }
+            (w, java.math.BigDecimal.valueOf(s)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+          }.sortBy { case (w, sc) => (-sc, w) }.take(num)
+        case None =>
+          similarWords(q, num).as[(String, Double)].collect().toSeq
+      }
+    }
+
   /** W1–W3 — random multi-word phrase candidates scored by the normalized
     * word-vector-sum estimate, or (`exact = true`) by re-encoding each
     * phrase with the base encoder — the reference keeps both variants as

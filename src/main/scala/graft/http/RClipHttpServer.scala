@@ -180,7 +180,14 @@ final class RClipHttpServer(
     val ps = params(ex)
     val q = ps.getOrElse("q", "")
     val m = new java.util.LinkedHashMap[String, Any]()
-    m.put("similar_words", scoredPairs(engine.similarWords(q, 50)))
+    // words half from the typed RAM-map path (identical rows, no planner)
+    val sw = new java.util.ArrayList[Any]()
+    engine.similarWordsRows(q, 50).foreach { case (w, s) =>
+      val pair = new java.util.ArrayList[Any]()
+      pair.add(w); pair.add(s)
+      sw.add(pair)
+    }
+    m.put("similar_words", sw)
     m.put("similar_phrases", scoredPairs(engine.similarPhrases(q, 50)))
     json(ex, m)
   }

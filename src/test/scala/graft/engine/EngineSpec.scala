@@ -49,6 +49,14 @@ class EngineSpec extends SparkSpec {
       assert(dist.searchRows(q, 12) == rows(dist, q, 12), q)
     }
     assert(fast.searchRows("", 12).isEmpty)
+    // similarWords: the RAM-word-map ranking equals the distributed one
+    for (q <- Seq("label5 -label6", "label2")) {
+      val viaMap = fast.similarWordsRows(q, 50)
+      val viaDf = fast.similarWords(q, 50).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(viaMap == viaDf, q)
+    }
+    assert(fast.similarWordsRows("", 50).isEmpty)
     // structural proof the fast engine answered from the driver matrix
     // (a local relation), not a scan
     val plan = fast.search("label5", 5).queryExecution.executedPlan.toString
