@@ -1191,18 +1191,29 @@ object DedupQueries {
   val SNM_WINDOW = 4
   val SNM_LEV_MAX = 16L
 
+  /** d17 head-mutation plant rate: one in [[D17_HEAD_MOD]] documents
+    * gets a head-mutated copy. Planting on EVERY doc would put every
+    * copy behind the shared "mutatedhead…" key prefix — one giant
+    * artificial hot block per pass that serializes the verifier and
+    * demonstrates nothing real corpora do; a 10% plant keeps the
+    * recall demonstration (hundreds of planted pairs at any sf) with
+    * fixture skew an order of magnitude down. */
+  val D17_HEAD_MOD = 10L
+
   /** d17 fixture corpus: d02's tail-mutated copies PLUS head-mutated
-    * copies (`'mutated head ' || text`, ids shifted by 2·(max+1)) — the
-    * mutation class a single forward SNM pass is STRUCTURALLY blind to
-    * (a head edit rewrites the key prefix, so orig and copy sort into
-    * different blocks) and the rotated second pass exists to recover. */
+    * copies (`'mutated head ' || text`, ids shifted by 2·(max+1),
+    * planted on doc_id ≡ 0 mod [[D17_HEAD_MOD]]) — the mutation class a
+    * single forward SNM pass is STRUCTURALLY blind to (a head edit
+    * rewrites the key prefix, so orig and copy sort into different
+    * blocks) and the rotated second pass exists to recover. */
   private[ops] def d17Corpus(s: SparkSession, d: String): DataFrame = {
     val shift = copyShift(s, d)
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
     base
       .unionByName(base.withColumn("doc_id", col("doc_id") + lit(shift))
         .withColumn("text", concat(col("text"), lit(" mutated tail"))))
-      .unionByName(base.withColumn("doc_id", col("doc_id") + lit(2 * shift))
+      .unionByName(base.filter(col("doc_id") % D17_HEAD_MOD === 0L)
+        .withColumn("doc_id", col("doc_id") + lit(2 * shift))
         .withColumn("text", concat(lit("mutated head "), col("text"))))
   }
 
@@ -1353,7 +1364,8 @@ object DedupQueries {
            |         text || ' mutated tail' FROM documents
            |  UNION ALL
            |  SELECT doc_id + 2 * (SELECT max(doc_id) + 1 FROM documents),
-           |         'mutated head ' || text FROM documents),
+           |         'mutated head ' || text FROM documents
+           |  WHERE doc_id % $D17_HEAD_MOD = 0),
            |skeleton AS (
            |  SELECT doc_id, text,
            |         regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS skel
