@@ -313,6 +313,63 @@ final class RClipEngine(
       }
     }
 
+  /** Typed serving twin of [[similarPhrases]] (estimate variant — the
+    * endpoint's serving path; the `exact = true` re-encode trade stays
+    * on the DataFrame API): pool ranking, seeded candidate draw, W1
+    * vector-sum estimate, normalize, dot and the (score DESC, phrase
+    * ASC) cut all run on the driver word map with arithmetic identical
+    * to the distributed pipeline — the element-wise Double sums are
+    * sums of float-widened values, exactly representable, so the
+    * aggregate is addition-order-proof and the two paths agree bitwise
+    * (EngineSpec pins it). Over [[wordMapMax]]: distributed fallback. */
+  def similarPhrasesRows(q: String, num: Int = 50,
+      combosPerLen: Int = 1000, topWords: Int = 200): Seq[(String, Double)] =
+    resolver.resolve(q) match {
+      case None => Seq.empty
+      case Some(v) => wordVectors match {
+        case None =>
+          similarPhrases(q, num, combosPerLen, topWords)
+            .as[(String, Double)].collect().toSeq
+        case Some(m) =>
+          def dot(e: Array[Float]): Double = {
+            val n = math.min(e.length, v.length)
+            var s = 0.0
+            var i = 0
+            while (i < n) { s += e(i).toDouble * v(i).toDouble; i += 1 }
+            s
+          }
+          // pool: same raw (un-rounded) score ordering as the DataFrame
+          val pool = m.toSeq.map { case (w, vec) => (w, dot(vec)) }
+            .sortBy { case (w, s) => (-s, w) }.take(topWords).map(_._1)
+          val rnd = new java.util.Random(seed)
+          def pick(n: Int): Seq[String] = {
+            val idx = scala.collection.mutable.LinkedHashSet.empty[Int]
+            while (idx.size < n && idx.size < pool.length)
+              idx += rnd.nextInt(pool.length)
+            idx.toSeq.map(pool)
+          }
+          val candidates = (2 to 4).flatMap { len =>
+            (1 to combosPerLen).map(_ => pick(len).mkString(" "))
+          }.distinct
+          candidates.flatMap { phrase =>
+            val vecs = phrase.split(" ").flatMap(m.get)
+            if (vecs.isEmpty) None // no known word: the join drops it too
+            else {
+              val sum = new Array[Double](vecs.head.length)
+              vecs.foreach { e =>
+                var i = 0
+                while (i < sum.length && i < e.length) {
+                  sum(i) += e(i).toDouble; i += 1
+                }
+              }
+              val unit = VectorOps.normalize(sum.map(_.toFloat))
+              Some((phrase, java.math.BigDecimal.valueOf(dot(unit))
+                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()))
+            }
+          }.sortBy { case (p, s) => (-s, p) }.take(num)
+      }
+    }
+
   /** W1–W3 — random multi-word phrase candidates scored by the normalized
     * word-vector-sum estimate, or (`exact = true`) by re-encoding each
     * phrase with the base encoder — the reference keeps both variants as

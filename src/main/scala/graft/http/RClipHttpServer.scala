@@ -188,7 +188,13 @@ final class RClipHttpServer(
       sw.add(pair)
     }
     m.put("similar_words", sw)
-    m.put("similar_phrases", scoredPairs(engine.similarPhrases(q, 50)))
+    val sp = new java.util.ArrayList[Any]()
+    engine.similarPhrasesRows(q, 50).foreach { case (p, s) =>
+      val pair = new java.util.ArrayList[Any]()
+      pair.add(p); pair.add(s)
+      sp.add(pair)
+    }
+    m.put("similar_phrases", sp)
     json(ex, m)
   }
 

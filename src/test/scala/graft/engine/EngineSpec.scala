@@ -57,6 +57,15 @@ class EngineSpec extends SparkSpec {
       assert(viaMap == viaDf, q)
     }
     assert(fast.similarWordsRows("", 50).isEmpty)
+    // similarPhrases: the driver word-map pipeline (pool rank, seeded
+    // draw, W1 estimate, rounded dot) equals the distributed pipeline
+    for (q <- Seq("label5 -label6", "label2")) {
+      val viaMap = fast.similarPhrasesRows(q, 50, combosPerLen = 40)
+      val viaDf = fast.similarPhrases(q, 50, combosPerLen = 40).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(viaMap == viaDf, q)
+    }
+    assert(fast.similarPhrasesRows("", 50).isEmpty)
     // structural proof the fast engine answered from the driver matrix
     // (a local relation), not a scan
     val plan = fast.search("label5", 5).queryExecution.executedPlan.toString
