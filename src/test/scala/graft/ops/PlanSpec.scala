@@ -451,6 +451,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("n20 batched beam walk: every frontier probe and rescore joins " +
+    "BROADCAST — the corpus never hash-shuffles inside the walk") {
+    val p = planOf(AnnQueries.n20_beam_batch)
+    // per step: one edge probe + one rescore join, all broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 8, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only hash exchanges carry bounded frontier/candidate sets
+    // (qlabel/vec_id keyed distincts + per-step qlabel rank windows),
+    // never the embedding column
+    assert("Exchange hashpartitioning\\(embedding".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("h07 KMV: the sketch is a map-side-combining bounded aggregate — " +
     "no rank window, no per-group sort of the distinct census") {
     val p = planOf(ScaleQueries.h07_kmv_distinct)
