@@ -733,6 +733,40 @@ object AnnQueries {
       .orderBy(col("qlabel"), col("score").desc, col("vec_id").asc)
   }
 
+  /** n21: k-NN GRAPH ARTIFACT round-trip — n17's walk over a SAVED
+    * [[graft.ann.KnnGraph]] (build → save id-bucketed → load → probe),
+    * the n04/n08 artifact contract applied to the graph: the edge list
+    * persists as `src mod 64` directory partitions and every expansion
+    * step probes the loaded table through a (bucket, src) broadcast
+    * join, so the scan planner prunes to the frontier's buckets
+    * (dynamic partition pruning) instead of reading the edge table.
+    * Same walk, same oracle as n17 — what's under test is that the
+    * STORAGE round-trip and the pruned probe path change nothing. */
+  val n21_graph_artifact: Q = (s, d) => {
+    val q = VectorQueries.flagshipVec
+    // stable per-(dataset, JVM) path + overwrite save (n04's rationale)
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-n21-knn-" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + s"-${ProcessHandle.current().pid()}"
+    graft.ann.KnnGraph.save(n09Graph(s, d), tmp)
+    val g = graft.ann.KnnGraph.load(s, tmp)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    def scoredTop(cand: DataFrame, k: Int): DataFrame = emb
+      .join(broadcast(cand.select(col("vec_id")).distinct()), "vec_id")
+      .select(col("vec_id"),
+        (round(VectorOps.dotQueryNative(col("embedding"), q), 4) + lit(0.0))
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(k)
+    var beam = emb.select(col("vec_id"))
+      .orderBy(col("vec_id").asc).limit(BEAM_ENTRIES)
+    for (_ <- 1 to BEAM_STEPS) {
+      val nbrs = g.neighbors(beam).select(col("nbr").as("vec_id"))
+      beam = scoredTop(beam.unionByName(nbrs), BEAM_WIDTH)
+        .select(col("vec_id"))
+    }
+    scoredTop(beam, BEAM_WIDTH)
+      .orderBy(col("score").desc, col("vec_id").asc)
+  }
+
   /** n18: MULTIPROBE LSH top-k — n02's bucketed scan widened to the
     * Hamming-1 neighborhood of the query's bucket in every table
     * (Lv et al. 2007): the standard recall lever when re-hashing with
@@ -826,6 +860,7 @@ object AnnQueries {
     "n18_multiprobe" -> n18_multiprobe,
     "n17_beam_search" -> n17_beam_search,
     "n20_beam_batch" -> n20_beam_batch,
+    "n21_graph_artifact" -> n21_graph_artifact,
     "n16_kmeans_inertia" -> n16_kmeans_inertia,
     "n01_ann_ivf" -> n01_ann_ivf,
     "n02_ann_lsh_topk" -> n02_ann_lsh_topk,
@@ -868,6 +903,35 @@ object AnnQueries {
        |         row_number() OVER (PARTITION BY src
        |                            ORDER BY cos DESC, nbr ASC) AS rn
        |  FROM scored)""".stripMargin
+
+  /** The single-query beam-walk oracle (n17's unrolled CTE chain),
+    * shared verbatim by n17 and the artifact round-trip n21. */
+  private def beamWalkOracle(qLit: String): String = {
+    val steps = (1 to BEAM_STEPS).map { r =>
+      s"""c$r AS (
+         |  SELECT vec_id FROM b${r - 1}
+         |  UNION
+         |  SELECT e.nbr FROM gs_edges e JOIN b${r - 1} b ON e.src = b.vec_id),
+         |b$r AS MATERIALIZED (
+         |  SELECT c.vec_id FROM c$r c JOIN sc ON sc.vec_id = c.vec_id
+         |  ORDER BY sc.score DESC, c.vec_id ASC LIMIT $BEAM_WIDTH)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnOracleCtes,
+       |gs_edges AS MATERIALIZED (
+       |  SELECT src, nbr FROM ranked WHERE rn <= 3),
+       |sc AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         round(list_dot_product(embedding::DOUBLE[], $qLit), 4)
+       |           + 0.0 AS score
+       |  FROM embeddings),
+       |b0 AS (SELECT vec_id FROM embeddings
+       |       ORDER BY vec_id ASC LIMIT $BEAM_ENTRIES),
+       |$steps
+       |SELECT b.vec_id, sc.score FROM b$BEAM_STEPS b
+       |JOIN sc ON sc.vec_id = b.vec_id
+       |ORDER BY sc.score DESC, b.vec_id ASC""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = {
     val qLit = VectorOps.sqlDoubleArray(VectorQueries.flagshipVec)
@@ -949,33 +1013,12 @@ object AnnQueries {
       },
       // n17: n09's edge CTEs + BEAM_STEPS unrolled frontier expansions;
       // UNION dedups candidates, every beam cut is the same rounded
-      // (score DESC, vec_id ASC) LIMIT
-      "n17_beam_search" -> {
-        val steps = (1 to BEAM_STEPS).map { r =>
-          s"""c$r AS (
-             |  SELECT vec_id FROM b${r - 1}
-             |  UNION
-             |  SELECT e.nbr FROM gs_edges e JOIN b${r - 1} b ON e.src = b.vec_id),
-             |b$r AS MATERIALIZED (
-             |  SELECT c.vec_id FROM c$r c JOIN sc ON sc.vec_id = c.vec_id
-             |  ORDER BY sc.score DESC, c.vec_id ASC LIMIT $BEAM_WIDTH)"""
-            .stripMargin
-        }.mkString(",\n")
-        s"""WITH $knnOracleCtes,
-           |gs_edges AS MATERIALIZED (
-           |  SELECT src, nbr FROM ranked WHERE rn <= 3),
-           |sc AS MATERIALIZED (
-           |  SELECT vec_id,
-           |         round(list_dot_product(embedding::DOUBLE[], $qLit), 4)
-           |           + 0.0 AS score
-           |  FROM embeddings),
-           |b0 AS (SELECT vec_id FROM embeddings
-           |       ORDER BY vec_id ASC LIMIT $BEAM_ENTRIES),
-           |$steps
-           |SELECT b.vec_id, sc.score FROM b$BEAM_STEPS b
-           |JOIN sc ON sc.vec_id = b.vec_id
-           |ORDER BY sc.score DESC, b.vec_id ASC""".stripMargin
-      },
+      // (score DESC, vec_id ASC) LIMIT. n21 (the saved-artifact
+      // round-trip) is DEFINED as the identical walk, so it shares this
+      // oracle text verbatim — any storage-layer divergence fails the
+      // hash compare.
+      "n17_beam_search" -> beamWalkOracle(qLit),
+      "n21_graph_artifact" -> beamWalkOracle(qLit),
       // n16: same iters=0 codebook (first 16 rows in id order), same
       // micro-unit floor(x·10⁶+0.5) BIGINT squared-L2, same (dist, cell)
       // tie-break

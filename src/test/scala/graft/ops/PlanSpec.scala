@@ -463,6 +463,24 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(embedding".r.findFirstIn(p).isEmpty, p)
   }
 
+  test("n21 artifact walk: every loaded-edge probe carries a bucket " +
+    "partition filter — the persisted graph is never fully scanned") {
+    val p = planOf(AnnQueries.n21_graph_artifact)
+    // each expansion step's scan of the saved artifact must carry the
+    // frontier-derived bucket predicate into PartitionFilters (dynamic
+    // pruning from the broadcast probe side)
+    val scans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("graft-n21-knn"))
+      .toSeq
+    assert(scans.nonEmpty, s"no artifact scans found:\n$p")
+    scans.foreach { l =>
+      assert(l.contains("PartitionFilters: [") &&
+        !l.contains("PartitionFilters: []"),
+        s"artifact scan without a partition filter:\n$l")
+    }
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("h07 KMV: the sketch is a map-side-combining bounded aggregate — " +
     "no rank window, no per-group sort of the distinct census") {
     val p = planOf(ScaleQueries.h07_kmv_distinct)
