@@ -53,6 +53,12 @@ object KnnGraph {
       .repartition(col("bucket")) // one writer task per bucket dir
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** The bucket column is WRITTEN from a LONG expression but read back
+    * through partition-column type inference (INT); cast it back to
+    * LONG explicitly so the (bucket, src) probe join is same-typed by
+    * construction instead of leaning on an implicit cast to keep the
+    * partition pruner engaged (ADVICE r07). */
   def load(spark: SparkSession, path: String): KnnGraph =
-    new KnnGraph(spark.read.parquet(path))
+    new KnnGraph(spark.read.parquet(path)
+      .withColumn("bucket", col("bucket").cast("long")))
 }

@@ -222,7 +222,14 @@ final class RClipEngine(
 
   /** Build (or reuse) the driver-resident matrix; None = corpus over the
     * cap, serve distributed. One collect of n·(8 + 4·dim) bytes — the
-    * same RAM envelope the reference pays up front at startup. */
+    * same RAM envelope the reference pays up front at startup.
+    *
+    * Lock scope (ADVICE r07): the first build holds the engine monitor
+    * for the duration of the collect, so a concurrent reload()/censor()
+    * and every other first-request caller block until it finishes —
+    * acceptable under the current single-threaded HTTP dispatch; if
+    * concurrent serving is ever enabled, build outside the lock and CAS
+    * the FastState instead. */
   private def fastIndex(): Option[RClipEngine.FastIndex] = fastCache match {
     case RClipEngine.FastBuilt(idx) => Some(idx)
     case RClipEngine.FastDisabled => None
@@ -307,7 +314,7 @@ final class RClipEngine(
             while (i < n) { s += vec(i).toDouble * v(i).toDouble; i += 1 }
             (w, java.math.BigDecimal.valueOf(s)
               .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
-          }.sortBy { case (w, sc) => (-sc, w) }.take(num)
+          }.sorted(RClipEngine.byScoreDescUtf8Asc).take(num)
         case None =>
           similarWords(q, num).as[(String, Double)].collect().toSeq
       }
@@ -340,7 +347,7 @@ final class RClipEngine(
           }
           // pool: same raw (un-rounded) score ordering as the DataFrame
           val pool = m.toSeq.map { case (w, vec) => (w, dot(vec)) }
-            .sortBy { case (w, s) => (-s, w) }.take(topWords).map(_._1)
+            .sorted(RClipEngine.byScoreDescUtf8Asc).take(topWords).map(_._1)
           val rnd = new java.util.Random(seed)
           def pick(n: Int): Seq[String] = {
             val idx = scala.collection.mutable.LinkedHashSet.empty[Int]
@@ -366,7 +373,7 @@ final class RClipEngine(
               Some((phrase, java.math.BigDecimal.valueOf(dot(unit))
                 .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()))
             }
-          }.sortBy { case (p, s) => (-s, p) }.take(num)
+          }.sorted(RClipEngine.byScoreDescUtf8Asc).take(num)
       }
     }
 
@@ -562,6 +569,37 @@ final class RClipEngine(
 }
 
 object RClipEngine {
+
+  /** Spark's string ordering is a binary compare over UTF-8 BYTES;
+    * Scala's `String` ordering compares UTF-16 code units. The two
+    * diverge for supplementary-plane characters (a surrogate pair's
+    * first unit 0xD800-0xDBFF sorts below 0xE000+ in UTF-16 but its
+    * UTF-8 encoding 0xF0… sorts above), so the driver serving twins
+    * must break score ties with THIS comparator to stay bit-identical
+    * to the DataFrame paths on a non-ASCII vocabulary (ADVICE r07). */
+  private[engine] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** (score DESC, text ASC-in-UTF-8-bytes) — the exact total order of
+    * the distributed `orderBy(col(score).desc, col(text).asc)`. */
+  private[engine] def byScoreDescUtf8Asc[A]: Ordering[(String, Double)] =
+    new Ordering[(String, Double)] {
+      def compare(p: (String, Double), q: (String, Double)): Int = {
+        val c = java.lang.Double.compare(q._2, p._2)
+        if (c != 0) c else utf8Compare(p._1, q._1)
+      }
+    }
+
   /** Default driver word-map bound: 2²⁰ words ≈ 300 MB of 64-dim fp32
     * entries as JVM map state — comfortably vocabulary-sized (the
     * reference's word list is ~10⁴–10⁵), loudly past it a words table

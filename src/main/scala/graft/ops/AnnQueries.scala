@@ -744,9 +744,11 @@ object AnnQueries {
     * STORAGE round-trip and the pruned probe path change nothing. */
   val n21_graph_artifact: Q = (s, d) => {
     val q = VectorQueries.flagshipVec
-    // stable per-(dataset, JVM) path + overwrite save (n04's rationale)
+    // stable per-dataset path + overwrite save (n04's rationale; no pid
+    // suffix — repeated runs overwrite ONE directory instead of
+    // accumulating an orphan per JVM, VERDICT r07 wrong-#4)
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-n21-knn-" +
-      d.replaceAll("[^A-Za-z0-9.]", "_") + s"-${ProcessHandle.current().pid()}"
+      d.replaceAll("[^A-Za-z0-9.]", "_")
     graft.ann.KnnGraph.save(n09Graph(s, d), tmp)
     val g = graft.ann.KnnGraph.load(s, tmp)
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
