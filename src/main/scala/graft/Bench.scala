@@ -359,10 +359,28 @@ object Bench {
     // dist = one scored-scan Spark job)
     val f = run(200)(q => { fast.search(q, 12).collect(); () })
     val d = run(100)(q => { dist.search(q, 12).collect(); () })
+    // the ABOVE-CAP ANN regime (VERDICT r07 next-#2): same corpus, brute
+    // fast path disabled, searches served from the persisted IVF-PQ
+    // artifact (pruned ADC scan + exact rerank) — the number to compare
+    // against serving_dist, the full brute scan it replaces. Expect it
+    // to read SLOWER than serving_dist at bench scale: the ANN plan is
+    // two dispatches (broadcast-materialized ADC cut, then the rerank
+    // job) vs brute's one, and at 2k rows dispatch is the whole cost.
+    // The regime's win is scan BYTES (nprobe/cells of the corpus at
+    // 8 B/row vs all of it at 256 B/row) — decisive above the RAM cap,
+    // invisible below it. This entry pins that the path works and what
+    // its fixed per-request overhead is.
+    val ann = new graft.engine.RClipEngine(spark, store, emb,
+      fastPathMaxRows = 0L,
+      annServing = Some(graft.engine.RClipEngine.AnnServing(
+        cells = 8, nprobe = 6, m = 16, coarseK = 192,
+        artifactPath = Some(s"$dir/annidx"))))
+    val a = run(100)(q => { ann.searchRows(q, 12); () })
     val out = Seq(
       "serving_rows_p50" -> pct(r, 0.50), "serving_rows_p95" -> pct(r, 0.95),
       "serving_fast_p50" -> pct(f, 0.50), "serving_fast_p95" -> pct(f, 0.95),
-      "serving_dist_p50" -> pct(d, 0.50), "serving_dist_p95" -> pct(d, 0.95))
+      "serving_dist_p50" -> pct(d, 0.50), "serving_dist_p95" -> pct(d, 0.95),
+      "serving_ann_p50" -> pct(a, 0.50), "serving_ann_p95" -> pct(a, 0.95))
     // the temp snapshot store held a full corpus copy per bench run and
     // was never removed (ADVICE r07) — delete it now that the engines
     // are done with it

@@ -46,7 +46,8 @@ final class RClipEngine(
     seed: Long = 42L,
     pathLike: Option[String] = None,
     wordMapMax: Long = RClipEngine.WordMapMax,
-    fastPathMaxRows: Long = RClipEngine.FastPathMaxRows) extends StoredVectors {
+    fastPathMaxRows: Long = RClipEngine.FastPathMaxRows,
+    annServing: Option[RClipEngine.AnnServing] = None) extends StoredVectors {
 
   import spark.implicits._
 
@@ -60,6 +61,7 @@ final class RClipEngine(
   @volatile private var activeDf: DataFrame = loadActive()
   @volatile private var statsCache: Option[(Array[Double], Array[Double])] = None
   @volatile private var fastCache: RClipEngine.FastState = RClipEngine.FastUnbuilt
+  @volatile private var annCache: RClipEngine.AnnState = RClipEngine.AnnUnbuilt
 
   private def hasDeleted = store.read(spark).columns.contains("deleted")
 
@@ -97,6 +99,7 @@ final class RClipEngine(
     activeDf = loadActive()
     statsCache = None
     fastCache = RClipEngine.FastUnbuilt
+    annCache = RClipEngine.AnnUnbuilt
   }
 
   // ---------------------------------------------------------------- words
@@ -192,7 +195,10 @@ final class RClipEngine(
           .limit(0)
       case Some(v) => fastIndex() match {
         case Some(idx) => fastTopK(idx, v, num)
-        case None => scoreTopK(activeDf, v, num)
+        case None => annIndex() match {
+          case Some(ix) => annTopK(ix, v, num)
+          case None => scoreTopK(activeDf, v, num)
+        }
       }
     }
 
@@ -209,9 +215,27 @@ final class RClipEngine(
       case None => Seq.empty
       case Some(v) => fastIndex() match {
         case Some(idx) => fastScore(idx, v, num).toSeq
-        case None => scoreTopK(activeDf, v, num)
-          .as[(Long, Double)].collect().toSeq
+        case None => annIndex() match {
+          case Some(ix) => annTopK(ix, v, num)
+            .as[(Long, Double)].collect().toSeq
+          case None => scoreTopK(activeDf, v, num)
+            .as[(Long, Double)].collect().toSeq
+        }
       }
+    }
+
+  /** EXACT search regardless of regime: the distributed brute scored
+    * scan, the fallback an above-cap ANN caller uses to trade latency
+    * back for guaranteed-exact results (and the ground truth the ANN
+    * path's recall is measured against). Below the cap this equals
+    * `search()` bit-for-bit (EngineSpec pins fast ≡ distributed). */
+  def searchExact(q: String, num: Int = 12): DataFrame =
+    resolver.resolve(q) match {
+      case None => spark.emptyDataFrame
+          .withColumn("id", lit(null).cast("long"))
+          .withColumn("score", lit(null).cast("double"))
+          .limit(0)
+      case Some(v) => scoreTopK(activeDf, v, num)
     }
 
   private def scoreTopK(df: DataFrame, v: Array[Float], k: Int): DataFrame =
@@ -277,6 +301,76 @@ final class RClipEngine(
   private def fastTopK(idx: RClipEngine.FastIndex,
       v: Array[Float], k: Int): DataFrame =
     fastScore(idx, v, k).toSeq.toDF("id", "score")
+
+  /** The ABOVE-CAP ANN serving regime (VERDICT r07 next-#2): opt-in via
+    * [[RClipEngine.AnnServing]]. The reference brute-forces every search
+    * against its whole RAM matrix (`rclip_server.py:194-198,228`) — fine
+    * at its corpus size, and mirrored here below [[fastPathMaxRows]];
+    * above the cap a full distributed scan per interactive request is
+    * the first thing a user feels at 100× corpus. This regime serves it
+    * from an [[graft.ann.IvfPqIndex]] over the LIVE rows instead:
+    * partition-pruned packed-code ADC scan (nprobe/cells of the corpus
+    * at 8 B/row) → exact fp32 rerank of `coarseK` candidates through the
+    * SAME [[scoreTopK]] expression as the brute path — so every returned
+    * id carries its exact brute-path score by construction; only the
+    * candidate CUT is approximate (EngineSpec pins a recall floor, and
+    * [[searchExact]] stays available as the exact fallback).
+    *
+    * Built lazily on first above-cap search from the active snapshot;
+    * mutations invalidate it via [[reload]] like every other engine
+    * cache, so a censored row can never be served from a stale index.
+    * With `artifactPath` set, the built index is SAVED and re-LOADED so
+    * the probe path is the persisted cell-partitioned parquet layout —
+    * the shape a 1000-executor deployment serves from (build once per
+    * snapshot, every search a pruned point read). */
+  private def annIndex(): Option[graft.ann.IvfPqIndex] = annCache match {
+    case RClipEngine.AnnBuilt(ix) => Some(ix)
+    case RClipEngine.AnnDisabled => None
+    case RClipEngine.AnnUnbuilt => synchronized {
+      annCache match {
+        case RClipEngine.AnnBuilt(ix) => Some(ix)
+        case RClipEngine.AnnDisabled => None
+        case RClipEngine.AnnUnbuilt => annServing match {
+          case None =>
+            annCache = RClipEngine.AnnDisabled
+            None
+          case Some(p) =>
+            // real Lloyd iterations on BOTH codebooks: the query-time
+            // operators keep iters=0 for bitwise-reproducible oracles,
+            // but a SERVING index's recall depends on cells that follow
+            // the data geometry — nprobe/cells is only a meaningful
+            // pruning ratio when near-neighbors share cells
+            val built = graft.ann.IvfPqIndex.build(
+              activeDf.select(col(idCol), col(vecCol)),
+              idCol = idCol, vecCol = vecCol,
+              cells = p.cells, ivfIters = p.ivfIters,
+              m = p.m, k = p.k, pqIters = p.pqIters)
+            val ix = p.artifactPath match {
+              case Some(path) =>
+                built.save(path)
+                built.codes.unpersist()
+                graft.ann.IvfPqIndex.load(spark, path)
+              case None => built
+            }
+            annCache = RClipEngine.AnnBuilt(ix)
+            Some(ix)
+        }
+      }
+    }
+  }
+
+  /** ANN top-k: pruned ADC candidates, then the exact rerank reuses
+    * [[scoreTopK]] over the candidate-joined live rows — identical
+    * scoring expression, rounding, and (score DESC, id ASC) tie order
+    * to the brute path, so the two regimes differ only in which rows
+    * survive the coarse cut. */
+  private def annTopK(ix: graft.ann.IvfPqIndex, v: Array[Float],
+      k: Int): DataFrame = {
+    val p = annServing.get
+    val cand = ix.searchAdc(v, topk = p.coarseK, nprobe = p.nprobe)
+      .select(col(idCol))
+    scoreTopK(activeDf.join(broadcast(cand), idCol), v, k)
+  }
 
   /** `/clip_embedding` — the resolved query vector. */
   def resolveEmbedding(q: String): Option[Array[Float]] = resolver.resolve(q)
@@ -621,6 +715,29 @@ object RClipEngine {
   case object FastUnbuilt extends FastState
   case object FastDisabled extends FastState
   final case class FastBuilt(idx: FastIndex) extends FastState
+
+  /** Opt-in above-cap ANN serving parameters: `cells`/`nprobe` set the
+    * coarse pruning ratio (nprobe/cells of the corpus ADC-scanned per
+    * search), `m`/`k` the PQ code geometry, `coarseK` the exact-rerank
+    * candidate budget (recall rises with all of nprobe and coarseK; a
+    * returned id's SCORE is always exact regardless). `artifactPath`
+    * persists the index and serves from the loaded cell-partitioned
+    * layout — the cluster deployment shape. Defaults size for a
+    * corpus just past the RAM cap; retune cells ≈ √N per deployment. */
+  final case class AnnServing(
+      cells: Int = 64,
+      nprobe: Int = 8,
+      m: Int = 8,
+      k: Int = 16,
+      coarseK: Int = 128,
+      ivfIters: Int = 5,
+      pqIters: Int = 3,
+      artifactPath: Option[String] = None)
+
+  sealed trait AnnState
+  case object AnnUnbuilt extends AnnState
+  case object AnnDisabled extends AnnState
+  final case class AnnBuilt(ix: graft.ann.IvfPqIndex) extends AnnState
 }
 
 /** Monotone colormap: normalized [0,1] → hex color. The reference uses

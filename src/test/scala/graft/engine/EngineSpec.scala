@@ -396,4 +396,93 @@ class EngineSpec extends SparkSpec {
     assert(store.latestVersion.contains(1))
     assert(store.read(spark).count() == 3)
   }
+
+  test("above-cap ANN serving (VERDICT r07 next-#2): the opt-in IVF-PQ " +
+    "regime holds a recall@12 floor vs brute, returns EXACT brute-path " +
+    "scores for every id it serves, probes the persisted artifact with " +
+    "partition pruning, keeps searchExact as the exact fallback, and is " +
+    "invalidated by mutations") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-engine-ann").toString
+    val store = new SnapshotStore(dir)
+    store.initFrom(spark, s"$sf/embeddings.parquet")
+    val artDir = java.nio.file.Files
+      .createTempDirectory("graft-engine-ann-idx").toString + "/idx"
+    // params sized for the 500-row spec corpus (measured over the grid
+    // in graft.tools.AnnGrid: this point gives mean recall 0.925 / min
+    // 0.667 — the synthetic embeddings are near-random in 64-dim, the
+    // hard case for IVF locality; a deployment retunes per corpus)
+    val params = RClipEngine.AnnServing(
+      cells = 8, nprobe = 6, m = 16, coarseK = 192,
+      artifactPath = Some(artDir))
+    // fastPathMaxRows = 0 forces the above-cap regime on the test corpus
+    def mk(ann: Option[RClipEngine.AnnServing]) =
+      new RClipEngine(spark, store, new DeterministicEmbedder(64),
+        censorKey = Some("k"), fastPathMaxRows = 0L, annServing = ann)
+    val ann = mk(Some(params))
+    val brute = mk(None)
+    // recall@12 floor over a query panel — the contract a deployment
+    // retunes (cells/nprobe/coarseK) against, pinned here at the spec
+    // corpus + params so a routing or pruning regression is loud
+    val queries = (0 to 9).map(i => s"label$i")
+    val recalls = queries.map { q =>
+      val truth = brute.searchRows(q, 12).map(_._1).toSet
+      val got = ann.searchRows(q, 12).map(_._1).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.9,
+      s"mean recall@12 $meanRecall below floor; per-query: $recalls")
+    assert(recalls.forall(_ >= 0.6),
+      s"a query fell below the per-query floor: $recalls")
+    // every served id carries its exact brute-path score (the rerank
+    // goes through the same scoreTopK expression — approximation lives
+    // only in the candidate cut)
+    val truthScores = brute.searchRows("label5", 600).toMap
+    ann.searchRows("label5", 12).foreach { case (id, s) =>
+      assert(truthScores(id) == s, s"id $id: ann score $s != brute ${truthScores(id)}")
+    }
+    // DataFrame façade and typed rows agree in the ANN regime too
+    assert(ann.searchRows("label5", 12) ==
+      ann.search("label5", 12).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // the exact fallback ignores the ANN regime entirely
+    assert(ann.searchExact("label5", 12).collect().toSeq ==
+      brute.search("label5", 12).collect().toSeq)
+    // structural proof the coarse stage reads the SAVED artifact with
+    // the cell predicate reaching the partition pruner
+    val plan = ann.search("label5", 12).queryExecution.executedPlan.toString
+    assert(plan.contains("idx/codes"), plan.take(2000))
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.replaceAll("(?s).*PartitionFilters: \\[", "").startsWith("]"),
+      "cell IN (...) must prune partitions of the loaded artifact")
+    // a mutation invalidates the index — the censored row disappears
+    // from ANN results (rebuilt from the new live snapshot)
+    val victim = ann.searchRows("label5", 1).head._1
+    assert(ann.censor(victim, "k"))
+    assert(!ann.searchRows("label5", 64).exists(_._1 == victim))
+    // below the cap the ANN params are inert: the RAM fast path serves
+    val below = new RClipEngine(spark, store, new DeterministicEmbedder(64),
+      annServing = Some(params))
+    val belowPlan = below.search("label5", 5).queryExecution.executedPlan.toString
+    assert(belowPlan.contains("LocalTableScan") && !belowPlan.contains("FileScan"),
+      belowPlan.take(500))
+  }
+
+  test("utf8 tie comparator: matches Spark's binary string ordering on " +
+    "supplementary-plane characters where UTF-16 ordering diverges") {
+    // U+FF5E (˜ fullwidth tilde, 3-byte UTF-8) vs U+1D11E (musical G
+    // clef, surrogate pair, 4-byte UTF-8): UTF-16 code units order the
+    // clef FIRST (0xD834 < 0xFF5E); UTF-8 bytes order it LAST
+    // (0xF0 > 0xEF)
+    val a = "～"
+    val b = new String(Character.toChars(0x1D11E))
+    assert(a.compareTo(b) > 0, "UTF-16 baseline: clef sorts before tilde")
+    assert(RClipEngine.utf8Compare(a, b) < 0,
+      "UTF-8 bytes: tilde sorts before clef (Spark's order)")
+    import spark.implicits._
+    val sparkOrder = Seq(a, b).toDF("w").orderBy(col("w").asc)
+      .as[String].collect().toSeq
+    val twinOrder = Seq(b, a).sortWith(RClipEngine.utf8Compare(_, _) < 0)
+    assert(sparkOrder == twinOrder)
+  }
 }
