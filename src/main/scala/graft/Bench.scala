@@ -201,6 +201,9 @@ object Bench {
       if (only.isDefined) Seq.empty
       else {
         graft.engine.ArtifactCache.clear()
+        // also drop DISK-persisted artifacts (ppj_sets): the artifact_*
+        // entries must time real builds, not marker-fresh re-reads
+        graft.engine.ArtifactCache.clearDisk()
         Seq[(String, () => org.apache.spark.sql.DataFrame)](
           "artifact_d02_pairs" -> (() => graft.ops.DedupQueries.d02Pairs(spark, sfDir)),
           "artifact_d02_labels" -> (() => graft.ops.CurationQueries.d02Labels(spark, sfDir)),

@@ -74,4 +74,68 @@ object ArtifactCache {
 
   /** Test hook. */
   private[graft] def clear(): Unit = synchronized { memo.clear() }
+
+  // ------------------------------------------------------------- disk mode
+
+  /** Root for DISK-persisted artifacts ([[memoizeDisk]]). Overridable for
+    * tests via the `graft.artifact.dir` system property. */
+  private def artifactRoot: String =
+    sys.props.getOrElse("graft.artifact.dir",
+      s"${System.getProperty("java.io.tmpdir")}/graft-artifacts")
+
+  /** [[memoize]] with the lifetime the scaladoc above promises at scale:
+    * the artifact is WRITTEN as parquet once per (dataset, key,
+    * dataset-mtime) and every later consumer — including one in a fresh
+    * JVM, or one whose RAM memo entry was LRU-evicted — READS the
+    * columnar table back instead of re-running the builder. This is the
+    * fix for the d15 12× host-state swing (VERDICT r07 wrong-#3): a
+    * memo eviction used to put the whole gram-set rebuild inside the
+    * consumer's measurement; now eviction costs a parquet re-read.
+    *
+    * Layout: `<root>/<dataset-slug>/<key>` with a `_graft_stamp` marker
+    * (parquet readers ignore `_`-prefixed files) holding the dataset
+    * mtime — a regenerated fixture mismatches the marker and rebuilds
+    * IN PLACE (overwrite-stable: no per-run directory accumulation, the
+    * n21 lesson). A torn write leaves no marker, so the next consumer
+    * rebuilds rather than reading a partial table.
+    *
+    * NOT order-preserving: parquet read-back may reorder rows across
+    * files (unlike [[materialize]]'s RDD round-trip), so this mode is
+    * only for artifacts whose consumers are order-insensitive
+    * (joins/aggregations over pair sets, gram sets, edge lists). */
+  def memoizeDisk(spark: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame = synchronized {
+    val stamp = dirStamp(dir)
+    val k = s"${System.identityHashCode(spark)}:$dir:$stamp:$key:disk"
+    val hit = memo.get(k)
+    if (hit != null) hit
+    else {
+      val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = new java.io.File(new java.io.File(artifactRoot, slug), key)
+      val marker = new java.io.File(path, "_graft_stamp")
+      val fresh = marker.isFile && {
+        try java.nio.file.Files.readString(marker.toPath).trim == stamp.toString
+        catch { case _: java.io.IOException => false }
+      }
+      if (!fresh) {
+        build.write.mode("overwrite").parquet(path.toString)
+        java.nio.file.Files.writeString(marker.toPath, stamp.toString)
+        ()
+      }
+      val df = spark.read.parquet(path.toString)
+      memo.put(k, df)
+      df
+    }
+  }
+
+  /** Delete every disk-persisted artifact — Bench calls this before the
+    * artifact-build section so the `artifact_*` entries time real
+    * builds, not marker-fresh re-reads. */
+  private[graft] def clearDisk(): Unit = synchronized {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(artifactRoot))
+  }
 }

@@ -156,12 +156,15 @@ object DedupQueries {
     * every similarity/containment job reads them — both the posting
     * explode (candidate generation) and the per-pair set intersection
     * (verification) derive from this one table, so the corpus is never
-    * re-tokenized. Same [[graft.engine.ArtifactCache]] contract as
-    * [[d02Pairs]]; Bench times the build as its own
-    * `artifact_ppj_sets` entry so consumers are honestly measured
-    * against a warm table. */
+    * re-tokenized. DISK-persisted ([[graft.engine.ArtifactCache
+    * .memoizeDisk]], VERDICT r07 wrong-#3): a RAM-memo eviction used to
+    * put the whole gram-set rebuild inside d15's measurement (the 12×
+    * host-state swing); now consumers read the columnar artifact back at
+    * parquet-scan cost in any JVM. Bench still times the build as its
+    * own `artifact_ppj_sets` entry (it clears the disk store first) so
+    * consumers are honestly measured against a warm table. */
   private[graft] def ppjSets(s: SparkSession, d: String): DataFrame =
-    graft.engine.ArtifactCache.memoize(s, d, "ppj_sets") {
+    graft.engine.ArtifactCache.memoizeDisk(s, d, "ppj_sets") {
       d02Corpus(s, d)
         .select(col("doc_id"), gramUdf(col("text")).as("g"))
         .selectExpr("doc_id", "CAST(size(g) AS INT) AS n", "g")

@@ -46,6 +46,53 @@ class ArtifactCacheSpec extends SparkSpec {
     assert(builds == 2)
   }
 
+  test("memoizeDisk: one build per (dataset, key, mtime) across RAM-memo " +
+    "evictions AND fresh sessions — eviction costs a parquet re-read, " +
+    "never a rebuild (VERDICT r07 wrong-#3)") {
+    val store = tmpDir()
+    System.setProperty("graft.artifact.dir", store.getPath)
+    try {
+      ArtifactCache.clear()
+      val dir = tmpDir()
+      var builds = 0
+      def build() = { builds += 1; spark.range(7).toDF("id") }
+      val a = ArtifactCache.memoizeDisk(spark, dir.getPath, "pp")(build())
+      assert(builds == 1)
+      assert(a.collect().map(_.getLong(0)).sorted.toSeq == (0L to 6L))
+      // simulate an LRU eviction / a fresh JVM: the RAM memo is gone but
+      // the parquet artifact + stamp marker survive → NO rebuild
+      ArtifactCache.clear()
+      val b = ArtifactCache.memoizeDisk(spark, dir.getPath, "pp")(build())
+      assert(builds == 1, "eviction must re-read the artifact, not rebuild")
+      assert(b.collect().map(_.getLong(0)).sorted.toSeq == (0L to 6L))
+      // the artifact is a real parquet table with its stamp marker
+      val art = new java.io.File(new java.io.File(store,
+        dir.getPath.replaceAll("[^A-Za-z0-9.]", "_")), "pp")
+      assert(new java.io.File(art, "_graft_stamp").isFile)
+      // a regenerated dataset invalidates: stamp mismatch → rebuild in place
+      val f = new java.io.File(dir, "table.parquet")
+      java.nio.file.Files.writeString(f.toPath, "x")
+      f.setLastModified(System.currentTimeMillis() + 5000)
+      ArtifactCache.clear()
+      ArtifactCache.memoizeDisk(spark, dir.getPath, "pp")(build())
+      assert(builds == 2, "a regenerated fixture must rebuild the artifact")
+      // a torn write (missing marker) is treated as absent → rebuild
+      new java.io.File(art, "_graft_stamp").delete()
+      ArtifactCache.clear()
+      ArtifactCache.memoizeDisk(spark, dir.getPath, "pp")(build())
+      assert(builds == 3, "a marker-less artifact must not be trusted")
+      // clearDisk removes everything (Bench's honest-build pre-step)
+      ArtifactCache.clearDisk()
+      assert(!art.exists())
+      ArtifactCache.clear()
+      ArtifactCache.memoizeDisk(spark, dir.getPath, "pp")(build())
+      assert(builds == 4)
+    } finally {
+      System.clearProperty("graft.artifact.dir")
+      ArtifactCache.clear()
+    }
+  }
+
   test("materialize preserves row order and schema") {
     val src = spark.range(100).toDF("id").orderBy(org.apache.spark.sql.functions.col("id").desc)
     val out = ArtifactCache.materialize(src)

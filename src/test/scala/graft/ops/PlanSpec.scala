@@ -481,6 +481,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("ppj gram-set artifact (d15/d16's input) is a DISK parquet scan, " +
+    "not a per-query rebuild — eviction can never put the tokenize " +
+    "pipeline back inside a consumer's measurement (VERDICT r07 #3)") {
+    // cold RAM memo = the exact state the d15 12× swing occurred in
+    graft.engine.ArtifactCache.clear()
+    val p = DedupQueries.ppjSets(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft-artifacts"),
+      s"expected a scan of the persisted artifact:\n${p.take(1500)}")
+    assert(p.contains("Scan parquet") || p.contains("FileScan"),
+      p.take(1500))
+    // the builder pipeline (gram UDF over the corpus) must NOT be in
+    // the consumer-visible plan
+    assert(!p.contains("ExistingRDD") && !p.contains("UDF"), p.take(1500))
+  }
+
   test("h07 KMV: the sketch is a map-side-combining bounded aggregate — " +
     "no rank window, no per-group sort of the distinct census") {
     val p = planOf(ScaleQueries.h07_kmv_distinct)
