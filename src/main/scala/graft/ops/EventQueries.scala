@@ -822,7 +822,46 @@ object EventQueries {
       Tables.events(s, d).select(col("user_id"), col("ts")))
       .orderBy(col("user_id"), col("start_us"))
 
+  /** e26: ATTRIBUTION RANGE JOIN — every (view, purchase) pair per user
+    * with the purchase at-or-after the view and within 1 hour (the ad
+    * attribution window): the BATCH TWIN of
+    * [[graft.streaming.StreamingOps.attributionJoin]], the one streaming
+    * operator that had no oracled batch equivalent (VERDICT r07 next-#4;
+    * StreamingSpec pins stream == this query's pairs). Reference workload
+    * shape: `rclip_server.py` has no events, this is pipeline-side.
+    *
+    * Spark-first: NOT a θ-join (an equi+range join would plan as a
+    * sort-merge or nested-loop pass over user_id groups) — ONE shuffle
+    * on user_id and a VALUE-bounded range window (e10's discipline, in
+    * BIGINT epoch-micros) that collects the trailing hour's view ids at
+    * each purchase, then explodes. The frame buffers exactly the
+    * attribution window's working set per user — the SAME state bound
+    * the streaming twin's watermark eviction maintains, which is what
+    * makes the pair of them the same operator in two execution modes.
+    * At 100 TB: thin (user, us, id, type) rows shuffle once; no
+    * corpus-sized join state, skew bounded by events-per-user-per-hour
+    * (the e12 salting note applies past that). */
+  val e26_attribution_join: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc)
+      .rangeBetween(-3600000000L, Window.currentRow) // [p_ts − 1 h, p_ts]
+    ev
+      .withColumn("views_1h",
+        collect_list(when(col("event_type") === "view",
+          struct(col("event_id").as("v_id"), col("us").as("v_us")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"),
+        explode(col("views_1h")).as("v"))
+      .selectExpr("user_id", "v.v_id AS v_id", "p_id",
+        "(p_us - v.v_us) div 1000000L AS lag_sec")
+      .orderBy(col("user_id"), col("v_id"), col("p_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "e26_attribution_join" -> e26_attribution_join,
     "e25_session_window" -> e25_session_window,
     "e24_bot_flag" -> e24_bot_flag,
     "e23_scd2_history" -> e23_scd2_history,
@@ -850,6 +889,24 @@ object EventQueries {
     "e11_transitions" -> e11_transitions)
 
   def oracleSql: Map[String, String] = Map(
+    // e26: the same pairs as DuckDB's native inequality join — the
+    // declarative spelling of "purchase within 1 h after the view";
+    // all arithmetic BIGINT epoch-micros, lag floor-divided to seconds
+    // (both operands non-negative, so div == // exactly)
+    "e26_attribution_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |v AS (SELECT user_id, event_id AS v_id, us AS v_us
+        |      FROM ev WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS p_id, us AS p_us
+        |      FROM ev WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.v_id, p.p_id,
+        |       ((p.p_us - v.v_us) // 1000000)::BIGINT AS lag_sec
+        |FROM v JOIN p
+        |  ON v.user_id = p.user_id
+        | AND p.p_us >= v.v_us AND p.p_us <= v.v_us + 3600000000
+        |ORDER BY v.user_id, v_id, p_id""".stripMargin,
     // e25: session_window's merge rule spelled out — new session at
     // gap >= 30 min (half-open windows), end = last event + gap
     "e25_session_window" ->

@@ -214,7 +214,8 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stream-stream join: watermarked view x purchase attribution " +
-    "join == the equivalent batch range join on the events table") {
+    "join == the ORACLED batch twin e26 on the events table " +
+    "(VERDICT r07 next-#4)") {
     val ev = graft.model.Tables.events(spark, sf)
       .filter(col("event_type").isin("view", "purchase"))
     val views = ev.filter(col("event_type") === "view")
@@ -235,11 +236,11 @@ class StreamingSpec extends SparkSpec {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     val streamed = spark.table("ss_join").collect().map(key).toSet
-    // batch truth: the same range join, no streaming machinery
-    val batch = views.join(purchases, expr(
-        "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"))
-      .selectExpr("v_user", "v_id", "p_id",
-        "(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000L")
+    // batch truth: the ORACLED batch twin (e26 — hash-checked against
+    // DuckDB's native inequality join in CORRECTNESS), so the streaming
+    // operator's semantics chain all the way to the oracle. e26 emits
+    // (user_id, v_id, p_id, lag_sec); the stream emits the same shape.
+    val batch = graft.ops.EventQueries.e26_attribution_join(spark, sf)
       .collect().map(key).toSet
     assert(batch.nonEmpty, "fixture must produce attribution pairs")
     assert(streamed == batch,
