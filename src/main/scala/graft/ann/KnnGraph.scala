@@ -53,6 +53,19 @@ object KnnGraph {
       .repartition(col("bucket")) // one writer task per bucket dir
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** Append-save for a grown graph (the [[IvfPqIndex.appendSave]]
+    * contract applied to edges): write ONLY `deltaEdges` into the
+    * existing artifact's bucket partitions — dynamic-partition append,
+    * existing files untouched, each touched bucket directory gains
+    * delta files. This is how a crawl's incremental k-NN edges land
+    * without rewriting the corpus-sized artifact; the probe path is
+    * unchanged because bucket membership is a pure function of src. */
+  def appendSave(deltaEdges: DataFrame, path: String): Unit =
+    deltaEdges.select(col("src"), col("nbr"))
+      .withColumn("bucket", bucketOf(col("src")))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+
   /** The bucket column is WRITTEN from a LONG expression but read back
     * through partition-column type inference (INT); cast it back to
     * LONG explicitly so the (bucket, src) probe join is same-typed by

