@@ -1069,9 +1069,23 @@ object DedupQueries {
     * (measured max prefix df: 10 at sf0.001, 30 at sf0.1). */
   val PPJ_DF_CAP = 100L
 
+  /** Build-side bound for the d15/d16 VERIFICATION joins: at or below
+    * this many gram-set rows the per-pair intersection joins broadcast
+    * the sets table (zero shuffles of the arrays — the measured-fastest
+    * plan at oracle/stress scales, ≤10× incl.); above it they switch to
+    * shuffle-hash, the swap the scaladoc always promised for corpus
+    * scale. Found the hard way: the round-8 100× probe (1.5M set rows)
+    * OOMed the explicit broadcast — "small at the tested sf" is a
+    * runtime property, so the strategy must be chosen from the counted
+    * size, exactly like the planner's own size-based choice. */
+  val PPJ_BCAST_MAX_SETS = 500000L
+
   val d15_prefix_join: Q = (s, d) => {
     val sets = ppjSets(s, d).cache()
-    sets.count()
+    val nSets = sets.count()
+    def vside(df: DataFrame): DataFrame =
+      if (nSets <= PPJ_BCAST_MAX_SETS) broadcast(df)
+      else df.hint("shuffle_hash")
     val exploded = sets.selectExpr("doc_id", "n", "explode(g) AS gram")
       .cache()
     exploded.count()
@@ -1106,16 +1120,14 @@ object DedupQueries {
     // instead of re-joining the posting index: the posting form streams
     // |cand|·|grams/doc| rows through two shuffles (measured 26 s at
     // sf0.1 — 88M join rows for 6k survivors); the set form computes
-    // |cand| codegen intersections (measured 9 s). The sets table is
-    // broadcast here (corpus-thin at oracle scales); at 100 TB it
-    // exceeds the broadcast threshold — swap the two joins to
-    // shuffle-hash (or bucket the sets table by doc_id) and the
-    // candidate rows carry the arrays through one shuffle instead,
-    // still |cand|-bounded work
+    // |cand| codegen intersections (measured 9 s). Strategy is
+    // size-adaptive via `vside` (PPJ_BCAST_MAX_SETS): broadcast while
+    // the sets table is broadcast-small, shuffle-hash past it — the
+    // 100× probe proved the unconditional broadcast OOMs at 1.5M rows
     cand
-      .join(broadcast(sets.select(col("doc_id").as("doc_a"),
+      .join(vside(sets.select(col("doc_id").as("doc_a"),
         col("g").as("ga"))), "doc_a")
-      .join(broadcast(sets.select(col("doc_id").as("doc_b"),
+      .join(vside(sets.select(col("doc_id").as("doc_b"),
         col("g").as("gb"))), "doc_b")
       .selectExpr("doc_a", "doc_b", "na", "nb",
         "CAST(size(array_intersect(ga, gb)) AS BIGINT) AS inter")
@@ -1151,7 +1163,10 @@ object DedupQueries {
     * unchanged on this fixture's closed vocabulary). */
   val d16_containment_join: Q = (s, d) => {
     val sets = ppjSets(s, d).cache()
-    sets.count()
+    val nSets = sets.count()
+    def vside(df: DataFrame): DataFrame =
+      if (nSets <= PPJ_BCAST_MAX_SETS) broadcast(df)
+      else df.hint("shuffle_hash")
     val exploded = sets.selectExpr("doc_id", "n", "explode(g) AS gram")
       .cache()
     exploded.count()
@@ -1171,14 +1186,14 @@ object DedupQueries {
         col("x.n").as("na"))
       .distinct()
     // d15's set-intersection verification (same measured ~3× win over
-    // the posting re-join; same 100 TB broadcast→shuffle-hash note),
-    // with the LOSSLESS container-size filter 10·n_b ≥ 9·n_a first —
-    // inter ≤ n_b, so a container smaller than 9/10 of the contained
-    // side can never qualify
+    // the posting re-join; same size-adaptive vside strategy), with the
+    // LOSSLESS container-size filter 10·n_b ≥ 9·n_a first — inter ≤
+    // n_b, so a container smaller than 9/10 of the contained side can
+    // never qualify
     cand
-      .join(broadcast(sets.select(col("doc_id").as("contained"),
+      .join(vside(sets.select(col("doc_id").as("contained"),
         col("g").as("ga"))), "contained")
-      .join(broadcast(sets.select(col("doc_id").as("container"),
+      .join(vside(sets.select(col("doc_id").as("container"),
         col("n").as("nb"), col("g").as("gb"))), "container")
       .filter(expr("10 * nb >= 9 * na"))
       .selectExpr("contained", "container", "na",
