@@ -1073,19 +1073,51 @@ object DedupQueries {
     * this many gram-set rows the per-pair intersection joins broadcast
     * the sets table (zero shuffles of the arrays — the measured-fastest
     * plan at oracle/stress scales, ≤10× incl.); above it they switch to
-    * shuffle-hash, the swap the scaladoc always promised for corpus
-    * scale. Found the hard way: the round-8 100× probe (1.5M set rows)
-    * OOMed the explicit broadcast — "small at the tested sf" is a
-    * runtime property, so the strategy must be chosen from the counted
-    * size, exactly like the planner's own size-based choice. */
+    * a CO-PARTITIONED shuffle-hash join. Found the hard way: the
+    * round-8 100× probe (1.5M set rows) OOMed the unconditional
+    * broadcast, and a plain shuffle_hash hint at the session's 32
+    * shuffle partitions then failed its per-partition hash build too
+    * (~47k rows × ~10 KB of gram arrays ≈ 0.5 GB per build × 32
+    * concurrent) — "small at the tested sf" is a runtime property, so
+    * both the STRATEGY and the PARTITION COUNT must be derived from the
+    * counted size, exactly like the planner's own size-based choice. */
   val PPJ_BCAST_MAX_SETS = 500000L
+
+  /** Posting-row bound for d16's candidate join keeping its original
+    * build-on-postings shape (measured fine through 10× = 7.2M rows);
+    * past it the join builds the df-capped prefix side, co-partitioned
+    * on gram at a count derived from the posting size. */
+  val D16_POSTING_BUILD_MAX = 20000000L
+
+  /** Gram-set rows per shuffle partition in the above-broadcast regime:
+    * ~6k rows ≈ 60 MB of array payload per hash build — sized so a full
+    * complement of concurrent build tasks fits the executor heap with
+    * room for the probe side. */
+  val PPJ_SETS_PER_PARTITION = 6000L
+
+  /** The size-adaptive verification join: broadcast the sets side while
+    * it is broadcast-small; past [[PPJ_BCAST_MAX_SETS]], repartition
+    * BOTH sides on the join key at a count derived from the sets size
+    * (so each per-partition hash build fits memory — user-specified
+    * repartitions are exempt from AQE coalescing) and shuffle-hash-join
+    * them co-partitioned: no re-exchange, no sort of array payloads,
+    * no single corpus-sized hash relation anywhere. */
+  private def verifyJoin(nSets: Long)(
+      cand: DataFrame, setsSel: DataFrame, key: String): DataFrame =
+    if (nSets <= PPJ_BCAST_MAX_SETS) cand.join(broadcast(setsSel), key)
+    else {
+      val session = setsSel.sparkSession
+      val parts = math.max(
+        session.conf.get("spark.sql.shuffle.partitions").toInt,
+        (nSets / PPJ_SETS_PER_PARTITION + 1).toInt)
+      cand.repartition(parts, col(key))
+        .join(setsSel.repartition(parts, col(key)).hint("shuffle_hash"), key)
+    }
 
   val d15_prefix_join: Q = (s, d) => {
     val sets = ppjSets(s, d).cache()
     val nSets = sets.count()
-    def vside(df: DataFrame): DataFrame =
-      if (nSets <= PPJ_BCAST_MAX_SETS) broadcast(df)
-      else df.hint("shuffle_hash")
+    val vjoin = verifyJoin(nSets) _
     val exploded = sets.selectExpr("doc_id", "n", "explode(g) AS gram")
       .cache()
     exploded.count()
@@ -1124,11 +1156,9 @@ object DedupQueries {
     // size-adaptive via `vside` (PPJ_BCAST_MAX_SETS): broadcast while
     // the sets table is broadcast-small, shuffle-hash past it — the
     // 100× probe proved the unconditional broadcast OOMs at 1.5M rows
-    cand
-      .join(vside(sets.select(col("doc_id").as("doc_a"),
-        col("g").as("ga"))), "doc_a")
-      .join(vside(sets.select(col("doc_id").as("doc_b"),
-        col("g").as("gb"))), "doc_b")
+    vjoin(vjoin(cand,
+        sets.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a"),
+      sets.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
       .selectExpr("doc_a", "doc_b", "na", "nb",
         "CAST(size(array_intersect(ga, gb)) AS BIGINT) AS inter")
       .filter(expr("2 * inter >= na + nb - inter"))
@@ -1164,12 +1194,10 @@ object DedupQueries {
   val d16_containment_join: Q = (s, d) => {
     val sets = ppjSets(s, d).cache()
     val nSets = sets.count()
-    def vside(df: DataFrame): DataFrame =
-      if (nSets <= PPJ_BCAST_MAX_SETS) broadcast(df)
-      else df.hint("shuffle_hash")
+    val vjoin = verifyJoin(nSets) _
     val exploded = sets.selectExpr("doc_id", "n", "explode(g) AS gram")
       .cache()
-    exploded.count()
+    val nExpl = exploded.count()
     val dfs = exploded.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val prefixes = exploded.join(dfs.hint("shuffle_hash"), "gram")
       .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
@@ -1177,11 +1205,29 @@ object DedupQueries {
       .filter(col("rk") <= expr("n - (9 * n + 9) div 10 + 1") &&
         col("df") <= PPJ_DF_CAP)
       .select(col("doc_id"), col("n"), col("gram"))
-    val cand = prefixes.as("x")
-      .join(exploded.select(col("doc_id"), col("gram")).as("y")
-          .hint("shuffle_hash"),
-        col("x.gram") === col("y.gram") &&
-          col("x.doc_id") =!= col("y.doc_id"))
+    // candidate probe: BUILD on the df-capped PREFIX side, never the full
+    // posting index — at ≤10× a per-partition hash of the postings fits
+    // and the original shape stands; past D16_POSTING_BUILD_MAX posting
+    // rows (the 100× probe OOMed there: 72M postings / 32 partitions ≈
+    // 0.5 GB per build) the join co-partitions both sides on gram at a
+    // derived count and builds the strictly-smaller prefix side (capped
+    // at df ≤ PPJ_DF_CAP, ≤ ~n/10 grams per doc by the prefix rule)
+    val cand = (if (nExpl <= D16_POSTING_BUILD_MAX)
+        prefixes.as("x")
+          .join(exploded.select(col("doc_id"), col("gram")).as("y")
+              .hint("shuffle_hash"),
+            col("x.gram") === col("y.gram") &&
+              col("x.doc_id") =!= col("y.doc_id"))
+      else {
+        val parts = math.max(
+          s.conf.get("spark.sql.shuffle.partitions").toInt,
+          (nExpl / 1000000L + 1).toInt)
+        prefixes.repartition(parts, col("gram")).as("x").hint("shuffle_hash")
+          .join(exploded.select(col("doc_id"), col("gram"))
+              .repartition(parts, col("gram")).as("y"),
+            col("x.gram") === col("y.gram") &&
+              col("x.doc_id") =!= col("y.doc_id"))
+      })
       .select(col("x.doc_id").as("contained"), col("y.doc_id").as("container"),
         col("x.n").as("na"))
       .distinct()
@@ -1190,11 +1236,11 @@ object DedupQueries {
     // LOSSLESS container-size filter 10·n_b ≥ 9·n_a first — inter ≤
     // n_b, so a container smaller than 9/10 of the contained side can
     // never qualify
-    cand
-      .join(vside(sets.select(col("doc_id").as("contained"),
-        col("g").as("ga"))), "contained")
-      .join(vside(sets.select(col("doc_id").as("container"),
-        col("n").as("nb"), col("g").as("gb"))), "container")
+    vjoin(vjoin(cand,
+        sets.select(col("doc_id").as("contained"), col("g").as("ga")),
+        "contained"),
+      sets.select(col("doc_id").as("container"), col("n").as("nb"),
+        col("g").as("gb")), "container")
       .filter(expr("10 * nb >= 9 * na"))
       .selectExpr("contained", "container", "na",
         "CAST(size(array_intersect(ga, gb)) AS BIGINT) AS inter")
