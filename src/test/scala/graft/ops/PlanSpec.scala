@@ -497,6 +497,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ExistingRDD") && !p.contains("UDF"), p.take(1500))
   }
 
+  test("e26 attribution range join: NO join operator anywhere — one " +
+    "user_id hash exchange feeding a value-bounded range window, then " +
+    "explode (the θ-join rewrite that keeps 100 TB to a single shuffle)") {
+    val p = planOf(graft.ops.EventQueries.e26_attribution_join)
+    assert(!p.contains("Join"), s"e26 must not plan a join:\n${p.take(1500)}")
+    assert(p.contains("Window"), p.take(1500))
+    assert(p.contains("Generate explode") || p.contains("Generate"), p.take(1500))
+    // exactly one user-keyed hash exchange below the final sort
+    val exchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges:\n$p")
+  }
+
   test("h07 KMV: the sketch is a map-side-combining bounded aggregate — " +
     "no rank window, no per-group sort of the distinct census") {
     val p = planOf(ScaleQueries.h07_kmv_distinct)
