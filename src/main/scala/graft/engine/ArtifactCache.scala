@@ -110,7 +110,11 @@ object ArtifactCache {
     val hit = memo.get(k)
     if (hit != null) hit
     else {
-      val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      // slug carries a hash of the FULL dir string: two datasets whose
+      // paths differ only in non-alphanumeric characters must never
+      // share an artifact directory (the sanitize alone would collide)
+      val slug = dir.replaceAll("[^A-Za-z0-9.]", "_") +
+        f"-${dir.hashCode & 0xffffff}%06x"
       val path = new java.io.File(new java.io.File(artifactRoot, slug), key)
       val marker = new java.io.File(path, "_graft_stamp")
       val fresh = marker.isFile && {

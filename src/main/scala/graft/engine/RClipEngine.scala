@@ -322,7 +322,14 @@ final class RClipEngine(
     * With `artifactPath` set, the built index is SAVED and re-LOADED so
     * the probe path is the persisted cell-partitioned parquet layout —
     * the shape a 1000-executor deployment serves from (build once per
-    * snapshot, every search a pruned point read). */
+    * snapshot, every search a pruned point read).
+    *
+    * Lock scope: like [[fastIndex]], the first build holds the engine
+    * monitor — minutes on a corpus-sized build — blocking concurrent
+    * reload()/censor() and other first-request callers; fine under
+    * single-threaded dispatch, CAS the state if that ever changes (a
+    * deployment would also pre-build at startup rather than on the
+    * first request). */
   private def annIndex(): Option[graft.ann.IvfPqIndex] = annCache match {
     case RClipEngine.AnnBuilt(ix) => Some(ix)
     case RClipEngine.AnnDisabled => None

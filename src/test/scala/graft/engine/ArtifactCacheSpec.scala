@@ -66,8 +66,11 @@ class ArtifactCacheSpec extends SparkSpec {
       assert(builds == 1, "eviction must re-read the artifact, not rebuild")
       assert(b.collect().map(_.getLong(0)).sorted.toSeq == (0L to 6L))
       // the artifact is a real parquet table with its stamp marker
-      val art = new java.io.File(new java.io.File(store,
-        dir.getPath.replaceAll("[^A-Za-z0-9.]", "_")), "pp")
+      // (slug = sanitized dir + hash suffix so distinct dirs that
+      // sanitize identically can never share an artifact)
+      val slug = dir.getPath.replaceAll("[^A-Za-z0-9.]", "_") +
+        f"-${dir.getPath.hashCode & 0xffffff}%06x"
+      val art = new java.io.File(new java.io.File(store, slug), "pp")
       assert(new java.io.File(art, "_graft_stamp").isFile)
       // a regenerated dataset invalidates: stamp mismatch → rebuild in place
       val f = new java.io.File(dir, "table.parquet")
