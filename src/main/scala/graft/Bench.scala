@@ -362,28 +362,39 @@ object Bench {
     // dist = one scored-scan Spark job)
     val f = run(200)(q => { fast.search(q, 12).collect(); () })
     val d = run(100)(q => { dist.search(q, 12).collect(); () })
-    // the ABOVE-CAP ANN regime (VERDICT r07 next-#2): same corpus, brute
-    // fast path disabled, searches served from the persisted IVF-PQ
-    // artifact (pruned ADC scan + exact rerank) — the number to compare
-    // against serving_dist, the full brute scan it replaces. Expect it
-    // to read SLOWER than serving_dist at bench scale: the ANN plan is
-    // two dispatches (broadcast-materialized ADC cut, then the rerank
-    // job) vs brute's one, and at 2k rows dispatch is the whole cost.
-    // The regime's win is scan BYTES (nprobe/cells of the corpus at
-    // 8 B/row vs all of it at 256 B/row) — decisive above the RAM cap,
-    // invisible below it. This entry pins that the path works and what
-    // its fixed per-request overhead is.
+    // the ABOVE-CAP ANN regimes (VERDICT r07 next-#2): same corpus,
+    // brute fast path disabled, searches served from the persisted
+    // IVF-PQ index in both coarse modes (bit-identical results,
+    // EngineSpec-pinned):
+    //  - serving_ann: RAM-COARSE — the 8 B/row packed codes live on the
+    //    driver, the coarse cut is pure arithmetic, ONE Spark job does
+    //    the exact rerank over an isin-restricted scan. Compare against
+    //    serving_dist (the brute scan it replaces): one dispatch each,
+    //    but the rerank touches coarseK rows, not the corpus.
+    //  - serving_ann_dist: DISTRIBUTED coarse — pruned artifact ADC
+    //    scan + broadcast rerank = two dispatches; at bench scale
+    //    dispatch dominates so it reads slower than serving_dist. Its
+    //    win is scan BYTES (nprobe/cells of the corpus at 8 B/row vs
+    //    all of it at 256 B/row) — decisive past driverCodesMaxRows,
+    //    invisible below. The entry pins the fixed per-request cost.
+    val annParams = graft.engine.RClipEngine.AnnServing(
+      cells = 8, nprobe = 6, m = 16, coarseK = 192,
+      artifactPath = Some(s"$dir/annidx"))
     val ann = new graft.engine.RClipEngine(spark, store, emb,
+      fastPathMaxRows = 0L, annServing = Some(annParams))
+    val annDist = new graft.engine.RClipEngine(spark, store, emb,
       fastPathMaxRows = 0L,
-      annServing = Some(graft.engine.RClipEngine.AnnServing(
-        cells = 8, nprobe = 6, m = 16, coarseK = 192,
-        artifactPath = Some(s"$dir/annidx"))))
+      annServing = Some(annParams.copy(
+        artifactPath = Some(s"$dir/annidx2"), driverCodesMaxRows = 0L)))
     val a = run(100)(q => { ann.searchRows(q, 12); () })
+    val ad = run(100)(q => { annDist.searchRows(q, 12); () })
     val out = Seq(
       "serving_rows_p50" -> pct(r, 0.50), "serving_rows_p95" -> pct(r, 0.95),
       "serving_fast_p50" -> pct(f, 0.50), "serving_fast_p95" -> pct(f, 0.95),
       "serving_dist_p50" -> pct(d, 0.50), "serving_dist_p95" -> pct(d, 0.95),
-      "serving_ann_p50" -> pct(a, 0.50), "serving_ann_p95" -> pct(a, 0.95))
+      "serving_ann_p50" -> pct(a, 0.50), "serving_ann_p95" -> pct(a, 0.95),
+      "serving_ann_dist_p50" -> pct(ad, 0.50),
+      "serving_ann_dist_p95" -> pct(ad, 0.95))
     // the temp snapshot store held a full corpus copy per bench run and
     // was never removed (ADVICE r07) — delete it now that the engines
     // are done with it

@@ -86,6 +86,26 @@ final class PqIndex(
 
 object PqIndex {
 
+  /** Driver twin of the `vec_pq_adc_packed` expression: identical
+    * nibble extraction, identical LUT indexing, identical ascending-
+    * subspace Double accumulation — bit-for-bit equal to the codegen
+    * kernel on every (word, lut), which is what lets a driver-resident
+    * code matrix produce the SAME candidate cut as the distributed ADC
+    * scan (RClipEngine's RAM-coarse serving regime; EngineSpec pins the
+    * equality end-to-end). */
+  def adcPacked(word: Long, lut: Array[Double], m: Int, k: Int): Double = {
+    val bits = 32 - java.lang.Integer.numberOfLeadingZeros(k - 1)
+    val mask = (1L << bits) - 1
+    var acc = 0.0
+    var mm = 0
+    while (mm < m) {
+      val c = ((word >>> (mm * bits)) & mask).toInt
+      acc += lut(mm * k + c)
+      mm += 1
+    }
+    acc
+  }
+
   /** ADC lookup table: lut[mm·k + j] = dot(q_mm, centroid_mmj), Double
     * accumulation ascending over dd (left-associated — the order the
     * n06 oracle's unrolled `+` chains reproduce bit-exactly). */

@@ -330,12 +330,12 @@ final class RClipEngine(
     * single-threaded dispatch, CAS the state if that ever changes (a
     * deployment would also pre-build at startup rather than on the
     * first request). */
-  private def annIndex(): Option[graft.ann.IvfPqIndex] = annCache match {
-    case RClipEngine.AnnBuilt(ix) => Some(ix)
+  private def annIndex(): Option[RClipEngine.AnnBuilt] = annCache match {
+    case b: RClipEngine.AnnBuilt => Some(b)
     case RClipEngine.AnnDisabled => None
     case RClipEngine.AnnUnbuilt => synchronized {
       annCache match {
-        case RClipEngine.AnnBuilt(ix) => Some(ix)
+        case b: RClipEngine.AnnBuilt => Some(b)
         case RClipEngine.AnnDisabled => None
         case RClipEngine.AnnUnbuilt => annServing match {
           case None =>
@@ -359,24 +359,62 @@ final class RClipEngine(
                 graft.ann.IvfPqIndex.load(spark, path)
               case None => built
             }
-            annCache = RClipEngine.AnnBuilt(ix)
-            Some(ix)
+            // RAM-COARSE regime: below driverCodesMaxRows also hold the
+            // 20 B/row packed-code table driver-resident — the coarse
+            // cut then costs no Spark dispatch at all (the 8 B codes
+            // fit the driver 32× past the point the fp32 matrix cannot)
+            val codeIdx =
+              if (count() > p.driverCodesMaxRows) None
+              else {
+                val rows = ix.codes
+                  .select(col(idCol), col("cell"), col("code"))
+                  .as[(Long, Int, Long)].collect()
+                Some(RClipEngine.CodeIndex(rows.map(_._1),
+                  rows.map(_._2), rows.map(_._3)))
+              }
+            val b = RClipEngine.AnnBuilt(ix, codeIdx)
+            annCache = b
+            Some(b)
         }
       }
     }
   }
 
   /** ANN top-k: pruned ADC candidates, then the exact rerank reuses
-    * [[scoreTopK]] over the candidate-joined live rows — identical
+    * [[scoreTopK]] over the candidate-restricted live rows — identical
     * scoring expression, rounding, and (score DESC, id ASC) tie order
-    * to the brute path, so the two regimes differ only in which rows
-    * survive the coarse cut. */
-  private def annTopK(ix: graft.ann.IvfPqIndex, v: Array[Float],
+    * to the brute path, so the regimes differ only in which rows
+    * survive the coarse cut. And the coarse cut itself is identical in
+    * BOTH coarse modes: the RAM path runs [[graft.ann.PqIndex
+    * .adcPacked]] (the expression's bit-exact driver twin) over the
+    * same codes with the same (adc DESC, id ASC) order, so RAM-coarse,
+    * distributed-coarse, and their reranks are indistinguishable to a
+    * caller (EngineSpec pins all three equalities). */
+  private def annTopK(b: RClipEngine.AnnBuilt, v: Array[Float],
       k: Int): DataFrame = {
     val p = annServing.get
-    val cand = ix.searchAdc(v, topk = p.coarseK, nprobe = p.nprobe)
-      .select(col(idCol))
-    scoreTopK(activeDf.join(broadcast(cand), idCol), v, k)
+    b.codeIdx match {
+      case Some(ci) =>
+        val lut = graft.ann.PqIndex.lut(b.ix.flatCodebook, b.ix.m, b.ix.k, v)
+        val probed = b.ix.probeCells(v, p.nprobe).toSet
+        val scored = scala.collection.mutable.ArrayBuffer
+          .empty[(Double, Long)]
+        var i = 0
+        while (i < ci.ids.length) {
+          if (probed.contains(ci.cells(i)))
+            scored += ((graft.ann.PqIndex.adcPacked(ci.codes(i), lut,
+              b.ix.m, b.ix.k), ci.ids(i)))
+          i += 1
+        }
+        val cand = scored.sortWith { case ((sa, ia), (sb, ib)) =>
+          sa > sb || (sa == sb && ia < ib)
+        }.take(p.coarseK).map(_._2)
+        scoreTopK(activeDf.filter(col(idCol).isin(cand.toSeq: _*)), v, k)
+      case None =>
+        val cand = b.ix.searchAdc(v, topk = p.coarseK, nprobe = p.nprobe)
+          .select(col(idCol))
+        scoreTopK(activeDf.join(broadcast(cand), idCol), v, k)
+    }
   }
 
   /** `/clip_embedding` — the resolved query vector. */
@@ -739,12 +777,29 @@ object RClipEngine {
       coarseK: Int = 128,
       ivfIters: Int = 5,
       pqIters: Int = 3,
-      artifactPath: Option[String] = None)
+      artifactPath: Option[String] = None,
+      driverCodesMaxRows: Long = RClipEngine.DriverCodesMaxRows)
+
+  /** Default bound for the RAM-COARSE serving regime: up to 2²⁴ rows
+    * the engine also holds the PACKED code table driver-resident —
+    * 20 B/row (8 B code + 8 B id + 4 B cell) ≈ 335 MB at the cap,
+    * where the fp32 matrix the fast path needs would be 16 GB. The
+    * coarse ADC cut then costs zero Spark dispatches and only the
+    * exact rerank is a job — per-request latency halves, and the
+    * candidate cut is BIT-IDENTICAL to the distributed ADC scan
+    * ([[graft.ann.PqIndex.adcPacked]] is the kernel's driver twin). */
+  val DriverCodesMaxRows: Long = 1L << 24
+
+  /** Driver-resident packed-code table (parallel arrays, index-aligned)
+    * for the RAM-coarse serving regime. */
+  final case class CodeIndex(ids: Array[Long], cells: Array[Int],
+      codes: Array[Long])
 
   sealed trait AnnState
   case object AnnUnbuilt extends AnnState
   case object AnnDisabled extends AnnState
-  final case class AnnBuilt(ix: graft.ann.IvfPqIndex) extends AnnState
+  final case class AnnBuilt(ix: graft.ann.IvfPqIndex,
+      codeIdx: Option[CodeIndex]) extends AnnState
 }
 
 /** Monotone colormap: normalized [0,1] → hex color. The reference uses

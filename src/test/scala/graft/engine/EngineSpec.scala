@@ -418,7 +418,8 @@ class EngineSpec extends SparkSpec {
     def mk(ann: Option[RClipEngine.AnnServing]) =
       new RClipEngine(spark, store, new DeterministicEmbedder(64),
         censorKey = Some("k"), fastPathMaxRows = 0L, annServing = ann)
-    val ann = mk(Some(params))
+    val ann = mk(Some(params)) // RAM-coarse (default driverCodesMaxRows)
+    val annDist = mk(Some(params.copy(driverCodesMaxRows = 0L)))
     val brute = mk(None)
     // recall@12 floor over a query panel — the contract a deployment
     // retunes (cells/nprobe/coarseK) against, pinned here at the spec
@@ -448,9 +449,23 @@ class EngineSpec extends SparkSpec {
     // the exact fallback ignores the ANN regime entirely
     assert(ann.searchExact("label5", 12).collect().toSeq ==
       brute.search("label5", 12).collect().toSeq)
-    // structural proof the coarse stage reads the SAVED artifact with
-    // the cell predicate reaching the partition pruner
-    val plan = ann.search("label5", 12).queryExecution.executedPlan.toString
+    // the two coarse modes are BIT-IDENTICAL end to end: the RAM path's
+    // driver ADC (PqIndex.adcPacked) is the expression kernel's twin,
+    // so the candidate cut — and therefore every served row — matches
+    // the distributed ADC scan exactly
+    for (q <- queries)
+      assert(ann.searchRows(q, 12) == annDist.searchRows(q, 12), q)
+    // structural proof of each regime's coarse stage: RAM-coarse plans
+    // only the isin-restricted rerank (no artifact scan, no broadcast);
+    // distributed-coarse reads the SAVED artifact with the cell
+    // predicate reaching the partition pruner
+    val ramPlan = ann.search("label5", 12).queryExecution.executedPlan.toString
+    assert(ramPlan.contains("INSET") || ramPlan.contains("vec_id#"),
+      ramPlan.take(1200))
+    assert(!ramPlan.contains("idx/codes"),
+      "RAM-coarse must not scan the artifact per request")
+    val plan = annDist.search("label5", 12)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("idx/codes"), plan.take(2000))
     assert(plan.contains("PartitionFilters: [") &&
       !plan.replaceAll("(?s).*PartitionFilters: \\[", "").startsWith("]"),
