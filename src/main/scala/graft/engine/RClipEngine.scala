@@ -396,20 +396,9 @@ final class RClipEngine(
     b.codeIdx match {
       case Some(ci) =>
         val lut = graft.ann.PqIndex.lut(b.ix.flatCodebook, b.ix.m, b.ix.k, v)
-        val probed = b.ix.probeCells(v, p.nprobe).toSet
-        val scored = scala.collection.mutable.ArrayBuffer
-          .empty[(Double, Long)]
-        var i = 0
-        while (i < ci.ids.length) {
-          if (probed.contains(ci.cells(i)))
-            scored += ((graft.ann.PqIndex.adcPacked(ci.codes(i), lut,
-              b.ix.m, b.ix.k), ci.ids(i)))
-          i += 1
-        }
-        val cand = scored.sortWith { case ((sa, ia), (sb, ib)) =>
-          sa > sb || (sa == sb && ia < ib)
-        }.take(p.coarseK).map(_._2)
-        scoreTopK(activeDf.filter(col(idCol).isin(cand.toSeq: _*)), v, k)
+        val cand = RClipEngine.ramCoarseCut(ci, lut, b.ix.m, b.ix.k,
+          b.ix.probeCells(v, p.nprobe), p.coarseK)
+        scoreTopK(activeDf.filter(col(idCol).isin(cand: _*)), v, k)
       case None =>
         val cand = b.ix.searchAdc(v, topk = p.coarseK, nprobe = p.nprobe)
           .select(col(idCol))
@@ -794,6 +783,70 @@ object RClipEngine {
     * for the RAM-coarse serving regime. */
   final case class CodeIndex(ids: Array[Long], cells: Array[Int],
       codes: Array[Long])
+
+  /** The RAM coarse cut: scan the probed cells' codes, keep the top
+    * `coarseK` by (adc DESC, id ASC). Primitive arrays + a k-bounded
+    * binary MIN-heap (root = currently-worst kept row), so a request at
+    * the 2²⁴-row cap allocates O(coarseK) — no boxed tuples, no full
+    * sort of the scanned rows. Ordering is EXACTLY `searchAdc`'s
+    * (adc DESC, id ASC) including ties, so the cut stays bit-identical
+    * to the distributed coarse stage (EngineSpec pins it). Returns ids
+    * sorted ascending (set semantics feed an isin; order irrelevant,
+    * but determinism keeps plans stable). */
+  private[engine] def ramCoarseCut(ci: CodeIndex, lut: Array[Double],
+      m: Int, k: Int, probe: Seq[Int], coarseK: Int): Seq[Long] = {
+    val maxCell = ci.cells.foldLeft(0)(math.max)
+    val probedMask = new Array[Boolean](maxCell + 1)
+    probe.foreach(c => if (c >= 0 && c <= maxCell) probedMask(c) = true)
+    val hS = new Array[Double](coarseK) // min-heap on (score ASC, id DESC)
+    val hI = new Array[Long](coarseK)
+    var size = 0
+    // `a` loses to `b` (a is WORSE-kept) iff a.s < b.s, or tie and a.id > b.id
+    def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
+      sa < sb || (sa == sb && ia > ib)
+    def siftDown(at: Int): Unit = {
+      var i = at
+      var continue = true
+      while (continue) {
+        val l = 2 * i + 1; val r = l + 1
+        var worst = i
+        if (l < size && worse(hS(l), hI(l), hS(worst), hI(worst))) worst = l
+        if (r < size && worse(hS(r), hI(r), hS(worst), hI(worst))) worst = r
+        if (worst == i) continue = false
+        else {
+          val ts = hS(i); val ti = hI(i)
+          hS(i) = hS(worst); hI(i) = hI(worst)
+          hS(worst) = ts; hI(worst) = ti
+          i = worst
+        }
+      }
+    }
+    var row = 0
+    while (row < ci.ids.length) {
+      val cell = ci.cells(row)
+      if (cell <= maxCell && probedMask(cell)) {
+        val s = graft.ann.PqIndex.adcPacked(ci.codes(row), lut, m, k)
+        val id = ci.ids(row)
+        if (size < coarseK) {
+          // insert + sift up
+          var i = size
+          hS(i) = s; hI(i) = id; size += 1
+          while (i > 0 && worse(hS(i), hI(i), hS((i - 1) / 2), hI((i - 1) / 2))) {
+            val parent = (i - 1) / 2
+            val ts = hS(i); val ti = hI(i)
+            hS(i) = hS(parent); hI(i) = hI(parent)
+            hS(parent) = ts; hI(parent) = ti
+            i = parent
+          }
+        } else if (worse(hS(0), hI(0), s, id)) {
+          hS(0) = s; hI(0) = id
+          siftDown(0)
+        }
+      }
+      row += 1
+    }
+    hI.take(size).sorted.toSeq
+  }
 
   sealed trait AnnState
   case object AnnUnbuilt extends AnnState

@@ -483,6 +483,29 @@ class EngineSpec extends SparkSpec {
       belowPlan.take(500))
   }
 
+  test("ramCoarseCut: the k-bounded heap keeps exactly the sort-based " +
+    "(adc DESC, id ASC) top-coarseK — ties, duplicates, and undersized " +
+    "corpora included") {
+    val rnd = new java.util.Random(7)
+    val m = 4; val k = 16
+    val lut = Array.fill(m * k)(rnd.nextInt(5).toDouble) // coarse → many ties
+    for (n <- Seq(0, 1, 50, 500); coarseK <- Seq(1, 16, 500)) {
+      val ids = Array.tabulate(n)(i => (n - i).toLong) // descending ids
+      val cells = Array.tabulate(n)(_ => rnd.nextInt(8))
+      val codes = Array.tabulate(n)(_ => rnd.nextLong() & 0xffffL)
+      val ci = RClipEngine.CodeIndex(ids, cells, codes)
+      val probe = Seq(0, 2, 5)
+      val got = RClipEngine.ramCoarseCut(ci, lut, m, k, probe, coarseK)
+      val want = (0 until n)
+        .filter(i => probe.contains(cells(i)))
+        .map(i => (graft.ann.PqIndex.adcPacked(codes(i), lut, m, k), ids(i)))
+        .sortWith { case ((sa, ia), (sb, ib)) =>
+          sa > sb || (sa == sb && ia < ib) }
+        .take(coarseK).map(_._2).sorted
+      assert(got == want, s"n=$n coarseK=$coarseK")
+    }
+  }
+
   test("utf8 tie comparator: matches Spark's binary string ordering on " +
     "supplementary-plane characters where UTF-16 ordering diverges") {
     // U+FF5E (˜ fullwidth tilde, 3-byte UTF-8) vs U+1D11E (musical G
