@@ -22,4 +22,12 @@ class VerifySpec extends SparkSpec {
       "healthy query must dump its parquet dir")
     assert(!new java.io.File(s"$out/q08_distinct_sources.err").exists())
   }
+
+  test("driver contract: SparkEntry.entry returns rows (the per-round " +
+    "smoke the driver itself runs — pinned here so a regression fails " +
+    "in-repo first)") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 12)
+    assert(rows.map(_.getDouble(1)).toSeq == rows.map(_.getDouble(1)).sortBy(-(_: Double)).toSeq)
+  }
 }
