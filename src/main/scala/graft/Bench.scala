@@ -89,7 +89,11 @@ object Bench {
     * step forever — after it, the run proceeds and the END gate routes
     * the record to a non-clobbering file instead. */
   def awaitIdle(maxWaitSec: Int): (Boolean, Int) = {
-    var waited = 0
+    // wall-clock derived waited (ADVICE r08): the old fixed `+= 30`
+    // undercounted by each loop's 1 s steal sample + /proc scan and
+    // excluded the successful probe's own second
+    val t0 = System.nanoTime()
+    def waited: Int = ((System.nanoTime() - t0) / 1e9).round.toInt
     while (true) {
       val (load, oj) = machineState()
       val steal = stealSample(1000)
@@ -105,7 +109,6 @@ object Bench {
         f"[bench] pre-flight: host busy (load=$load%.2f, other_java=$oj, " +
           f"steal=$steal%.1f%%) — waiting 30s (${waited}s/${maxWaitSec}s)")
       Thread.sleep(30000)
-      waited += 30
     }
     (false, waited) // unreachable
   }

@@ -51,12 +51,26 @@ object ArtifactCache {
     out
   }
 
-  /** Latest mtime under `dir` (one level deep — the per-table parquet files
-    * or directories), so a regenerated fixture invalidates its entries. */
+  /** Content stamp of the dataset under `dir`: a 64-bit FNV-1a hash over the
+    * RECURSIVE file listing — (path, length, mtime) per file plus the file
+    * count. A fixture regenerated within the same mtime tick still changes
+    * the stamp when any file's length or the file set changes, and files in
+    * nested table subdirectories are covered (ADVICE r08: the old one-level
+    * max-mtime stamp could serve a stale artifact durably across JVMs). */
   private def dirStamp(dir: String): Long = {
-    val f = new java.io.File(dir)
-    val kids = Option(f.listFiles()).getOrElse(Array.empty)
-    (f.lastModified() +: kids.map(_.lastModified())).max
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(files)
+      else Seq(f)
+    val fs = files(new java.io.File(dir)).sortBy(_.getPath)
+    var h = 0xcbf29ce484222325L
+    def mix(s: String): Unit =
+      s.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
+    mix(fs.size.toString)
+    fs.foreach { f =>
+      mix(f.getPath); mix(f.length.toString); mix(f.lastModified.toString)
+    }
+    h
   }
 
   def memoize(spark: SparkSession, dir: String, key: String)(
@@ -92,12 +106,16 @@ object ArtifactCache {
     * memo eviction used to put the whole gram-set rebuild inside the
     * consumer's measurement; now eviction costs a parquet re-read.
     *
-    * Layout: `<root>/<dataset-slug>/<key>` with a `_graft_stamp` marker
-    * (parquet readers ignore `_`-prefixed files) holding the dataset
-    * mtime — a regenerated fixture mismatches the marker and rebuilds
-    * IN PLACE (overwrite-stable: no per-run directory accumulation, the
-    * n21 lesson). A torn write leaves no marker, so the next consumer
-    * rebuilds rather than reading a partial table.
+    * Layout: `<root>/<dataset-slug>/<key>/v<stamp-hex>` — the dataset stamp
+    * is part of the DIRECTORY NAME, so a committed version is immutable and
+    * a version directory's existence is proof of completeness. The builder
+    * writes into a `build-<pid>-<nanos>` temp sibling and ATOMICALLY renames
+    * it into place (ADVICE r08: the old overwrite-in-place layout let a
+    * concurrent JVM read a half-written table); a writer that loses the
+    * rename race deletes its temp and reads the winner's rows. Superseded
+    * stamp versions are garbage-collected after the commit (the n21
+    * no-accumulation lesson) — a cross-process reader still scanning a
+    * superseded version was reading a stale fixture's artifact anyway.
     *
     * NOT order-preserving: parquet read-back may reorder rows across
     * files (unlike [[materialize]]'s RDD round-trip), so this mode is
@@ -115,16 +133,25 @@ object ArtifactCache {
       // share an artifact directory (the sanitize alone would collide)
       val slug = dir.replaceAll("[^A-Za-z0-9.]", "_") +
         f"-${dir.hashCode & 0xffffff}%06x"
-      val path = new java.io.File(new java.io.File(artifactRoot, slug), key)
-      val marker = new java.io.File(path, "_graft_stamp")
-      val fresh = marker.isFile && {
-        try java.nio.file.Files.readString(marker.toPath).trim == stamp.toString
-        catch { case _: java.io.IOException => false }
-      }
-      if (!fresh) {
-        build.write.mode("overwrite").parquet(path.toString)
-        java.nio.file.Files.writeString(marker.toPath, stamp.toString)
-        ()
+      val keyDir = new java.io.File(new java.io.File(artifactRoot, slug), key)
+      val path = new java.io.File(keyDir, f"v$stamp%016x")
+      if (!path.isDirectory) {
+        val tmp = new java.io.File(keyDir,
+          s"build-${ProcessHandle.current.pid}-${System.nanoTime()}")
+        build.write.mode("overwrite").parquet(tmp.toString)
+        try
+          java.nio.file.Files.move(tmp.toPath, path.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // lost the race to a concurrent builder — its committed version
+          // is byte-complete (it only appears via this same atomic rename),
+          // so drop our copy and read theirs
+          case _: java.nio.file.FileSystemException => rmTree(tmp)
+        }
+        // GC superseded stamp versions and abandoned temp dirs
+        Option(keyDir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName != path.getName)
+          .foreach(rmTree)
       }
       val df = spark.read.parquet(path.toString)
       memo.put(k, df)
@@ -132,14 +159,18 @@ object ArtifactCache {
     }
   }
 
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(); ()
+  }
+
   /** Delete every disk-persisted artifact — Bench calls this before the
     * artifact-build section so the `artifact_*` entries time real
-    * builds, not marker-fresh re-reads. */
+    * builds, not stamp-fresh re-reads. Single-process hygiene only: do
+    * not call while another JVM may be reading the shared root (Bench
+    * runs are serialized by the idle gate, and tests scope the root via
+    * the `graft.artifact.dir` property). */
   private[graft] def clearDisk(): Unit = synchronized {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(artifactRoot))
+    rmTree(new java.io.File(artifactRoot))
   }
 }

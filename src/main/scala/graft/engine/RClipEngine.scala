@@ -767,7 +767,19 @@ object RClipEngine {
       ivfIters: Int = 5,
       pqIters: Int = 3,
       artifactPath: Option[String] = None,
-      driverCodesMaxRows: Long = RClipEngine.DriverCodesMaxRows)
+      driverCodesMaxRows: Long = RClipEngine.DriverCodesMaxRows) {
+    require(cells > 0, s"cells must be positive, got $cells")
+    require(nprobe > 0 && nprobe <= cells,
+      s"nprobe must be in [1, cells=$cells], got $nprobe")
+    require(m > 0, s"m (PQ subvectors) must be positive, got $m")
+    require(k > 1 && k <= 256,
+      s"k (codebook size) must be in [2, 256], got $k")
+    require(coarseK > 0, s"coarseK must be positive, got $coarseK")
+    require(ivfIters >= 0 && pqIters >= 0,
+      s"iteration counts must be non-negative, got ivf=$ivfIters pq=$pqIters")
+    require(driverCodesMaxRows >= 0,
+      s"driverCodesMaxRows must be non-negative, got $driverCodesMaxRows")
+  }
 
   /** Default bound for the RAM-COARSE serving regime: up to 2²⁴ rows
     * the engine also holds the PACKED code table driver-resident —
@@ -795,6 +807,7 @@ object RClipEngine {
     * but determinism keeps plans stable). */
   private[engine] def ramCoarseCut(ci: CodeIndex, lut: Array[Double],
       m: Int, k: Int, probe: Seq[Int], coarseK: Int): Seq[Long] = {
+    require(coarseK > 0, s"coarseK must be positive, got $coarseK")
     val maxCell = ci.cells.foldLeft(0)(math.max)
     val probedMask = new Array[Boolean](maxCell + 1)
     probe.foreach(c => if (c >= 0 && c <= maxCell) probedMask(c) = true)

@@ -839,8 +839,18 @@ object EventQueries {
     * the streaming twin's watermark eviction maintains, which is what
     * makes the pair of them the same operator in two execution modes.
     * At 100 TB: thin (user, us, id, type) rows shuffle once; no
-    * corpus-sized join state, skew bounded by events-per-user-per-hour
-    * (the e12 salting note applies past that). */
+    * corpus-sized join state. COST SHAPE (ADVICE r08): Spark's sliding
+    * range frame has no retractable collect_list, so each row
+    * re-accumulates its trailing-hour buffer and the view structs are
+    * materialized per row BEFORE the purchase filter — per-user cost is
+    * O(events × events-in-window), quadratic in window DENSITY for a
+    * hot user, not merely skewed. That is also the true output bound
+    * (every in-window pair is emitted), so the quadratic term is
+    * inherent to the operator's result for purchase-heavy users; it
+    * overshoots only for view-heavy/purchase-light users, where a
+    * pre-aggregation of views into coarse time buckets before the
+    * window would cut the re-accumulation (measured in STRESS_r09
+    * under a planted 10⁵-events/hour user before reaching for it). */
   val e26_attribution_join: Q = (s, d) => {
     val ev = Tables.events(s, d)
       .filter(col("event_type").isin("view", "purchase"))

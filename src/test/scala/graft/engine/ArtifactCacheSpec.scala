@@ -65,31 +65,46 @@ class ArtifactCacheSpec extends SparkSpec {
       val b = ArtifactCache.memoizeDisk(spark, dir.getPath, "pp")(build())
       assert(builds == 1, "eviction must re-read the artifact, not rebuild")
       assert(b.collect().map(_.getLong(0)).sorted.toSeq == (0L to 6L))
-      // the artifact is a real parquet table with its stamp marker
-      // (slug = sanitized dir + hash suffix so distinct dirs that
-      // sanitize identically can never share an artifact)
+      // the artifact is a real parquet table under a stamp-addressed
+      // version dir (slug = sanitized dir + hash suffix so distinct dirs
+      // that sanitize identically can never share an artifact); a
+      // version dir only ever appears via an atomic rename, so its
+      // existence proves a complete write
       val slug = dir.getPath.replaceAll("[^A-Za-z0-9.]", "_") +
         f"-${dir.getPath.hashCode & 0xffffff}%06x"
       val art = new java.io.File(new java.io.File(store, slug), "pp")
-      assert(new java.io.File(art, "_graft_stamp").isFile)
-      // a regenerated dataset invalidates: stamp mismatch → rebuild in place
+      def versions() = Option(art.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("v")).map(_.getName).sorted.toSeq
+      assert(versions().size == 1)
+      val v1 = versions().head
+      // a regenerated dataset invalidates: new stamp → new version dir,
+      // and the superseded version is garbage-collected (no accumulation)
       val f = new java.io.File(dir, "table.parquet")
       java.nio.file.Files.writeString(f.toPath, "x")
-      f.setLastModified(System.currentTimeMillis() + 5000)
       ArtifactCache.clear()
       ArtifactCache.memoizeDisk(spark, dir.getPath, "pp")(build())
       assert(builds == 2, "a regenerated fixture must rebuild the artifact")
-      // a torn write (missing marker) is treated as absent → rebuild
-      new java.io.File(art, "_graft_stamp").delete()
+      assert(versions().size == 1 && versions().head != v1,
+        "superseded version must be GC'd, new version committed")
+      // same-tick regeneration with a LENGTH change still invalidates
+      // (the stamp hashes path+length+mtime recursively, ADVICE r08)
+      val mt = f.lastModified()
+      java.nio.file.Files.writeString(f.toPath, "xyz")
+      f.setLastModified(mt)
       ArtifactCache.clear()
       ArtifactCache.memoizeDisk(spark, dir.getPath, "pp")(build())
-      assert(builds == 3, "a marker-less artifact must not be trusted")
+      assert(builds == 3, "same-mtime length change must rebuild")
       // clearDisk removes everything (Bench's honest-build pre-step)
       ArtifactCache.clearDisk()
       assert(!art.exists())
       ArtifactCache.clear()
       ArtifactCache.memoizeDisk(spark, dir.getPath, "pp")(build())
       assert(builds == 4)
+      // a committed version wins over a would-be builder: with the RAM
+      // memo cleared but the version dir present, no rebuild happens
+      ArtifactCache.clear()
+      ArtifactCache.memoizeDisk(spark, dir.getPath, "pp")(build())
+      assert(builds == 4, "existing committed version must be read, not rebuilt")
     } finally {
       System.clearProperty("graft.artifact.dir")
       ArtifactCache.clear()
