@@ -462,33 +462,81 @@ object AnnQueries {
       n09GraphImpl(s, d).select(col("src"), col("nbr"))
     }
 
+  /** CLONE-COLLAPSED build (VERDICT r08 next-#2): every LSH/candidate/
+    * scoring stage runs over DISTINCT embeddings; exact clones (byte-
+    * identical vectors — crawl corpora are full of them) are grouped
+    * first and expanded back only at the final ranked stage. The result
+    * is row-for-row identical to the naive clone-expanded build because
+    * every boundary is clone-invariant:
+    *  - `bits` still sizes from the MEMBER count (same ladder rung);
+    *  - the hot-bucket cap censuses SUM(clone count), so the dropped
+    *    (tbl, bucket) set is exactly the clone-expanded census's
+    *    ([[Lsh.capTieredBucketsWeighted]]);
+    *  - member pairs (x, y) are candidates iff their groups share a
+    *    surviving bucket (clones occupy identical bucket sets), and a
+    *    clone pair inside one group is a candidate iff the group has a
+    *    surviving bucket and ≥2 members — the group-level join encodes
+    *    both;
+    *  - cos(x, y) is a function of the embedding ARRAYS, so one score
+    *    per group pair (computed through the same rounded kernel) is
+    *    the score of every member pair;
+    *  - per-src ranking is (cos DESC, nbr ASC): within one neighbor
+    *    group all members tie on cos and rank by id, so only the 4
+    *    smallest member ids of any group can ever reach a top-3 (4, not
+    *    3, covers self-exclusion inside the src's own group).
+    * Scale shape: candidate-join mass is O(distinct·bucket), not
+    * O(members·bucket) — a 100×-cloned corpus costs what its distinct
+    * corpus costs until the final explode, which is output-proportional
+    * (≤ 4·groupDegree rows per member, then rn ≤ 3). The grouping
+    * itself is one embedding-keyed window shuffle (no join, no
+    * collect_list of full member sets — the first-4 cut rides the same
+    * window). */
   private def n09GraphImpl(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val embC = emb.cache()
     val n = embC.count()
     val bits = Lsh.bitsForCount(n)
-    val rawBucketed = embC
+    val byEmb = Window.partitionBy(col("embedding"))
+    val mm = embC
+      .withColumn("gid", min(col("vec_id")).over(byEmb))
+      .withColumn("cnt", count(lit(1)).over(byEmb))
+      .withColumn("mrk", row_number().over(byEmb.orderBy(col("vec_id"))))
+      .cache()
+    mm.count()
+    // one rep row per distinct embedding, carrying the clone count
+    val reps = mm.filter(col("vec_id") === col("gid"))
+      .select(col("gid"), col("embedding"), col("cnt"))
+    val rawBucketed = reps
       .withColumn("tb", explode(array(Lsh.tieredBucketStructs(col("embedding"), bits): _*)))
-      .select(col("vec_id"),
+      .select(col("gid"), col("cnt"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
       .cache()
-    rawBucketed.count() // thin (id, tbl, bucket) rows; both join sides reuse
-    // d06's hot-bucket cap (VERDICT r04 #1): drop degenerate collision
-    // buckets before the self-join; oracle twin = duckTieredCappedCtes
-    val bucketed = Lsh.capTieredBuckets(rawBucketed)
-    val cand = bucketed.as("x").join(bucketed.as("y"),
+    rawBucketed.count() // thin (gid, cnt, tbl, bucket) rows; both sides reuse
+    // d06's hot-bucket cap (VERDICT r04 #1), weighted so the boundary is
+    // the clone-expanded one; oracle twin = duckTieredCappedCtes
+    val bucketed = Lsh.capTieredBucketsWeighted(rawBucketed, col("cnt"))
+    val candG = bucketed.as("x").join(bucketed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("src"), col("y.vec_id").as("nbr"))
+          (col("x.gid") =!= col("y.gid") ||
+            (col("x.gid") === col("y.gid") && col("x.cnt") >= 2)))
+      .select(col("x.gid").as("gsrc"), col("y.gid").as("gnbr"))
       .distinct()
-    val scored = cand
-      .join(embC.select(col("vec_id").as("src"), col("embedding").as("ea")), "src")
-      .join(embC.select(col("vec_id").as("nbr"), col("embedding").as("eb")), "nbr")
-      .select(col("src"), col("nbr"),
+    val scoredG = candG
+      .join(reps.select(col("gid").as("gsrc"), col("embedding").as("ea")), "gsrc")
+      .join(reps.select(col("gid").as("gnbr"), col("embedding").as("eb")), "gnbr")
+      .select(col("gsrc"), col("gnbr"),
         (round(VectorOps.cosineColsNative(col("ea"), col("eb")), 4) + lit(0.0))
           .as("cos"))
+    // the 4 smallest member ids per neighbor group (self-exclusion slack)
+    val first4 = mm.filter(col("mrk") <= 4)
+      .select(col("gid").as("gnbr"), col("vec_id").as("nbr"))
+    val contrib = scoredG.join(first4, "gnbr")
+      .select(col("gsrc"), col("nbr"), col("cos"))
+    val expanded = contrib
+      .join(mm.select(col("gid").as("gsrc"), col("vec_id").as("src")), "gsrc")
+      .filter(col("src") =!= col("nbr"))
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr").asc)
-    scored.withColumn("rn", row_number().over(w))
+    expanded.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("src"), col("rn"), col("nbr"), col("cos"))
       .orderBy(col("src"), col("rn"))

@@ -104,6 +104,28 @@ object Lsh {
     bucketed.join(hot, Seq("tbl", "bucket"), "left_anti")
   }
 
+  /** [[capTieredBuckets]] over DISTINCT-vector rows carrying a clone
+    * count: the census weighs each row by `weight` (sum, not count), so
+    * the dropped (tbl, bucket) set is IDENTICAL to what the unweighted
+    * census over the clone-expanded rows would drop — the invariant that
+    * lets n09 collapse exact-clone vectors before its candidate join
+    * (VERDICT r08 next-#2) without moving a single capped-bucket
+    * boundary. */
+  def capTieredBucketsWeighted(bucketed: DataFrame, weight: Column,
+      cap: Long = TIER_BUCKET_CAP): DataFrame = {
+    val hot = bucketed.groupBy(col("tbl"), col("bucket"))
+      .agg(sum(weight).as("bsz"))
+      .filter(col("bsz") > cap)
+      .select(col("tbl"), col("bucket"))
+      .cache()
+    val nHot = hot.count()
+    if (nHot > 0) log.warn(
+      s"capTieredBucketsWeighted: dropping $nHot (tbl, bucket) group(s) over " +
+        s"cap=$cap (weighted by clone count — same boundary as the " +
+        "clone-expanded census)")
+    bucketed.join(hot, Seq("tbl", "bucket"), "left_anti")
+  }
+
   /** Seeded planes for an arbitrary (tables × bits) config.
     *
     * SIZING RULE (the d06 scale knob): bits must grow with the corpus —
