@@ -389,12 +389,30 @@ object Bench {
       fastPathMaxRows = 0L,
       annServing = Some(annParams.copy(
         artifactPath = Some(s"$dir/annidx2"), driverCodesMaxRows = 0L)))
+    // the deployment shape (VERDICT r08 next-#3): warm() pre-builds the
+    // index OUTSIDE the request path, so the first request pays a bounded
+    // serve cost, not the corpus build — time both phases explicitly
+    val warmT0 = System.nanoTime()
+    ann.warm()
+    val annWarmSec = (System.nanoTime() - warmT0) / 1e9
+    val firstT0 = System.nanoTime()
+    ann.searchRows(queries.head, 12)
+    val annFirstSec = (System.nanoTime() - firstT0) / 1e9
+    annDist.warm()
+    // regime guard: the serving_ann numbers claim the ANN path — assert
+    // the warm actually installed an index (RAM-coarse plans the
+    // isin-restricted rerank) rather than trusting it
+    require(ann.search(queries.head, 12).queryExecution.executedPlan
+      .toString.contains("INSET"),
+      "ann regime not installed after warm() — serving_ann would measure brute")
     val a = run(100)(q => { ann.searchRows(q, 12); () })
     val ad = run(100)(q => { annDist.searchRows(q, 12); () })
     val out = Seq(
       "serving_rows_p50" -> pct(r, 0.50), "serving_rows_p95" -> pct(r, 0.95),
       "serving_fast_p50" -> pct(f, 0.50), "serving_fast_p95" -> pct(f, 0.95),
       "serving_dist_p50" -> pct(d, 0.50), "serving_dist_p95" -> pct(d, 0.95),
+      "serving_ann_warm_sec" -> annWarmSec,
+      "serving_ann_first_req" -> annFirstSec,
       "serving_ann_p50" -> pct(a, 0.50), "serving_ann_p95" -> pct(a, 0.95),
       "serving_ann_dist_p50" -> pct(ad, 0.50),
       "serving_ann_dist_p95" -> pct(ad, 0.95))

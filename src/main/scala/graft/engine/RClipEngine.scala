@@ -60,8 +60,20 @@ final class RClipEngine(
 
   @volatile private var activeDf: DataFrame = loadActive()
   @volatile private var statsCache: Option[(Array[Double], Array[Double])] = None
-  @volatile private var fastCache: RClipEngine.FastState = RClipEngine.FastUnbuilt
-  @volatile private var annCache: RClipEngine.AnnState = RClipEngine.AnnUnbuilt
+  // serving-index state machines (VERDICT r08 next-#3): builds run OUTSIDE
+  // the engine monitor and CAS their result in, so a corpus-sized index
+  // build never head-of-line blocks censor/reload or other callers — a
+  // request arriving mid-build serves the fallback regime instead of
+  // waiting. Each in-flight build holds a UNIQUE Building token; reload()
+  // resetting the state to Unbuilt makes the stale builder's final CAS
+  // fail, so an index built from a superseded snapshot can never install.
+  private val fastCache =
+    new java.util.concurrent.atomic.AtomicReference[RClipEngine.FastState](
+      RClipEngine.FastUnbuilt)
+  private val annCache =
+    new java.util.concurrent.atomic.AtomicReference[RClipEngine.AnnState](
+      RClipEngine.AnnUnbuilt)
+  private val buildTokens = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def hasDeleted = store.read(spark).columns.contains("deleted")
 
@@ -93,13 +105,16 @@ final class RClipEngine(
 
   def count(): Long = activeDf.count()
 
-  /** M3: drop caches, re-read the newest snapshot, invalidate stats. */
+  /** M3: drop caches, re-read the newest snapshot, invalidate stats.
+    * Setting the serving states to Unbuilt also dooms any IN-FLIGHT
+    * index build: its completion CAS (Building(token) → Built) can no
+    * longer match, so a pre-mutation index never installs. */
   def reload(): Unit = synchronized {
     activeDf.unpersist()
     activeDf = loadActive()
     statsCache = None
-    fastCache = RClipEngine.FastUnbuilt
-    annCache = RClipEngine.AnnUnbuilt
+    fastCache.set(RClipEngine.FastUnbuilt)
+    annCache.set(RClipEngine.AnnUnbuilt)
   }
 
   // ---------------------------------------------------------------- words
@@ -248,32 +263,42 @@ final class RClipEngine(
     * cap, serve distributed. One collect of n·(8 + 4·dim) bytes — the
     * same RAM envelope the reference pays up front at startup.
     *
-    * Lock scope (ADVICE r07): the first build holds the engine monitor
-    * for the duration of the collect, so a concurrent reload()/censor()
-    * and every other first-request caller block until it finishes —
-    * acceptable under the current single-threaded HTTP dispatch; if
-    * concurrent serving is ever enabled, build outside the lock and CAS
-    * the FastState instead. */
-  private def fastIndex(): Option[RClipEngine.FastIndex] = fastCache match {
+    * Lock scope (ADVICE r07 → VERDICT r08 next-#3): the build runs
+    * OUTSIDE the engine monitor. The builder claims the state with a
+    * unique Building token and CASes the result in; a concurrent caller
+    * seeing Building serves the distributed path (bit-identical results,
+    * EngineSpec-pinned) instead of waiting, and a reload() during the
+    * build resets the state so the stale matrix never installs. */
+  private def fastIndex(): Option[RClipEngine.FastIndex] = fastCache.get() match {
     case RClipEngine.FastBuilt(idx) => Some(idx)
     case RClipEngine.FastDisabled => None
-    case RClipEngine.FastUnbuilt => synchronized {
-      fastCache match { // double-checked: another caller may have built it
-        case RClipEngine.FastBuilt(idx) => Some(idx)
-        case RClipEngine.FastDisabled => None
-        case RClipEngine.FastUnbuilt =>
-          if (count() > fastPathMaxRows) {
-            fastCache = RClipEngine.FastDisabled
-            None
-          } else {
-            val rows = activeDf.select(col(idCol), col(vecCol))
-              .as[(Long, Array[Float])].collect()
-            val idx = RClipEngine.FastIndex(rows.map(_._1), rows.map(_._2))
-            fastCache = RClipEngine.FastBuilt(idx)
-            Some(idx)
+    case _: RClipEngine.FastBuilding => None // in-flight build: serve distributed
+    case RClipEngine.FastUnbuilt =>
+      val token = RClipEngine.FastBuilding(buildTokens.incrementAndGet())
+      if (!fastCache.compareAndSet(RClipEngine.FastUnbuilt, token))
+        fastIndex() // someone else moved the state; re-read it
+      else {
+        val result =
+          try {
+            if (count() > fastPathMaxRows) RClipEngine.FastDisabled
+            else {
+              val rows = activeDf.select(col(idCol), col(vecCol))
+                .as[(Long, Array[Float])].collect()
+              RClipEngine.FastBuilt(
+                RClipEngine.FastIndex(rows.map(_._1), rows.map(_._2)))
+            }
+          } catch {
+            case t: Throwable =>
+              fastCache.compareAndSet(token, RClipEngine.FastUnbuilt)
+              throw t
           }
+        // install only if no reload() superseded this build
+        fastCache.compareAndSet(token, result)
+        fastCache.get() match {
+          case RClipEngine.FastBuilt(idx) => Some(idx)
+          case _ => None
+        }
       }
-    }
   }
 
   /** Driver-side twin of [[scoreTopK]]: identical arithmetic (index-order
@@ -316,69 +341,185 @@ final class RClipEngine(
     * candidate CUT is approximate (EngineSpec pins a recall floor, and
     * [[searchExact]] stays available as the exact fallback).
     *
-    * Built lazily on first above-cap search from the active snapshot;
-    * mutations invalidate it via [[reload]] like every other engine
-    * cache, so a censored row can never be served from a stale index.
-    * With `artifactPath` set, the built index is SAVED and re-LOADED so
-    * the probe path is the persisted cell-partitioned parquet layout —
-    * the shape a 1000-executor deployment serves from (build once per
-    * snapshot, every search a pruned point read).
+    * Built by [[warm]] (or lazily on first above-cap search when
+    * `buildOnFirstSearch` is set) from the active snapshot; mutations
+    * invalidate it via [[reload]] like every other engine cache — and
+    * the on-disk artifact's `_graft_built_from` marker stops matching
+    * the new store version — so a censored row can never be served from
+    * a stale index. With `artifactPath` set, the built index is SAVED
+    * and re-LOADED so the probe path is the persisted cell-partitioned
+    * parquet layout — the shape a 1000-executor deployment serves from
+    * (build once per snapshot, every search a pruned point read).
     *
-    * Lock scope: like [[fastIndex]], the first build holds the engine
-    * monitor — minutes on a corpus-sized build — blocking concurrent
-    * reload()/censor() and other first-request callers; fine under
-    * single-threaded dispatch, CAS the state if that ever changes (a
-    * deployment would also pre-build at startup rather than on the
-    * first request). */
-  private def annIndex(): Option[RClipEngine.AnnBuilt] = annCache match {
-    case b: RClipEngine.AnnBuilt => Some(b)
-    case RClipEngine.AnnDisabled => None
-    case RClipEngine.AnnUnbuilt => synchronized {
-      annCache match {
-        case b: RClipEngine.AnnBuilt => Some(b)
-        case RClipEngine.AnnDisabled => None
-        case RClipEngine.AnnUnbuilt => annServing match {
-          case None =>
-            annCache = RClipEngine.AnnDisabled
-            None
-          case Some(p) =>
-            // real Lloyd iterations on BOTH codebooks: the query-time
-            // operators keep iters=0 for bitwise-reproducible oracles,
-            // but a SERVING index's recall depends on cells that follow
-            // the data geometry — nprobe/cells is only a meaningful
-            // pruning ratio when near-neighbors share cells
-            val built = graft.ann.IvfPqIndex.build(
-              activeDf.select(col(idCol), col(vecCol)),
-              idCol = idCol, vecCol = vecCol,
-              cells = p.cells, ivfIters = p.ivfIters,
-              m = p.m, k = p.k, pqIters = p.pqIters)
-            val ix = p.artifactPath match {
-              case Some(path) =>
-                built.save(path)
-                built.codes.unpersist()
-                graft.ann.IvfPqIndex.load(spark, path)
-              case None => built
-            }
-            // RAM-COARSE regime: below driverCodesMaxRows also hold the
-            // 20 B/row packed-code table driver-resident — the coarse
-            // cut then costs no Spark dispatch at all (the 8 B codes
-            // fit the driver 32× past the point the fp32 matrix cannot)
-            val codeIdx =
-              if (count() > p.driverCodesMaxRows) None
-              else {
-                val rows = ix.codes
-                  .select(col(idCol), col("cell"), col("code"))
-                  .as[(Long, Int, Long)].collect()
-                Some(RClipEngine.CodeIndex(rows.map(_._1),
-                  rows.map(_._2), rows.map(_._3)))
+    * Regime POLICY (VERDICT r08 next-#3): by default a search request
+    * never triggers the minutes-long corpus build — it serves ANN when a
+    * TRUSTED artifact exists (saved from this store version + config,
+    * attested by the `_graft_built_from` marker; a cheap load), and brute
+    * otherwise. Builds happen through [[warm]] (startup / post-reload) or,
+    * opt-in, on first search via `buildOnFirstSearch`. Like [[fastIndex]],
+    * any build/load runs OUTSIDE the engine monitor with a unique Building
+    * token: concurrent censor/reload/search never block on it, and a
+    * reload() mid-build dooms the stale index's installing CAS. */
+  private def annIndex(forceBuild: Boolean = false): Option[RClipEngine.AnnBuilt] =
+    annCache.get() match {
+      case b: RClipEngine.AnnBuilt => Some(b)
+      case RClipEngine.AnnDisabled => None
+      case _: RClipEngine.AnnBuilding => None // in-flight: serve brute
+      case RClipEngine.AnnUnbuilt => annServing match {
+        case None =>
+          annCache.compareAndSet(RClipEngine.AnnUnbuilt, RClipEngine.AnnDisabled)
+          None
+        case Some(p) =>
+          val trusted = annArtifactTrusted(p)
+          if (!trusted && !forceBuild && !p.buildOnFirstSearch) None // brute
+          else {
+            val token = RClipEngine.AnnBuilding(buildTokens.incrementAndGet())
+            if (!annCache.compareAndSet(RClipEngine.AnnUnbuilt, token))
+              annIndex(forceBuild) // state moved under us; re-read
+            else {
+              val result =
+                try {
+                  val ix =
+                    if (trusted) graft.ann.IvfPqIndex.load(spark, p.artifactPath.get)
+                    else {
+                      // real Lloyd iterations on BOTH codebooks: the
+                      // query-time operators keep iters=0 for bitwise-
+                      // reproducible oracles, but a SERVING index's recall
+                      // depends on cells that follow the data geometry —
+                      // nprobe/cells is only a meaningful pruning ratio
+                      // when near-neighbors share cells
+                      val built = graft.ann.IvfPqIndex.build(
+                        activeDf.select(col(idCol), col(vecCol)),
+                        idCol = idCol, vecCol = vecCol,
+                        cells = p.cells, ivfIters = p.ivfIters,
+                        m = p.m, k = p.k, pqIters = p.pqIters)
+                      p.artifactPath match {
+                        case Some(path) =>
+                          built.save(path)
+                          writeAnnMarker(p, path)
+                          built.codes.unpersist()
+                          graft.ann.IvfPqIndex.load(spark, path)
+                        case None => built
+                      }
+                    }
+                  // RAM-COARSE regime: below driverCodesMaxRows also hold
+                  // the 20 B/row packed-code table driver-resident — the
+                  // coarse cut then costs no Spark dispatch at all (the
+                  // 8 B codes fit the driver 32× past the point the fp32
+                  // matrix cannot)
+                  val codeIdx =
+                    if (count() > p.driverCodesMaxRows) None
+                    else {
+                      val rows = ix.codes
+                        .select(col(idCol), col("cell"), col("code"))
+                        .as[(Long, Int, Long)].collect()
+                      Some(RClipEngine.CodeIndex(rows.map(_._1),
+                        rows.map(_._2), rows.map(_._3)))
+                    }
+                  RClipEngine.AnnBuilt(ix, codeIdx)
+                } catch {
+                  case t: Throwable =>
+                    annCache.compareAndSet(token, RClipEngine.AnnUnbuilt)
+                    throw t
+                }
+              // install only if no reload() superseded this build
+              annCache.compareAndSet(token, result)
+              annCache.get() match {
+                case b: RClipEngine.AnnBuilt => Some(b)
+                case _ => None
               }
-            val b = RClipEngine.AnnBuilt(ix, codeIdx)
-            annCache = b
-            Some(b)
-        }
+            }
+          }
       }
     }
+
+  /** The `_graft_built_from` marker ties a saved serving artifact to the
+    * snapshot VERSION and index config it was built from: a mutation
+    * commits a new store version, the marker stops matching, and the
+    * stale artifact is ignored (brute serves until the next [[warm]])
+    * rather than serving censored rows. */
+  private def annMarkerExpected(p: RClipEngine.AnnServing): String =
+    s"v=${store.latestVersion.getOrElse(-1)};path=${pathLike.getOrElse("")};" +
+      s"id=$idCol;vec=$vecCol;cells=${p.cells};m=${p.m};k=${p.k};" +
+      s"ivf=${p.ivfIters};pq=${p.pqIters}"
+
+  private def writeAnnMarker(p: RClipEngine.AnnServing, path: String): Unit = {
+    java.nio.file.Files.writeString(
+      new java.io.File(path, "_graft_built_from").toPath, annMarkerExpected(p))
+    ()
   }
+
+  private def annArtifactTrusted(p: RClipEngine.AnnServing): Boolean =
+    p.artifactPath.exists { path =>
+      val mk = new java.io.File(path, "_graft_built_from")
+      mk.isFile && {
+        try java.nio.file.Files.readString(mk.toPath) == annMarkerExpected(p)
+        catch { case _: java.io.IOException => false }
+      }
+    }
+
+  /** Pre-build the serving indexes for the CURRENT snapshot (VERDICT r08
+    * next-#3): call at startup and after mutations/reload so no request
+    * ever pays (or waits behind) an index build. Runs outside the engine
+    * monitor — concurrent censor/search during the warm proceed normally
+    * (they serve the fallback regime until the CAS lands). Below the fast
+    * cap this warms the RAM matrix; above it, the ANN regime when
+    * configured (building and persisting the artifact if absent or
+    * untrusted). A reload() racing the warm simply wins: the half-built
+    * index is discarded and the next warm() rebuilds from the new
+    * snapshot. */
+  def warm(): Unit = {
+    if (fastIndex().isEmpty) { annIndex(forceBuild = true); () }
+  }
+
+  /** Serving-state probe for specs and monitoring. */
+  private[engine] def annState: RClipEngine.AnnState = annCache.get()
+  private[engine] def fastState: RClipEngine.FastState = fastCache.get()
+
+  /** DRIFT MONITORING against the LIVE serving index (VERDICT r08
+    * next-#4): one health row measuring what a deployment alarms on
+    * between rebuilds — n10's recall@k of the serving ANN path vs the
+    * exact brute ranking over the CURRENT live rows, and n13's cell
+    * balance of the serving code table. `None` when no ANN index is
+    * serving (brute and RAM-matrix regimes have nothing to drift).
+    * Cost: |panel| reranked searches + |panel| exact scans + one
+    * code-table aggregate — the measurement loop n10/n13 run as corpus
+    * queries, pointed at the serving artifact. */
+  def annHealth(panel: Seq[String], k: Int = 10): Option[RClipEngine.AnnHealth] =
+    annCache.get() match {
+      case b: RClipEngine.AnnBuilt if panel.nonEmpty =>
+        val p = annServing.get
+        val recalls = panel.flatMap { q =>
+          resolver.resolve(q).map { v =>
+            val truth = scoreTopK(activeDf, v, k)
+              .select(col("id")).as[Long].collect().toSet
+            val got = annTopK(b, v, k)
+              .select(col("id")).as[Long].collect().toSet
+            if (truth.isEmpty) 1000L
+            else (got & truth).size * 1000L / truth.size
+          }
+        }
+        if (recalls.isEmpty) None
+        else {
+          val sizes = b.ix.codes.groupBy(col("cell"))
+            .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+            .select(col("cell"), col("n")).as[(Int, Long)].collect()
+          val rows = sizes.map(_._2).sum
+          val nCells = b.ix.centroids.length
+          val meanSz = rows.toDouble / math.max(1, nCells)
+          val skew = if (rows == 0L) 0.0 else sizes.map(_._2).max / meanSz
+          val health = RClipEngine.AnnHealth(
+            recallPermille = recalls.sum / recalls.size,
+            worstPermille = recalls.min,
+            cellSkew = skew,
+            emptyCells = nCells.toLong - sizes.length,
+            rows = rows,
+            alarm = recalls.sum / recalls.size < p.healthRecallFloorPermille ||
+              skew > p.healthCellSkewMax)
+          Some(health)
+        }
+      case _ => None
+    }
 
   /** ANN top-k: pruned ADC candidates, then the exact rerank reuses
     * [[scoreTopK]] over the candidate-restricted live rows — identical
@@ -749,6 +890,11 @@ object RClipEngine {
   case object FastUnbuilt extends FastState
   case object FastDisabled extends FastState
   final case class FastBuilt(idx: FastIndex) extends FastState
+  /** In-flight build claim; the token is unique per build so a builder's
+    * installing CAS can only replace its OWN claim — a reload() that
+    * reset the state (or a newer build's claim) makes it fail, which is
+    * what keeps a stale index from ever installing. */
+  final case class FastBuilding(token: Long) extends FastState
 
   /** Opt-in above-cap ANN serving parameters: `cells`/`nprobe` set the
     * coarse pruning ratio (nprobe/cells of the corpus ADC-scanned per
@@ -767,8 +913,15 @@ object RClipEngine {
       ivfIters: Int = 5,
       pqIters: Int = 3,
       artifactPath: Option[String] = None,
-      driverCodesMaxRows: Long = RClipEngine.DriverCodesMaxRows) {
+      driverCodesMaxRows: Long = RClipEngine.DriverCodesMaxRows,
+      buildOnFirstSearch: Boolean = false,
+      healthRecallFloorPermille: Long = 800L,
+      healthCellSkewMax: Double = 8.0) {
     require(cells > 0, s"cells must be positive, got $cells")
+    require(healthRecallFloorPermille >= 0 && healthRecallFloorPermille <= 1000,
+      s"healthRecallFloorPermille must be in [0, 1000], got $healthRecallFloorPermille")
+    require(healthCellSkewMax > 0,
+      s"healthCellSkewMax must be positive, got $healthCellSkewMax")
     require(nprobe > 0 && nprobe <= cells,
       s"nprobe must be in [1, cells=$cells], got $nprobe")
     require(m > 0, s"m (PQ subvectors) must be positive, got $m")
@@ -866,6 +1019,21 @@ object RClipEngine {
   case object AnnDisabled extends AnnState
   final case class AnnBuilt(ix: graft.ann.IvfPqIndex,
       codeIdx: Option[CodeIndex]) extends AnnState
+  /** See [[FastBuilding]]. */
+  final case class AnnBuilding(token: Long) extends AnnState
+
+  /** One drift-monitoring row for the live serving index (VERDICT r08
+    * next-#4): recall of the serving ANN path vs exact brute over the
+    * current live rows (mean/worst, permille), the serving code table's
+    * cell skew (max cell / mean cell, n13's audit) and empty-cell count,
+    * and the alarm bit a deployment pages on. */
+  final case class AnnHealth(
+      recallPermille: Long,
+      worstPermille: Long,
+      cellSkew: Double,
+      emptyCells: Long,
+      rows: Long,
+      alarm: Boolean)
 }
 
 /** Monotone colormap: normalized [0,1] → hex color. The reference uses

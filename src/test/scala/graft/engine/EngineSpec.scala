@@ -421,6 +421,17 @@ class EngineSpec extends SparkSpec {
     val ann = mk(Some(params)) // RAM-coarse (default driverCodesMaxRows)
     val annDist = mk(Some(params.copy(driverCodesMaxRows = 0L)))
     val brute = mk(None)
+    // regime policy (VERDICT r08 next-#3): with no trusted artifact and no
+    // warm(), a search must NOT trigger the corpus build — it serves brute
+    // and leaves the state Unbuilt
+    val preWarm = ann.searchRows("label0", 12)
+    assert(ann.annState == RClipEngine.AnnUnbuilt,
+      "an un-warmed search must not build the index")
+    assert(preWarm == brute.searchRows("label0", 12),
+      "pre-warm searches serve the exact brute path")
+    ann.warm()
+    assert(ann.annState.isInstanceOf[RClipEngine.AnnBuilt])
+    annDist.warm()
     // recall@12 floor over a query panel — the contract a deployment
     // retunes (cells/nprobe/coarseK) against, pinned here at the spec
     // corpus + params so a routing or pruning regression is loud
@@ -471,9 +482,16 @@ class EngineSpec extends SparkSpec {
       !plan.replaceAll("(?s).*PartitionFilters: \\[", "").startsWith("]"),
       "cell IN (...) must prune partitions of the loaded artifact")
     // a mutation invalidates the index — the censored row disappears
-    // from ANN results (rebuilt from the new live snapshot)
+    // immediately (brute serves until the next warm: the saved artifact's
+    // marker no longer matches the new store version), and stays absent
+    // after the index is rebuilt by warm()
     val victim = ann.searchRows("label5", 1).head._1
     assert(ann.censor(victim, "k"))
+    assert(ann.annState == RClipEngine.AnnUnbuilt,
+      "censor must invalidate the serving index")
+    assert(!ann.searchRows("label5", 64).exists(_._1 == victim))
+    ann.warm()
+    assert(ann.annState.isInstanceOf[RClipEngine.AnnBuilt])
     assert(!ann.searchRows("label5", 64).exists(_._1 == victim))
     // below the cap the ANN params are inert: the RAM fast path serves
     val below = new RClipEngine(spark, store, new DeterministicEmbedder(64),
@@ -481,6 +499,117 @@ class EngineSpec extends SparkSpec {
     val belowPlan = below.search("label5", 5).queryExecution.executedPlan.toString
     assert(belowPlan.contains("LocalTableScan") && !belowPlan.contains("FileScan"),
       belowPlan.take(500))
+  }
+
+  test("warm()/CAS (VERDICT r08 next-#3): an in-flight serving-index build " +
+    "never blocks censor or search, and a build raced by a mutation never " +
+    "installs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-engine-warm").toString
+    val store = new SnapshotStore(dir)
+    // enlarge the corpus (64×) so the build is long enough to observe
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    store.write((0 until 64).map(i =>
+      base.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _))
+    val eng = new RClipEngine(spark, store, new DeterministicEmbedder(64),
+      censorKey = Some("k"), fastPathMaxRows = 0L,
+      annServing = Some(RClipEngine.AnnServing(
+        cells = 16, nprobe = 4, m = 16, coarseK = 64, ivfIters = 25)))
+    val builder = new Thread(() => eng.warm())
+    builder.start()
+    var victim = -1L
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!eng.annState.isInstanceOf[RClipEngine.AnnBuilding] &&
+        System.nanoTime() < deadline) Thread.sleep(1)
+      assert(eng.annState.isInstanceOf[RClipEngine.AnnBuilding],
+        s"never observed the in-flight build; state=${eng.annState}")
+      // mid-build: a search returns via the brute fallback instead of
+      // waiting on the builder...
+      victim = eng.searchRows("label3", 1).head._1
+      // ...and a censor proceeds concurrently, dooming the in-flight build
+      assert(eng.censor(victim, "k"))
+    } finally builder.join(180000)
+    assert(!builder.isAlive, "warm() never returned")
+    // the raced build must NOT have installed a pre-censor index
+    assert(eng.annState == RClipEngine.AnnUnbuilt,
+      s"stale build installed: ${eng.annState}")
+    eng.warm()
+    assert(eng.annState.isInstanceOf[RClipEngine.AnnBuilt])
+    assert(!eng.searchRows("label3", 500).exists(_._1 == victim),
+      "the censored row must be absent from the rebuilt index")
+  }
+
+  test("artifact trust (VERDICT r08 next-#3 policy): a fresh engine LOADS a " +
+    "saved serving artifact on first search while the store version matches, " +
+    "and a mutation de-trusts it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-engine-trust").toString
+    val store = new SnapshotStore(dir)
+    store.initFrom(spark, s"$sf/embeddings.parquet")
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-engine-trust-idx").toString + "/idx"
+    val params = RClipEngine.AnnServing(
+      cells = 8, nprobe = 6, m = 16, coarseK = 192, artifactPath = Some(art))
+    def mk() = new RClipEngine(spark, store, new DeterministicEmbedder(64),
+      censorKey = Some("k"), fastPathMaxRows = 0L, annServing = Some(params))
+    val eng1 = mk()
+    eng1.warm() // builds, saves the artifact + marker
+    assert(eng1.annState.isInstanceOf[RClipEngine.AnnBuilt])
+    // a fresh engine over the same (unchanged) store trusts the artifact:
+    // first search loads it — no build, no warm() needed — and serves the
+    // same rows
+    val eng2 = mk()
+    val got = eng2.searchRows("label2", 12)
+    assert(eng2.annState.isInstanceOf[RClipEngine.AnnBuilt],
+      "trusted artifact must load on first search")
+    assert(got == eng1.searchRows("label2", 12))
+    // a mutation commits a new store version: the artifact marker stops
+    // matching, so yet another fresh engine serves brute instead of the
+    // stale (pre-censor) index
+    val victim = got.head._1
+    assert(eng2.censor(victim, "k"))
+    val eng3 = mk()
+    val after = eng3.searchRows("label2", 64)
+    assert(eng3.annState == RClipEngine.AnnUnbuilt,
+      "a stale artifact must not be trusted after a store mutation")
+    assert(!after.exists(_._1 == victim))
+  }
+
+  test("annHealth (VERDICT r08 next-#4): one drift row against the LIVE " +
+    "serving index — recall floor holds after appends, alarm fires on a " +
+    "deliberately degraded index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-engine-health").toString
+    val store = new SnapshotStore(dir)
+    store.initFrom(spark, s"$sf/embeddings.parquet")
+    val panel = (0 to 9).map(i => s"label$i")
+    val good = RClipEngine.AnnServing(cells = 8, nprobe = 6, m = 16, coarseK = 192)
+    val eng = new RClipEngine(spark, store, new DeterministicEmbedder(64),
+      censorKey = Some("k"), fastPathMaxRows = 0L, annServing = Some(good))
+    // no serving index yet → no health row (nothing to drift)
+    assert(eng.annHealth(panel, 12).isEmpty)
+    eng.warm()
+    val h = eng.annHealth(panel, 12).get
+    assert(!h.alarm, s"healthy index alarmed: $h")
+    assert(h.recallPermille >= good.healthRecallFloorPermille, h.toString)
+    assert(h.rows == eng.count())
+    // N appends (new ids, duplicate vectors land in existing cells),
+    // re-warm, the floor still holds and the row count tracks the corpus
+    val extra = spark.read.parquet(s"$sf/embeddings.parquet")
+      .limit(100).withColumn("vec_id", col("vec_id") + lit(100000L))
+    eng.upsert(extra, "vec_id")
+    eng.warm()
+    val h2 = eng.annHealth(panel, 12).get
+    assert(!h2.alarm, s"post-append health alarmed: $h2")
+    assert(h2.rows == eng.count())
+    // deliberately degraded: coarseK=8 < k=12 guarantees recall ≤ 667‰;
+    // the alarm must fire
+    val bad = new RClipEngine(spark, store, new DeterministicEmbedder(64),
+      fastPathMaxRows = 0L,
+      annServing = Some(good.copy(nprobe = 1, coarseK = 8, ivfIters = 0)))
+    bad.warm()
+    val hb = bad.annHealth(panel, 12).get
+    assert(hb.alarm && hb.recallPermille < good.healthRecallFloorPermille,
+      s"degraded index did not alarm: $hb")
   }
 
   test("ramCoarseCut: the k-bounded heap keeps exactly the sort-based " +

@@ -19,9 +19,26 @@ pyarrow (not Spark) so physical parquet types survive verbatim — the
 events table is TIMESTAMP(NANOS), which a Spark rewrite would demote
 to INT64 and break both Tables.events and the DuckDB oracles.
 
-Usage: python3 tools/stress_gen.py <srcSfDir> <dstDir> <factor>
+NOISY mode (optional 4th arg "noisy", VERDICT r08 next-#5): the default
+clone shards make pair-emitter output quadratic in the factor (every
+shard carries byte-identical embeddings and near-identical text), so
+100x walls measure fixture mass, not operator work. Noisy shards keep
+each shard's INTERNAL near-dup structure byte-exact while making
+cross-shard pairs non-duplicates, so true-pair mass grows ~linearly:
+  - embeddings: shard k>0 is rotated by a seeded random ORTHOGONAL
+    matrix R_k — every within-shard cosine/dot is EXACTLY preserved
+    (R_k^T R_k = I), while cross-shard cosines collapse to ~N(0, 1/dim);
+  - documents: tokens with fnv(tok) % 3 != 0 are replaced by a
+    deterministic function of (token, shard) — within-shard shared
+    spans stay shared (the rule is position-independent), while
+    cross-shard word-3-gram survival is (1/3)^3 and 5-char-shingle
+    Jaccard drops below every LSH band threshold.
+Shard 0 stays byte-identical in both modes.
+
+Usage: python3 tools/stress_gen.py <srcSfDir> <dstDir> <factor> [noisy]
 """
 import sys
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.compute as pc
@@ -52,7 +69,51 @@ STRIDE_OWNER = {
 }
 
 
-def main(src, dst, factor):
+def _fnv(s):
+    h = 0xcbf29ce484222325
+    for b in s.encode("utf-8", "surrogateescape"):
+        h = ((h ^ b) * 0x100000001b3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _noisy_text(text, k):
+    """Token-dependent, position-independent per-shard substitution."""
+    if text is None:
+        return None
+    toks = text.split(" ")
+    out = []
+    for t in toks:
+        h = _fnv(t)
+        if t and h % 3 != 0:
+            out.append("n%d" % ((h * 31 + k * 0x9E3779B9) % 10**8))
+        else:
+            out.append(t)
+    return " ".join(out)
+
+
+def _rotation(dim, k):
+    """Seeded random orthogonal matrix (QR of a gaussian, sign-fixed)."""
+    rng = np.random.RandomState(1000003 + k)
+    q, r = np.linalg.qr(rng.standard_normal((dim, dim)))
+    return (q * np.sign(np.diag(r))).astype(np.float64)
+
+
+def _rotate_embeddings(shard, k):
+    i = shard.schema.get_field_index("embedding")
+    typ = shard.schema.field(i).type
+    col = shard["embedding"].combine_chunks()
+    mat = np.asarray(col.values).reshape(len(shard), -1).astype(np.float64)
+    rot = (mat @ _rotation(mat.shape[1], k).T).astype(np.float32)
+    arr = pa.FixedSizeListArray.from_arrays(pa.array(rot.ravel()), mat.shape[1]) \
+        if pa.types.is_fixed_size_list(typ) else \
+        pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (len(shard) + 1) * mat.shape[1],
+                               mat.shape[1], dtype=np.int32)),
+            pa.array(rot.ravel()))
+    return shard.set_column(i, shard.schema.field(i), arr.cast(typ))
+
+
+def main(src, dst, factor, noisy=False):
     import os
     os.makedirs(dst, exist_ok=True)
     base = {t: pq.read_table(f"{src}/{t}.parquet")
@@ -77,10 +138,18 @@ def main(src, dst, factor):
                 shard = shard.set_column(i, shard.schema.field(i), shifted)
             if t == "documents" and k > 0:
                 i = shard.schema.get_field_index("text")
+                if noisy:
+                    noised = pa.array(
+                        [_noisy_text(v, k)
+                         for v in shard["text"].to_pylist()],
+                        type=shard.schema.field(i).type)
+                    shard = shard.set_column(i, shard.schema.field(i), noised)
                 # null text stays null (binary_join propagates nulls)
                 tagged = pc.binary_join_element_wise(
                     shard["text"], pa.scalar(f"shard{k}"), " ")
                 shard = shard.set_column(i, shard.schema.field(i), tagged)
+            if t == "embeddings" and k > 0 and noisy:
+                shard = _rotate_embeddings(shard, k)
             shards.append(shard)
         out = pa.concat_tables(shards)
         pq.write_table(out, f"{dst}/{t}.parquet")
@@ -88,4 +157,5 @@ def main(src, dst, factor):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]),
+         noisy=(len(sys.argv) > 4 and sys.argv[4] == "noisy"))
