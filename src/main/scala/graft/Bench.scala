@@ -79,9 +79,15 @@ object Bench {
     * evidence the END-of-run attestation records, checked BEFORE any
     * work — a run that would be born contaminated should wait instead
     * of producing a poisoned record. Unreadable probes (-1) pass: the
-    * gate acts on positive evidence of load, never on missing /proc. */
+    * gate acts on positive evidence of load, never on missing /proc.
+    * The load threshold is 0.3, TIGHTER than the end attestation's 1.0
+    * (VERDICT r08 next-#1): two idle-attested r8 records of identical
+    * code disagreed 15% total / 8× on one query — both passed at
+    * load ≈ 0.8, where a recently-busy host still has hot page cache /
+    * CPU state. Waiting for a genuinely quiet start is cheap; an
+    * irreproducible record costs a round. */
   def preflightOk(load: Double, otherJava: Int, stealPct: Double): Boolean =
-    load < 1.0 && otherJava <= 0 && stealPct < 5.0
+    load < 0.3 && otherJava <= 0 && stealPct < 5.0
 
   /** Bounded wait-retry until [[preflightOk]] holds: poll every 30 s up
     * to `maxWaitSec`, returning (admitted, seconds waited). The bound
@@ -200,28 +206,47 @@ object Bench {
     // build explicitly as its own entry (included in `total`). Builds run
     // in dependency order, so each entry times ONLY its own stage (the
     // labels entry is the closure cost over already-materialized pairs).
+    val artifactChain = Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      "artifact_d02_pairs" -> (() => graft.ops.DedupQueries.d02Pairs(spark, sfDir)),
+      "artifact_d02_labels" -> (() => graft.ops.CurationQueries.d02Labels(spark, sfDir)),
+      "artifact_d06_pairs" -> (() => graft.ops.DedupQueries.d06Pairs(spark, sfDir)),
+      "artifact_d06_labels" -> (() => graft.ops.CurationQueries.d06Labels(spark, sfDir)),
+      "artifact_n09_edges" -> (() => graft.ops.AnnQueries.n09Graph(spark, sfDir)),
+      "artifact_ppj_sets" -> (() => graft.ops.DedupQueries.ppjSets(spark, sfDir)))
+    // one full chain pass: clear RAM + DISK artifacts first (the entries
+    // must time real builds, not marker-fresh re-reads), then build in
+    // dependency order so each entry times ONLY its own stage (the labels
+    // entry is the closure cost over already-materialized pairs)
+    def runArtifactChain(): Seq[(String, Double)] = {
+      graft.engine.ArtifactCache.clear()
+      graft.engine.ArtifactCache.clearDisk()
+      artifactChain.map { case (name, build) =>
+        val t0 = System.nanoTime()
+        try build().count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench-artifact] $name failed: ${e.getMessage}")
+        }
+        finally spark.catalog.clearCache()
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    // the artifact entries get the same stability discipline as the
+    // queries (VERDICT r08 next-#1 — artifact_d06_* swung 3× between two
+    // attested r8 records): two chain passes, min per entry; if any
+    // non-trivial entry is bimodal (>2×), a third pass and medians
     val artifactBuilds: Seq[(String, Double)] =
       if (only.isDefined) Seq.empty
       else {
-        graft.engine.ArtifactCache.clear()
-        // also drop DISK-persisted artifacts (ppj_sets): the artifact_*
-        // entries must time real builds, not marker-fresh re-reads
-        graft.engine.ArtifactCache.clearDisk()
-        Seq[(String, () => org.apache.spark.sql.DataFrame)](
-          "artifact_d02_pairs" -> (() => graft.ops.DedupQueries.d02Pairs(spark, sfDir)),
-          "artifact_d02_labels" -> (() => graft.ops.CurationQueries.d02Labels(spark, sfDir)),
-          "artifact_d06_pairs" -> (() => graft.ops.DedupQueries.d06Pairs(spark, sfDir)),
-          "artifact_d06_labels" -> (() => graft.ops.CurationQueries.d06Labels(spark, sfDir)),
-          "artifact_n09_edges" -> (() => graft.ops.AnnQueries.n09Graph(spark, sfDir)),
-          "artifact_ppj_sets" -> (() => graft.ops.DedupQueries.ppjSets(spark, sfDir))
-        ).map { case (name, build) =>
-          val t0 = System.nanoTime()
-          try build().count()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench-artifact] $name failed: ${e.getMessage}")
-          }
-          finally spark.catalog.clearCache()
-          name -> (System.nanoTime() - t0) / 1e9
+        val p1 = runArtifactChain()
+        val p2 = runArtifactChain()
+        val bimodal = p1.zip(p2).exists { case ((_, a), (_, b)) =>
+          a >= 0 && b >= 0 && math.max(a, b) >= 0.5 &&
+            math.max(a, b) > 2.0 * math.min(a, b)
+        }
+        val passes = if (bimodal) Seq(p1, p2, runArtifactChain()) else Seq(p1, p2)
+        artifactChain.map(_._1).zipWithIndex.map { case (name, i) =>
+          val xs = passes.map(_(i)._2).sorted
+          name -> (if (xs.length == 3) xs(1) else xs.head)
         }
       }
 
@@ -234,12 +259,21 @@ object Bench {
 
     // best of 2 timed runs per query (each from a cold cache — clearCache
     // in timeOnce), so one anomalous run (GC pause, co-tenant load, a
-    // cache race) can't define the recorded number — VERDICT r01 #3
+    // cache race) can't define the recorded number — VERDICT r01 #3.
+    // STABILITY PASS (VERDICT r08 next-#1): when the two runs of a
+    // non-trivial query disagree by >2×, the pair is bimodal and min()
+    // would record whichever mode happened to fire — run a third and
+    // take the MEDIAN, so one hot-cache fluke or one stall can't define
+    // the number in either direction.
     def timeBest(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val a = timeOnce(fn)
       if (a < 0) return a
       val b = timeOnce(fn)
-      if (b < 0) a else math.min(a, b)
+      if (b < 0) return a
+      if (math.max(a, b) >= 0.5 && math.max(a, b) > 2.0 * math.min(a, b)) {
+        val c = timeOnce(fn)
+        if (c < 0) math.min(a, b) else Seq(a, b, c).sorted.apply(1)
+      } else math.min(a, b)
     }
 
     val results = artifactBuilds ++ qs.map { case (name, fn) => name -> timeBest(fn) }

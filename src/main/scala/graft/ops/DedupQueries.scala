@@ -598,14 +598,20 @@ object DedupQueries {
     // candidate set stays O(n·cap), never O(hottest²). Oracle twin:
     // duckTieredCappedCtes' QUALIFY window.
     val bucketed = graft.vec.Lsh.capTieredBuckets(rawBucketed)
-    val cand = bucketed.as("x").join(bucketed.as("y"),
+    // SHUFFLE_HASH on the node-sized build sides (STRESS_r09): at 100×
+    // the planner flipped these to SortMergeJoin — candidate-mass sorts
+    // that spill; the hinted builds are thin per-partition hash tables
+    // at any corpus size
+    val cand = bucketed.as("x").join(bucketed.hint("SHUFFLE_HASH").as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
     cand
-      .join(embC.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
-      .join(embC.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+      .join(embC.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+        .hint("SHUFFLE_HASH"), "id_a")
+      .join(embC.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+        .hint("SHUFFLE_HASH"), "id_b")
       .select(col("id_a"), col("id_b"),
         round(graft.vec.VectorOps.cosineColsNative(col("ea"), col("eb")), 4)
           .as("cos"))

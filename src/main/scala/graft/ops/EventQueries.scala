@@ -870,7 +870,48 @@ object EventQueries {
       .orderBy(col("user_id"), col("v_id"), col("p_id"))
   }
 
+  /** e27: BUCKETED attribution join — e26's exact semantics (every
+    * (view, purchase) pair per user within the trailing hour) re-planned
+    * for HOT USERS (VERDICT r08 next-#6): views land in 1-hour epoch
+    * buckets, each purchase probes its own and the previous bucket via a
+    * 2-way explode, and a thin (user_id, bkt) equi-join + range filter
+    * replaces the sliding range window. A view in [p_us − 1 h, p_us]
+    * always lives in one of those two buckets (bucket width = window
+    * width) and in exactly one bucket, so the candidate set covers every
+    * pair exactly once — output is row-identical to e26 (same oracle).
+    *
+    * Why it exists: e26's range frame has no retractable collect_list,
+    * so a user with V events/hour costs O(V²) buffer re-accumulation
+    * per hour REGARDLESS of how many pairs are real. Here candidate mass
+    * is ≤ 2 × views-per-2h per purchase — proportional to true output,
+    * the optimal shape for a skewed corpus (measured on a planted
+    * 10⁵-events/hour user in STRESS_r09). One shuffle of thin rows per
+    * side on (user_id, bkt) — the bucket key also SPLITS a hot user
+    * across partitions, which is the salting e12's note asks for. */
+  val e27_attribution_bucketed: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"), col("us").as("v_us"),
+        expr("us div 3600000000L").as("bkt"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"))
+      .withColumn("bkt", explode(array(
+        expr("p_us div 3600000000L - 1L"), expr("p_us div 3600000000L"))))
+    // SHUFFLE_HASH: both sides are corpus-sized event streams (no
+    // broadcast), co-partitioned on the salted key; never a sort-merge
+    purch.join(views.hint("SHUFFLE_HASH"), Seq("user_id", "bkt"))
+      .filter(col("v_us") >= col("p_us") - lit(3600000000L) &&
+        col("v_us") <= col("p_us"))
+      .selectExpr("user_id", "v_id", "p_id",
+        "(p_us - v_us) div 1000000L AS lag_sec")
+      .orderBy(col("user_id"), col("v_id"), col("p_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "e27_attribution_bucketed" -> e27_attribution_bucketed,
     "e26_attribution_join" -> e26_attribution_join,
     "e25_session_window" -> e25_session_window,
     "e24_bot_flag" -> e24_bot_flag,
@@ -903,6 +944,22 @@ object EventQueries {
     // declarative spelling of "purchase within 1 h after the view";
     // all arithmetic BIGINT epoch-micros, lag floor-divided to seconds
     // (both operands non-negative, so div == // exactly)
+    // e27 computes the same pair set as e26 through a bucketed equi-join;
+    // ONE inequality-join oracle gates both plans
+    "e27_attribution_bucketed" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |v AS (SELECT user_id, event_id AS v_id, us AS v_us
+        |      FROM ev WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS p_id, us AS p_us
+        |      FROM ev WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.v_id, p.p_id,
+        |       ((p.p_us - v.v_us) // 1000000)::BIGINT AS lag_sec
+        |FROM v JOIN p
+        |  ON v.user_id = p.user_id
+        | AND p.p_us >= v.v_us AND p.p_us <= v.v_us + 3600000000
+        |ORDER BY v.user_id, v_id, p_id""".stripMargin,
     "e26_attribution_join" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us

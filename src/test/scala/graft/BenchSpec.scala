@@ -19,6 +19,11 @@ final class BenchSpec extends AnyFunSuite {
       "BENCH_r07's own start state (loadavg 24) must be denied")
     assert(!Bench.preflightOk(load = 0.1, otherJava = 1, stealPct = 0.2))
     assert(!Bench.preflightOk(load = 0.1, otherJava = 0, stealPct = 5.0))
+    // VERDICT r08 next-#1: the r8 records that disagreed 15%/8× both
+    // started near load 0.8 — a recently-busy host must now wait
+    assert(!Bench.preflightOk(load = 0.8, otherJava = 0, stealPct = 0.2),
+      "load in [0.3, 1.0) passed the r8 gate and produced irreproducible records")
+    assert(Bench.preflightOk(load = 0.29, otherJava = 0, stealPct = 0.2))
   }
 
   test("preflight acts on positive evidence only: unreadable probes pass") {

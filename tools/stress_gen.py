@@ -28,11 +28,13 @@ cross-shard pairs non-duplicates, so true-pair mass grows ~linearly:
   - embeddings: shard k>0 is rotated by a seeded random ORTHOGONAL
     matrix R_k — every within-shard cosine/dot is EXACTLY preserved
     (R_k^T R_k = I), while cross-shard cosines collapse to ~N(0, 1/dim);
-  - documents: tokens with fnv(tok) % 3 != 0 are replaced by a
+  - documents: tokens with fnv(tok) % 4 != 0 are replaced by a
     deterministic function of (token, shard) — within-shard shared
     spans stay shared (the rule is position-independent), while
-    cross-shard word-3-gram survival is (1/3)^3 and 5-char-shingle
-    Jaccard drops below every LSH band threshold.
+    cross-shard word-3-gram survival is (1/4)^3 ≈ 1.6% (jaccard
+    ≈ 0.008, below d04's 0.02 keep threshold — a %3 rule left it at
+    0.019, straddling the boundary) and 5-char-shingle Jaccard drops
+    below every LSH band threshold.
 Shard 0 stays byte-identical in both modes.
 
 Usage: python3 tools/stress_gen.py <srcSfDir> <dstDir> <factor> [noisy]
@@ -84,7 +86,7 @@ def _noisy_text(text, k):
     out = []
     for t in toks:
         h = _fnv(t)
-        if t and h % 3 != 0:
+        if t and h % 4 != 0:
             out.append("n%d" % ((h * 31 + k * 0x9E3779B9) % 10**8))
         else:
             out.append(t)
