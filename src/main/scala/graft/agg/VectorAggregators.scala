@@ -65,8 +65,38 @@ object VectorAggregators {
   /** Element-wise max (A2 — `feature_maximums`, `rclip_server.py:64`). */
   object VecMax extends ElementwiseAgg(math.max)
 
+  /** Element-wise Σ of BIGINT arrays — v11's per-round y = Xᵀu fold.
+    * Long addition is exact and order-free, so the aggregate equals the
+    * dim-keyed shuffle it replaces value-for-value; the buffer is ONE
+    * d-length Long array per partition (map-side combining), so a round
+    * costs a single narrow pass with no dim-keyed exchange. */
+  object VecSumLong extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    private def encL: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def zero: Array[Long] = Array.empty[Long]
+    def reduce(buf: Array[Long], v: Array[Long]): Array[Long] =
+      if (v == null) buf
+      else if (buf.isEmpty) v.clone()
+      else {
+        var i = 0
+        while (i < buf.length && i < v.length) { buf(i) += v(i); i += 1 }
+        buf
+      }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        var i = 0
+        while (i < a.length && i < b.length) { a(i) += b(i); i += 1 }
+        a
+      }
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: Encoder[Array[Long]] = encL
+    def outputEncoder: Encoder[Array[Long]] = encL
+  }
+
   /** Column-level UDAFs for DataFrame `.agg(...)`. */
   lazy val vecSum = udaf(VecSum)
   lazy val vecMin = udaf(VecMin)
   lazy val vecMax = udaf(VecMax)
+  lazy val vecSumLong = udaf(VecSumLong)
 }

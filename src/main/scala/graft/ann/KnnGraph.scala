@@ -7,11 +7,11 @@ import org.apache.spark.sql.functions._
   * that [[graft.engine.ArtifactCache]]'s scaladoc promises ("at cluster
   * scale this memo is replaced by actually writing the artifact"), and
   * the storage layout n17/n20's serving walks assume: edges land in
-  * [[KnnGraph.NUM_BUCKETS]] directory partitions keyed by
-  * `src mod NUM_BUCKETS`, so a beam-frontier probe joining on
-  * (bucket, src) reads only the frontier's buckets — at 100 TB each
-  * expansion step is a partition-pruned point read (dynamic partition
-  * pruning from the broadcast frontier), never a full edge scan.
+  * size-derived directory partitions keyed by `src mod numBuckets`, so a
+  * beam-frontier probe joining on (bucket, src) reads only the
+  * frontier's buckets — at 100 TB each expansion step is a
+  * partition-pruned point read (dynamic partition pruning from the
+  * broadcast frontier), never a full edge scan.
   *
   * Same save/load contract as [[IvfIndex]]/[[IvfPqIndex]]: build once per
   * crawl, every consumer (beam serving, label propagation, degree audits)
@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * candidate join (AnnQueries.n09GraphImpl) — this class is storage +
   * probe only, deliberately free of build logic.
   */
-final class KnnGraph private (val edges: DataFrame) {
+final class KnnGraph private[ann] (val edges: DataFrame, val numBuckets: Long) {
 
   /** Out-neighbors of a frontier: broadcast the (tiny) frontier ids and
     * join on (bucket, src) — the bucket equi-join gives the partition
@@ -29,7 +29,7 @@ final class KnnGraph private (val edges: DataFrame) {
   def neighbors(frontier: DataFrame, idCol: String = "vec_id"): DataFrame = {
     val probe = frontier
       .withColumnRenamed(idCol, "src")
-      .withColumn("bucket", KnnGraph.bucketOf(col("src")))
+      .withColumn("bucket", KnnGraph.bucketOf(col("src"), numBuckets))
     edges.join(broadcast(probe), Seq("bucket", "src"))
       .drop("bucket", "src")
   }
@@ -37,21 +37,52 @@ final class KnnGraph private (val edges: DataFrame) {
 
 object KnnGraph {
 
-  /** Directory-partition count: enough that a width-10 frontier touches
-    * ≲ a sixth of the partitions, few enough that a 100 TB edge table
-    * keeps healthy file sizes per bucket (the knob to retune per
-    * deployment, like IvfIndex's cell count). */
-  val NUM_BUCKETS = 64
+  /** Directory-partition sizing (guide §6: sensible output file sizing —
+    * the bucket count is the knob to retune per deployment, like
+    * IvfIndex's cell count). Derived from the COUNTED edge rows, never a
+    * constant: a fixed 64 wrote 64 near-empty parquet directories for a
+    * fixture-sized graph (listing + footer overhead dominated every
+    * probe) while staying too coarse for a 100 TB edge table. Target
+    * ~[[EDGES_PER_BUCKET]] rows per bucket directory (≈ tens of MB of
+    * thin edge rows), clamped to [[MIN_BUCKETS]] (a width-10 frontier
+    * still prunes) and [[MAX_BUCKETS]] (directory-listing sanity). The
+    * chosen count is persisted in a `_graft_buckets` sidecar so load and
+    * appendSave keep probing/writing the SAME modulus — bucket
+    * membership stays a pure function of src per artifact. */
+  val EDGES_PER_BUCKET = 500000L
+  val MIN_BUCKETS = 8L
+  val MAX_BUCKETS = 4096L
 
-  private[ann] def bucketOf(src: Column): Column =
-    pmod(src, lit(NUM_BUCKETS.toLong))
+  /** Fallback for artifacts written before the sidecar existed. */
+  val LEGACY_BUCKETS = 64L
 
-  /** Persist a thin (src, nbr) edge list id-bucketed by source. */
-  def save(edges: DataFrame, path: String): Unit =
-    edges.select(col("src"), col("nbr"))
-      .withColumn("bucket", bucketOf(col("src")))
+  def bucketsFor(nEdges: Long): Long =
+    math.min(MAX_BUCKETS,
+      math.max(MIN_BUCKETS, nEdges / EDGES_PER_BUCKET + 1))
+
+  private[ann] def bucketOf(src: Column, numBuckets: Long): Column =
+    pmod(src, lit(numBuckets))
+
+  private def metaPath(path: String) =
+    java.nio.file.Paths.get(path, "_graft_buckets")
+
+  /** Persist a thin (src, nbr) edge list id-bucketed by source; the
+    * bucket count derives from the counted edge rows (size-adaptive,
+    * guide §2: never a constant tuned for one scale) and lands in the
+    * sidecar for load/appendSave. */
+  def save(edges: DataFrame, path: String): Unit = {
+    val thin = edges.select(col("src"), col("nbr"))
+    val nb = bucketsFor(thin.count())
+    thin
+      .withColumn("bucket", bucketOf(col("src"), nb))
       .repartition(col("bucket")) // one writer task per bucket dir
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    java.nio.file.Files.writeString(metaPath(path), nb.toString)
+  }
+
+  private def bucketsOf(path: String): Long =
+    try java.nio.file.Files.readString(metaPath(path)).trim.toLong
+    catch { case _: Throwable => LEGACY_BUCKETS }
 
   /** Append-save for a grown graph (the [[IvfPqIndex.appendSave]]
     * contract applied to edges): write ONLY `deltaEdges` into the
@@ -59,10 +90,11 @@ object KnnGraph {
     * existing files untouched, each touched bucket directory gains
     * delta files. This is how a crawl's incremental k-NN edges land
     * without rewriting the corpus-sized artifact; the probe path is
-    * unchanged because bucket membership is a pure function of src. */
+    * unchanged because bucket membership is a pure function of src
+    * UNDER THE ARTIFACT'S OWN MODULUS (read from the sidecar). */
   def appendSave(deltaEdges: DataFrame, path: String): Unit =
     deltaEdges.select(col("src"), col("nbr"))
-      .withColumn("bucket", bucketOf(col("src")))
+      .withColumn("bucket", bucketOf(col("src"), bucketsOf(path)))
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(path)
 
@@ -73,5 +105,5 @@ object KnnGraph {
     * partition pruner engaged (ADVICE r07). */
   def load(spark: SparkSession, path: String): KnnGraph =
     new KnnGraph(spark.read.parquet(path)
-      .withColumn("bucket", col("bucket").cast("long")))
+      .withColumn("bucket", col("bucket").cast("long")), bucketsOf(path))
 }

@@ -515,32 +515,37 @@ object AnnQueries {
     // d06's hot-bucket cap (VERDICT r04 #1), weighted so the boundary is
     // the clone-expanded one; oracle twin = duckTieredCappedCtes
     val bucketed = Lsh.capTieredBucketsWeighted(rawBucketed, col("cnt"))
-    // SHUFFLE_HASH on every node-sized build side below (VERDICT r08 /
-    // STRESS_r09): at fixture scale these broadcast, but at 100× the
-    // planner's stats flipped them to SortMergeJoin whose candidate-mass
-    // sorts spilled the disk to death. The hinted build sides are all
-    // node- or bucket-row-sized (≤ ~30 B/row over shuffle partitions),
-    // so the per-partition hash builds stay trivially in memory at any
-    // corpus size — the d15/d16 counted-strategy lesson, applied as a
-    // static hint because the bound holds structurally.
-    val candG = bucketed.as("x").join(bucketed.hint("SHUFFLE_HASH").as("y"),
+    // COUNTED join dispatch on every node-sized build side below (the
+    // d15/d16 size-adaptive lesson, extended per d06): below the bound
+    // the bucket/rep/member sides BROADCAST, so the candidate stream —
+    // the big side, O(distinct·bucket) rows — never exchanges (the
+    // pre-r9 shape shuffled it once per hinted SHUFFLE_HASH join: by
+    // bucket key, by gsrc, by gnbr, and by gnbr again for the member
+    // cut). Above the bound the builds stay SHUFFLE_HASH — thin
+    // per-partition hash tables at any corpus size, never the
+    // SortMergeJoin the planner's stats flipped to at 100× whose
+    // candidate-mass sorts spilled the disk to death (STRESS_r09).
+    def small(df: DataFrame): DataFrame =
+      if (n <= Lsh.NODE_BCAST_MAX_ROWS) broadcast(df)
+      else df.hint("SHUFFLE_HASH")
+    val candG = bucketed.as("x").join(small(bucketed).as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           (col("x.gid") =!= col("y.gid") ||
             (col("x.gid") === col("y.gid") && col("x.cnt") >= 2)))
       .select(col("x.gid").as("gsrc"), col("y.gid").as("gnbr"))
       .distinct()
     val scoredG = candG
-      .join(reps.select(col("gid").as("gsrc"), col("embedding").as("ea"))
-        .hint("SHUFFLE_HASH"), "gsrc")
-      .join(reps.select(col("gid").as("gnbr"), col("embedding").as("eb"))
-        .hint("SHUFFLE_HASH"), "gnbr")
+      .join(small(reps.select(col("gid").as("gsrc"), col("embedding").as("ea"))),
+        "gsrc")
+      .join(small(reps.select(col("gid").as("gnbr"), col("embedding").as("eb"))),
+        "gnbr")
       .select(col("gsrc"), col("gnbr"),
         (round(VectorOps.cosineColsNative(col("ea"), col("eb")), 4) + lit(0.0))
           .as("cos"))
     // the 4 smallest member ids per neighbor group (self-exclusion slack)
     val first4 = mm.filter(col("mrk") <= 4)
       .select(col("gid").as("gnbr"), col("vec_id").as("nbr"))
-    val contrib = scoredG.join(first4.hint("SHUFFLE_HASH"), "gnbr")
+    val contrib = scoredG.join(small(first4), "gnbr")
       .select(col("gsrc"), col("nbr"), col("cos"))
     // member expansion with a COUNTED singleton fast path: on a corpus
     // with no (or few) exact clones every group is its own member, so the
@@ -560,7 +565,7 @@ object AnnQueries {
         val single = contrib.join(broadcast(multi), Seq("gsrc"), "left_anti")
           .select(col("gsrc").as("src"), col("nbr"), col("cos"))
         val cloned = contrib.join(broadcast(multi), Seq("gsrc"), "left_semi")
-          .join(memberSrc.hint("SHUFFLE_HASH"), "gsrc")
+          .join(small(memberSrc), "gsrc")
           .select(col("src"), col("nbr"), col("cos"))
         single.unionByName(cloned)
       } else
@@ -740,7 +745,11 @@ object AnnQueries {
   val n17_beam_search: Q = (s, d) => {
     val q = VectorQueries.flagshipVec
     val edges = n09Graph(s, d)
+    // cached: the unrolled walk rescans the vector table once per
+    // expansion step (BEAM_STEPS + 1 probes) — one in-memory
+    // materialization serves them all
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .cache()
     // rescore a (tiny) candidate-id frame and keep the best k — the
     // candidate side broadcasts into the id-pruned corpus join, the cut
     // is a k-bounded TakeOrdered; all lazy, nothing collects
@@ -784,7 +793,9 @@ object AnnQueries {
   val n20_beam_batch: Q = (s, d) => {
     val qs = qsDf(s, d) // (qlabel, qvec), broadcast
     val edges = n09Graph(s, d)
+    // cached: one materialization serves the BEAM_STEPS + 1 probe scans
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .cache()
     def scoredTop(cand: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("qlabel"))
         .orderBy(col("score").desc, col("vec_id").asc)
@@ -831,7 +842,9 @@ object AnnQueries {
       d.replaceAll("[^A-Za-z0-9.]", "_")
     graft.ann.KnnGraph.save(n09Graph(s, d), tmp)
     val g = graft.ann.KnnGraph.load(s, tmp)
+    // cached: one materialization serves the BEAM_STEPS + 1 probe scans
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .cache()
     def scoredTop(cand: DataFrame, k: Int): DataFrame = emb
       .join(broadcast(cand.select(col("vec_id")).distinct()), "vec_id")
       .select(col("vec_id"),

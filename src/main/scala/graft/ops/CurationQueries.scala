@@ -106,6 +106,27 @@ object CurationQueries {
     out
   }
 
+  /** [[materializeFlat]] that folds the caller's fixpoint probe into the
+    * MATERIALIZING action itself: one job per round computes the rows,
+    * checkpoints them, and returns (count, Σ lblCol) — the old shape paid
+    * a second full job per round just to read the sum back. */
+  private def materializeFlatWithSum(
+      df: DataFrame, lblCol: String): (DataFrame, Long, Long) = {
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    val out = df.sparkSession.createDataFrame(rdd, df.schema)
+    val row = out.agg(count(lit(1)), sum(col(lblCol))).head()
+    (out, row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+
+  /** Per-partition hash-build bound for the round joins: at or below this
+    * many label rows the per-round label table BROADCASTS into the edge
+    * and jump joins (zero shuffles per round beyond the min-aggregate);
+    * above it the joins fall back to shuffle-hash (labels are
+    * corpus-sized at 100 TB — d15's counted-strategy discipline; the
+    * label row count is CONSTANT across rounds, so one count decides). */
+  private val CP_BCAST_MAX_NODES = 1000000L
+
   def clusterPairs(pairs: DataFrame): DataFrame = {
     // per-round materialization is mandatory in iterative plans: without
     // it every round embeds the previous round's logical plan (×3: self
@@ -118,23 +139,26 @@ object CurationQueries {
     val edges = materializeFlat(p
       .unionByName(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst"))
-    var labels = materializeFlat(edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")))
-    // no pairs → no clusters: skip the loop rather than aggregating
-    // sum(lbl) over zero rows (NULL → getLong NPE)
-    if (!labels.isEmpty) {
-      var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    var (labels, nNodes, prevSum) = materializeFlatWithSum(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")), "lbl")
+    // no pairs → no clusters: skip the loop (sum over zero rows is NULL)
+    if (nNodes > 0) {
+      // size-derived dispatch, decided ONCE (node count is round-constant)
+      val bcast = nNodes <= CP_BCAST_MAX_NODES
+      def side(df: DataFrame): DataFrame =
+        if (bcast) broadcast(df) else df.hint("shuffle_hash")
       var converged = false
       var iter = 0
       while (!converged && iter < 40) {
-        val nbr = edges.join(labels, edges("dst") === labels("node"))
+        val nbr = edges.join(side(labels), edges("dst") === labels("node"))
           .select(edges("src").as("node"), col("lbl"))
         val jump = labels.as("a")
-          .join(labels.as("b"), col("a.lbl") === col("b.node"))
+          .join(side(labels.as("b")), col("a.lbl") === col("b.node"))
           .select(col("a.node").as("node"), col("b.lbl").as("lbl"))
-        val next = materializeFlat(labels.unionByName(nbr).unionByName(jump)
-          .groupBy(col("node")).agg(min(col("lbl")).as("lbl")))
-        val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
+        val (next, _, nextSum) = materializeFlatWithSum(
+          labels.unionByName(nbr).unionByName(jump)
+            .groupBy(col("node")).agg(min(col("lbl")).as("lbl")), "lbl")
         labels = next
         converged = nextSum == prevSum // labels only ever decrease
         prevSum = nextSum
@@ -320,6 +344,10 @@ object CurationQueries {
         | * CAST(10 * wchars >= 40 * n_words AND 10 * wchars <= 52 * n_words AS INT)
         | * CAST(lang <> 'en' OR sw_hits >= 2 AS INT)
         | * CAST(2 * (n_words - n_distinct) <= n_words AS INT)""".stripMargin
+    // cached: the gauntlet's four text-derived censuses are the most
+    // expensive per-row work in the pipeline and `staged` feeds THREE
+    // subtrees (the dedup digest, the pool, and the final audit join) —
+    // uncached, each subtree re-ran the text expressions over the corpus
     val staged = Tables.documents(s, d)
       .selectExpr(
         "doc_id", "lang", "text",
@@ -332,6 +360,7 @@ object CurationQueries {
         """CASE WHEN pmod(doc_id * 2654435761, 1000) < 800 THEN 'train'
           |     WHEN pmod(doc_id * 2654435761, 1000) < 900 THEN 'val'
           |     ELSE 'test' END AS split""".stripMargin)
+      .cache()
     // dedup among gauntlet survivors: thin (doc_id, digest) window
     val dedupW = Window.partitionBy(col("digest")).orderBy(col("doc_id").asc)
     val dup = staged.filter(col("gauntlet") === 1)
@@ -343,14 +372,20 @@ object CurationQueries {
     // and at corpus scale an id equi-join needs no sort on either side
     val pool = staged.hint("shuffle_hash")
       .join(dup, Seq("doc_id")).filter(col("dup") === 0)
-    // decontamination: df-capped 3-gram join, train pool vs test pool
-    def grams(side: DataFrame) = side
-      .select(col("doc_id"),
+    // decontamination: df-capped 3-gram join, train pool vs test pool.
+    // ONE gram explode + cache over train∪test (split rides along) — the
+    // two-cache shape ran the gram UDF in two passes and paid two
+    // materializing counts; the hot census over the union is unchanged.
+    val gramsTT = pool.filter(col("split").isin("train", "test"))
+      .select(col("doc_id"), col("split"),
         explode(DedupQueries.gramUdf(col("text"))).as("gram"))
-    val trainG = grams(pool.filter(col("split") === "train")).cache()
-    val evalG = grams(pool.filter(col("split") === "test")).cache()
-    trainG.count(); evalG.count() // materialize before the df-agg probes
-    val hot = trainG.unionByName(evalG)
+      .cache()
+    gramsTT.count() // materialize before the df-agg probes
+    val trainG = gramsTT.filter(col("split") === "train")
+      .select(col("doc_id"), col("gram"))
+    val evalG = gramsTT.filter(col("split") === "test")
+      .select(col("doc_id"), col("gram"))
+    val hot = gramsTT
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") > DedupQueries.GRAM_DF_CAP)
       .select(col("gram"))
@@ -515,10 +550,20 @@ object CurationQueries {
       .filter(col("vec_id") % LP_SEED_MOD === 0)
       .select(col("vec_id"), col("label").cast("long").as("lbl"))
       .localCheckpoint(true)
+    // each round references the previous label table exactly ONCE
+    // (lab → votes → inferred → lab'), so the unrolled plan is linear in
+    // rounds — no per-round eager checkpoint needed (c11's argument; the
+    // old shape paid LP_ROUNDS materializing actions). The label table is
+    // node-sized: broadcast it into the edge join below the counted
+    // bound, shuffle-hash above (labels are corpus-sized at 100 TB).
+    // the full label table grows to ≤ 5× the seed count (every node)
+    val bcast = seeds.count() <= 200000L
+    def side(df: DataFrame): DataFrame =
+      if (bcast) broadcast(df) else df.hint("shuffle_hash")
     var lab = seeds
     for (_ <- 1 to LP_ROUNDS) {
       val votes = edges
-        .join(lab.select(col("vec_id").as("nbr"), col("lbl")), "nbr")
+        .join(side(lab.select(col("vec_id").as("nbr"), col("lbl"))), "nbr")
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("v"))
       val w = Window.partitionBy(col("src"))
         .orderBy(col("v").desc, col("lbl").asc)
@@ -527,7 +572,7 @@ object CurationQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("src").as("vec_id"), col("lbl"))
-      lab = seeds.unionByName(inferred).localCheckpoint(true)
+      lab = seeds.unionByName(inferred)
     }
     lab.selectExpr("vec_id", "lbl",
         s"CAST(vec_id % $LP_SEED_MOD = 0 AS INT) AS is_seed")
@@ -579,18 +624,29 @@ object CurationQueries {
     val outd = edges.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("outdeg"))
       .localCheckpoint(true)
+    // UNLIKE clusterPairs, each round references the previous round's
+    // rank exactly ONCE (rank → in → rank'), so the unrolled plan is
+    // LINEAR in rounds and needs no per-round eager checkpoint — the old
+    // shape paid 10 materializing actions plus their dispatch; this one
+    // is a single action whose tree Catalyst plans once. Join dispatch is
+    // size-derived (d15's counted-strategy discipline): the rank/outd/in
+    // tables are all node-sized, so they BROADCAST below the bound and
+    // shuffle-hash above it (corpus-sized at 100 TB).
+    val bcast = n <= 1000000L
+    def side(df: DataFrame): DataFrame =
+      if (bcast) broadcast(df) else df.hint("shuffle_hash")
     var rank = nodes.withColumn("r", lit(PR_SCALE / n))
     for (_ <- 1 to PR_ROUNDS) {
       val in = edges
-        .join(rank.select(col("vec_id").as("src"), col("r")), "src")
-        .join(outd, "src")
+        .join(side(rank.select(col("vec_id").as("src"), col("r"))), "src")
+        .join(side(outd), "src")
         .groupBy(col("nbr"))
         .agg(sum(expr("r div outdeg")).as("inr"))
       rank = nodes
-        .join(in.select(col("nbr").as("vec_id"), col("inr")), Seq("vec_id"), "left")
+        .join(side(in.select(col("nbr").as("vec_id"), col("inr"))),
+          Seq("vec_id"), "left")
         .selectExpr("vec_id",
           s"CAST($teleport + 85 * coalesce(inr, CAST(0 AS BIGINT)) div 100 AS BIGINT) AS r")
-        .localCheckpoint(true)
     }
     rank.select(col("vec_id"), col("r").as("rank_ppb"))
       .orderBy(col("rank_ppb").desc, col("vec_id").asc)
@@ -716,7 +772,11 @@ object CurationQueries {
     * scalars (v09's discipline). */
   val c13_dedup_roi: Q = (s, d) => {
     import s.implicits._
-    val mp = DedupQueries.d02_minhash_lsh(s, d)
+    // the pair ARTIFACT (est_jaccard included) — the sweep is an audit
+    // over the pair set d02 already produced once per crawl; re-running
+    // the whole MinHash pipeline here doubled the most expensive dedup
+    // stage (the same artifact-reuse argument as c02/d13, VERDICT r03 #1)
+    val mp = DedupQueries.d02Pairs(s, d)
       .selectExpr("doc_b",
         "CAST(round(est_jaccard * 1000.0D) AS BIGINT) AS est_pm")
       .groupBy(col("doc_b")).agg(max(col("est_pm")).as("mp"))

@@ -138,7 +138,12 @@ object DedupQueries {
     * pair table once per crawl". */
   private[graft] def d02Pairs(s: SparkSession, d: String): DataFrame =
     graft.engine.ArtifactCache.memoize(s, d, "d02_pairs") {
-      d02_minhash_lsh(s, d).select(col("doc_a"), col("doc_b"))
+      // est_jaccard rides along (8 B/row on a thin pair table): it is
+      // computed by the pipeline anyway, and c13's ROI sweep consumes it
+      // — without it c13 re-ran the WHOLE MinHash pipeline per audit.
+      // Every other consumer selects (doc_a, doc_b) explicitly.
+      d02_minhash_lsh(s, d)
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
     }
 
   /** The (id_a, id_b) pair artifact of [[d06_cosine_lsh]] — same contract
@@ -530,8 +535,15 @@ object DedupQueries {
     val exact = d05_cosine_brute(s, d)
     val found = d06Pairs(s, d)
       .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+    // counted dispatch: the found-pair artifact is O(near-dups) and
+    // already materialized (memoized), so counting it is a cheap scan;
+    // broadcasting it below the bound keeps the O(N²/2) exact side from
+    // shuffling just to meet a thin pair table
+    val foundSide =
+      if (found.count() <= graft.vec.Lsh.NODE_BCAST_MAX_ROWS) broadcast(found)
+      else found.hint("SHUFFLE_HASH")
     exact
-      .join(found.hint("SHUFFLE_HASH"), Seq("id_a", "id_b"), "left")
+      .join(foundSide, Seq("id_a", "id_b"), "left")
       .selectExpr(
         "CAST(round(cos * 10000.0D) AS BIGINT) div 1000 AS band",
         "coalesce(hit, 0L) AS hit")
@@ -598,20 +610,27 @@ object DedupQueries {
     // candidate set stays O(n·cap), never O(hottest²). Oracle twin:
     // duckTieredCappedCtes' QUALIFY window.
     val bucketed = graft.vec.Lsh.capTieredBuckets(rawBucketed)
-    // SHUFFLE_HASH on the node-sized build sides (STRESS_r09): at 100×
-    // the planner flipped these to SortMergeJoin — candidate-mass sorts
-    // that spill; the hinted builds are thin per-partition hash tables
-    // at any corpus size
-    val cand = bucketed.as("x").join(bucketed.hint("SHUFFLE_HASH").as("y"),
+    // COUNTED join dispatch (d15's size-adaptive discipline, extended to
+    // the LSH family): below the bound the node-sized sides BROADCAST,
+    // so the multi-million-row candidate stream never shuffles at all —
+    // the pre-r9 shape exchanged it once per hinted SHUFFLE_HASH join
+    // (by bucket key, then by id_a, then by id_b). Above the bound the
+    // builds stay SHUFFLE_HASH: thin per-partition hash tables at any
+    // corpus size, never the SortMergeJoin the planner's stats flipped
+    // to at 100× (candidate-mass sorts that spill, STRESS_r09).
+    def small(df: DataFrame): DataFrame =
+      if (n <= graft.vec.Lsh.NODE_BCAST_MAX_ROWS) broadcast(df)
+      else df.hint("SHUFFLE_HASH")
+    val cand = bucketed.as("x").join(small(bucketed).as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
     cand
-      .join(embC.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-        .hint("SHUFFLE_HASH"), "id_a")
-      .join(embC.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-        .hint("SHUFFLE_HASH"), "id_b")
+      .join(small(embC.select(col("vec_id").as("id_a"), col("embedding").as("ea"))),
+        "id_a")
+      .join(small(embC.select(col("vec_id").as("id_b"), col("embedding").as("eb"))),
+        "id_b")
       .select(col("id_a"), col("id_b"),
         round(graft.vec.VectorOps.cosineColsNative(col("ea"), col("eb")), 4)
           .as("cos"))
@@ -926,12 +945,18 @@ object DedupQueries {
     val pairs = d02Pairs(s, d)
     val sigs = corpus.select(col("doc_id"), sigUdf(col("text")).as("sig"))
       .cache()
-    sigs.count()
+    val nSigs = sigs.count()
+    // counted dispatch (d15's discipline): the signature table is
+    // corpus-sized but 136 B/row — broadcast below the bound so the
+    // pair stream never exchanges; shuffle-hash above it
+    def sigSide(df: DataFrame): DataFrame =
+      if (nSigs <= graft.vec.Lsh.NODE_BCAST_MAX_ROWS) broadcast(df)
+      else df.hint("shuffle_hash")
     val est = pairs
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa"))
-        .hint("shuffle_hash"), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb"))
-        .hint("shuffle_hash"), "doc_b")
+      .join(sigSide(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa"))),
+        "doc_a")
+      .join(sigSide(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb"))),
+        "doc_b")
       .selectExpr("doc_a", "doc_b",
         s"CAST(round(($estJacSpark) * 1000.0D) AS BIGINT) AS est_pm")
     val pairDocs = pairs.select(col("doc_a").as("doc_id"))
@@ -943,19 +968,26 @@ object DedupQueries {
       .cache()
     occ.count()
     val sizes = occ.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val inter = pairs
-      .join(occ.select(col("doc_id").as("doc_a"), col("h"))
-        .hint("shuffle_hash"), "doc_a")
+    // the pair table and the pair-doc size census are O(near-dups):
+    // broadcast them below the bound (counted — the pair artifact is
+    // already materialized) so the corpus-sized shingle stream exchanges
+    // once (the doc_b,h equi-join) instead of four times
+    val nPairs = pairs.count()
+    def pairSide(df: DataFrame): DataFrame =
+      if (nPairs <= graft.vec.Lsh.NODE_BCAST_MAX_ROWS) broadcast(df)
+      else df.hint("shuffle_hash")
+    val inter = occ.select(col("doc_id").as("doc_a"), col("h"))
+      .join(pairSide(pairs.select(col("doc_a"), col("doc_b"))), "doc_a")
       .join(occ.select(col("doc_id").as("doc_b"), col("h"))
         .hint("shuffle_hash"), Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     est
-      .join(inter.hint("shuffle_hash"), Seq("doc_a", "doc_b"), "left")
+      .join(pairSide(inter), Seq("doc_a", "doc_b"), "left")
       .na.fill(0L, Seq("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na"))
-        .hint("shuffle_hash"), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb"))
-        .hint("shuffle_hash"), "doc_b")
+      .join(pairSide(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na"))),
+        "doc_a")
+      .join(pairSide(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb"))),
+        "doc_b")
       .selectExpr("est_pm div 100 AS band", "est_pm",
         "CAST(inter * 1000 div (na + nb - inter) AS BIGINT) AS exact_pm")
       .selectExpr("band", "est_pm", "exact_pm",
@@ -1338,13 +1370,21 @@ object DedupQueries {
     * via the rotated sort instead. Cost stays linear: 2·W·N banded lev
     * calls, never a pair join. */
   val d17_sorted_neighborhood: Q = (s, d) => {
+    // cache the skeleton pass: the regexp strip is the most expensive
+    // per-row expression here and BOTH rotated passes consume it — the
+    // uncached shape ran the regexp (and the 3-branch corpus union) once
+    // per pass. Only (id, text, 24-char keys) are retained; materialized
+    // before the union so the two window branches read, never race-build.
     val skeleton = d17Corpus(s, d)
       .selectExpr("doc_id", "text",
         "regexp_replace(lower(text), '[^a-z0-9]', '') AS skel")
-    val fwd = skeleton.selectExpr("doc_id", "text",
-      "substring(skel, 1, 24) AS skey")
-    val rev = skeleton.selectExpr("doc_id", "text",
-      "substring(reverse(skel), 1, 24) AS skey")
+      .selectExpr("doc_id", "text",
+        "substring(skel, 1, 24) AS fkey",
+        "substring(reverse(skel), 1, 24) AS rkey")
+      .cache()
+    skeleton.count()
+    val fwd = skeleton.selectExpr("doc_id", "text", "fkey AS skey")
+    val rev = skeleton.selectExpr("doc_id", "text", "rkey AS skey")
     snmPass(fwd).unionByName(snmPass(rev))
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))

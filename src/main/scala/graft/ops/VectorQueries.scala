@@ -376,21 +376,41 @@ object VectorQueries {
       .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
       .selectExpr("dim", "CAST(sign(sq) AS BIGINT) * (abs(sq) div n) AS md")
     val tq = tq0.join(m, "dim").selectExpr("vec_id", "dim", "q - md AS qc")
+    // per-vector centered arrays in dim order: each round is then ONE
+    // narrow map + map-side-combining VecSumLong pass (no per-vector
+    // window shuffle, no dim-keyed exchange — the old shape paid both
+    // per round), and the iterate rides a UDF CLOSURE instead of a
+    // 64-literal array, so generated code is identical across rounds
+    // (the literal form recompiled every round). Long arithmetic is
+    // exact and order-free, so y is value-identical to the windowed
+    // form and the oracle is untouched.
+    val vecRows = tq
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("qc")))).as("ps"))
+      .selectExpr("transform(ps, p -> p.qc) AS qc")
       .localCheckpoint(true)
-    val dims = tq.agg(max(col("dim"))).head().getLong(0).toInt
+    // max dim == the longest qc array (posexplode emits one row per
+    // component), read off the checkpointed per-vector table instead of
+    // re-deriving the exploded join
+    val dims = vecRows.agg(max(size(col("qc")))).head().getInt(0)
     var v = Array.fill(dims)(PCA_VSCALE)
     for (_ <- 1 to PCA_ROUNDS) {
-      val vlit = s"array(${v.mkString("L,")}L)"
-      val y = tq
-        .withColumn("u", expr(s"sum(qc * element_at($vlit, CAST(dim AS INT)))" +
-          " OVER (PARTITION BY vec_id)"))
-        .selectExpr("dim",
-          s"qc * (CAST(sign(u) AS BIGINT) * (abs(u) div $PCA_USCALE)) AS p")
-        .groupBy(col("dim")).agg(sum(col("p")).as("y"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val ys = (1 to dims).map(i => y.getOrElse(i.toLong, 0L))
-      val k = math.max(1L, ys.map(math.abs).max / PCA_VSCALE)
-      v = ys.map(yv => math.signum(yv) * (math.abs(yv) / k)).toArray
+      val vCur = v // stable capture for the closure
+      val contrib = udf { (qc: Seq[Long]) =>
+        var u = 0L
+        var i = 0
+        val n = math.min(qc.length, vCur.length)
+        while (i < n) { u += qc(i) * vCur(i); i += 1 }
+        val t = math.signum(u) * (math.abs(u) / PCA_USCALE)
+        val out = new Array[Long](qc.length)
+        i = 0
+        while (i < qc.length) { out(i) = qc(i) * t; i += 1 }
+        out
+      }
+      val ys = graft.agg.VectorAggregators.vecSumLong(contrib(col("qc")))
+      val yArr = vecRows.agg(ys.as("y")).head().getSeq[Long](0)
+      val k = math.max(1L, yArr.map(math.abs).max / PCA_VSCALE)
+      v = yArr.map(yv => math.signum(yv) * (math.abs(yv) / k)).toArray
     }
     (1 to dims).map(i => (i.toLong, v(i - 1))).toDF("dim", "pc1_fp")
       .orderBy(col("dim"))
@@ -424,14 +444,31 @@ object VectorQueries {
     * the pair join is a thin equi-join on a shifted id; the census is
     * band-sized. No windows, no state. */
   val v12_jl_projection: Q = (s, d) => {
-    val pExprs = jlSigns.map(row => row.zipWithIndex.map { case (sg, j) =>
-      (if (sg > 0) " + " else " - ") + s"element_at(q, ${j + 1})"
-    }.mkString.stripPrefix(" + ")).map(e => s"($e)")
+    // projection as ONE compiled loop over the closure-held sign matrix:
+    // the expression form was a 1024-term (16×64 element_at) tree that
+    // Catalyst re-analyzed on every run and codegen'd as a monster
+    // method; Long adds are exact and order-free, so p is value-identical
+    // and the oracle (which splices the sign literals itself) unchanged.
+    val signs = jlSigns
+    val projUdf = udf { (q: Seq[Long]) =>
+      val out = new Array[Long](signs.length)
+      var k = 0
+      while (k < signs.length) {
+        val row = signs(k)
+        var acc = 0L
+        var j = 0
+        val n = math.min(row.length, q.length)
+        while (j < n) { acc += row(j) * q(j); j += 1 }
+        out(k) = acc
+        k += 1
+      }
+      out
+    }
     val proj = Tables.embeddings(s, d)
       .selectExpr("vec_id",
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
           "* 10000.0D + 0.5D) AS BIGINT)) AS q")
-      .selectExpr("vec_id", "q", pExprs.mkString("array(", ", ", ") AS p"))
+      .select(col("vec_id"), col("q"), projUdf(col("q")).as("p"))
     val b = proj.selectExpr(s"vec_id - $JL_STRIDE AS vec_id",
       "q AS qb", "p AS pb")
     proj.selectExpr("vec_id", "q AS qa", "p AS pa")

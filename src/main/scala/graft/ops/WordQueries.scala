@@ -168,7 +168,15 @@ object WordQueries {
     val uni = toks.selectExpr("explode(t) AS w")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .cache()
-    val totals = uni.agg(sum(col("c")).as("nu")).head().getLong(0)
+    // both corpus totals in ONE narrow aggregate over the token cache
+    // (p09's one-agg discipline): Σc over the unigram census is exactly
+    // Σ size(t), and Σc_ab over the bigram census is exactly
+    // Σ max(size(t)−1, 0) — same integers, without forcing each census
+    // through its own driver action first
+    val totRow = toks.agg(
+      sum(expr("size(t)")).as("nu"),
+      sum(expr("greatest(size(t) - 1, 0)")).as("nb")).head()
+    val (totals, nBi) = (totRow.getLong(0), totRow.getLong(1))
     val bi = toks.filter(expr("size(t) >= 2"))
       .selectExpr("explode(transform(sequence(1, size(t) - 1), " +
         "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b)))" +
@@ -176,8 +184,6 @@ object WordQueries {
       .select(col("p.a"), col("p.b"))
     val biCounts = bi.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("c_ab"))
-      .cache()
-    val nBi = biCounts.agg(sum(col("c_ab")).as("nb")).head().getLong(0)
     val nuCb = FixedLog.log2Cb(totals)
     val nbCb = FixedLog.log2Cb(nBi)
     biCounts.filter(col("c_ab") >= PMI_MIN_SUP)
