@@ -745,11 +745,7 @@ object AnnQueries {
   val n17_beam_search: Q = (s, d) => {
     val q = VectorQueries.flagshipVec
     val edges = n09Graph(s, d)
-    // cached: the unrolled walk rescans the vector table once per
-    // expansion step (BEAM_STEPS + 1 probes) — one in-memory
-    // materialization serves them all
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .cache()
     // rescore a (tiny) candidate-id frame and keep the best k — the
     // candidate side broadcasts into the id-pruned corpus join, the cut
     // is a k-bounded TakeOrdered; all lazy, nothing collects
@@ -793,9 +789,7 @@ object AnnQueries {
   val n20_beam_batch: Q = (s, d) => {
     val qs = qsDf(s, d) // (qlabel, qvec), broadcast
     val edges = n09Graph(s, d)
-    // cached: one materialization serves the BEAM_STEPS + 1 probe scans
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .cache()
     def scoredTop(cand: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("qlabel"))
         .orderBy(col("score").desc, col("vec_id").asc)
@@ -842,9 +836,7 @@ object AnnQueries {
       d.replaceAll("[^A-Za-z0-9.]", "_")
     graft.ann.KnnGraph.save(n09Graph(s, d), tmp)
     val g = graft.ann.KnnGraph.load(s, tmp)
-    // cached: one materialization serves the BEAM_STEPS + 1 probe scans
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .cache()
     def scoredTop(cand: DataFrame, k: Int): DataFrame = emb
       .join(broadcast(cand.select(col("vec_id")).distinct()), "vec_id")
       .select(col("vec_id"),

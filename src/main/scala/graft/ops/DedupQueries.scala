@@ -1329,22 +1329,65 @@ object DedupQueries {
     * `levenshtein(a, b, k)` running the banded O(len·k) DP with early
     * abandon (returns −1 past k) — the accepted set and its lev values
     * are unchanged (measured 34 s → ~4 s at sf0.1). */
-  private def snmPass(keyed: DataFrame): DataFrame = {
+  private def snmPass(keyed: DataFrame, textSide: DataFrame => DataFrame): DataFrame = {
+    // the window sorts THIN rows — (id, 24-char key, length) — and the
+    // document bodies are re-attached BY ID only for pairs surviving the
+    // |Δlen| gate (guide §2.3/§8: shuffle keys and metadata, move the
+    // heavy payload once). The old shape carried full text through the
+    // sort and emitted SNM_WINDOW lead-copies of it per row — ~25×
+    // the shuffle bytes for identical output (the sort order
+    // (skey, doc_id) is total, so the neighbor sets cannot differ).
     val w = Window.partitionBy(col("block")).orderBy(col("skey"), col("doc_id"))
-    keyed
+    val cands = keyed
+      .select(col("doc_id"), col("skey"), length(col("text")).as("len"))
       .withColumn("block", expr("substring(skey, 1, 2)"))
-      .select(col("doc_id"), col("text"),
+      .select(col("doc_id"), col("len"),
         array((1 to SNM_WINDOW).map(i =>
           struct(lead(col("doc_id"), i).over(w).as("nid"),
-            lead(col("text"), i).over(w).as("ntext"))): _*).as("nbrs"))
-      .selectExpr("doc_id", "text", "explode(nbrs) AS nb")
+            lead(col("len"), i).over(w).as("nlen"))): _*).as("nbrs"))
+      .selectExpr("doc_id", "len", "explode(nbrs) AS nb")
       .filter(col("nb.nid").isNotNull)
-      .filter(expr(s"abs(length(text) - length(nb.ntext)) <= $SNM_LEV_MAX"))
-      .selectExpr("least(doc_id, nb.nid) AS doc_a",
-        "greatest(doc_id, nb.nid) AS doc_b",
-        s"CAST(levenshtein(text, nb.ntext, $SNM_LEV_MAX) AS BIGINT) AS lev")
+      .filter(expr(s"abs(len - nb.nlen) <= $SNM_LEV_MAX"))
+      .select(col("doc_id"), col("nb.nid").as("nid"))
+      // deliberate repartition of the THIN candidate stream (guide §2.5):
+      // without it the verifier inherits the window's 2-char-block
+      // partitioning, and a prefix-hot block (shared lead tokens put most
+      // of this corpus in ONE block) serializes every banded-lev call on
+      // one core — measured 6-7 s of the operator's wall for ~11 k calls.
+      // Hash on the deterministic pair key (never rand — retry safety),
+      // ~16 B/row, so the exchange is noise next to the DP it spreads.
+      .repartition(col("doc_id"), col("nid"))
+    val texts = keyed.select(col("doc_id"), col("text"))
+    cands
+      .join(textSide(texts), "doc_id")
+      .join(textSide(texts.select(col("doc_id").as("nid"), col("text").as("ntext"))),
+        "nid")
+      .select(expr("least(doc_id, nid)").as("doc_a"),
+        expr("greatest(doc_id, nid)").as("doc_b"),
+        levThresholdUdf(col("text"), col("ntext")).as("lev"))
       .filter(col("lev") >= 0L && col("lev") <= SNM_LEV_MAX)
   }
+
+  /** The banded-lev verifier as a NONDETERMINISTIC-marked UDF around
+    * SPARK'S OWN threshold kernel (`UTF8String.levenshteinDistance(other,
+    * k)` — the exact code the `levenshtein(a, b, k)` builtin calls, so
+    * values are bit-identical by construction; null input → −1, which
+    * the `lev >= 0` filter drops exactly like the builtin's null).
+    * Nondeterministic is guide §4.4's anti-duplication lever, load-
+    * bearing here: as a plain expression the optimizer pushed the lev
+    * range filter INTO the broadcast text join as a join condition,
+    * where the DP ran once per comparison plus once in the projection
+    * with no codegen subexpression elimination across the operators —
+    * measured 5.3 s → 8.3 s. Marked nondeterministic it is evaluated
+    * ONCE per candidate row, in the projection, after the repartition
+    * spread the rows. */
+  private val levThresholdUdf = udf { (a: String, b: String) =>
+    if (a == null || b == null) -1L
+    else org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .levenshteinDistance(
+        org.apache.spark.unsafe.types.UTF8String.fromString(b),
+        SNM_LEV_MAX.toInt).toLong
+  }.asNondeterministic()
 
   /** d17: SORTED-NEIGHBORHOOD DEDUP (Hernández & Stolfo 1995), MULTI-PASS
     * — the SORT-based near-dup modality the LSH family (d02/d03/d06)
@@ -1382,10 +1425,16 @@ object DedupQueries {
         "substring(skel, 1, 24) AS fkey",
         "substring(reverse(skel), 1, 24) AS rkey")
       .cache()
-    skeleton.count()
+    val nDocs = skeleton.count()
+    // counted dispatch for the text re-attach joins (d15's discipline):
+    // the text table broadcasts below the bound, shuffle-hashes above
+    // (corpus-sized at 100 TB)
+    def textSide(df: DataFrame): DataFrame =
+      if (nDocs <= graft.vec.Lsh.NODE_BCAST_MAX_ROWS) broadcast(df)
+      else df.hint("SHUFFLE_HASH")
     val fwd = skeleton.selectExpr("doc_id", "text", "fkey AS skey")
     val rev = skeleton.selectExpr("doc_id", "text", "rkey AS skey")
-    snmPass(fwd).unionByName(snmPass(rev))
+    snmPass(fwd, textSide).unionByName(snmPass(rev, textSide))
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
