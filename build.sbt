@@ -23,6 +23,18 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// The bench driver contract needs graft.Bench's one-line JSON record to be
+// the LAST stdout line of the whole sbt invocation (the driver's capture
+// keeps only the tail); without this sbt appends "[success] Total time..."
+// after the record and the driver has recorded parsed:null for 9 rounds.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Forked run output goes to sbt's own stdout RAW — without this, sbt's
+// logger prefixes every stdout line of the forked JVM with "[info] ",
+// which turns graft.Bench's one-line JSON record into "[info] {...}" and
+// is the most likely reason the driver has parsed it as null in every
+// round so far (it reads the tail / last line of stdout as JSON).
+outputStrategy := Some(StdoutOutput)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

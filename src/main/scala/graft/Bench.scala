@@ -212,7 +212,12 @@ object Bench {
       "artifact_d06_pairs" -> (() => graft.ops.DedupQueries.d06Pairs(spark, sfDir)),
       "artifact_d06_labels" -> (() => graft.ops.CurationQueries.d06Labels(spark, sfDir)),
       "artifact_n09_edges" -> (() => graft.ops.AnnQueries.n09Graph(spark, sfDir)),
-      "artifact_ppj_sets" -> (() => graft.ops.DedupQueries.ppjSets(spark, sfDir)))
+      "artifact_ppj_sets" -> (() => graft.ops.DedupQueries.ppjSets(spark, sfDir)),
+      // r10: the ranked-posting table (explode + df census + rank window)
+      // moved out of d15/d16 into a shared disk artifact — its build cost
+      // stays visible as this timed entry (dependency-ordered after
+      // ppj_sets so it times ONLY the ranking stage)
+      "artifact_ppj_ranked" -> (() => graft.ops.DedupQueries.ppjRanked(spark, sfDir)))
     // one full chain pass: clear RAM + DISK artifacts first (the entries
     // must time real builds, not marker-fresh re-reads), then build in
     // dependency order so each entry times ONLY its own stage (the labels
@@ -331,7 +336,6 @@ object Bench {
       .getOrElse("null")
     val record =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"micro":$mJson,"serving":$sJson,"env":$envJson,"filter":$filterJson,"sf":"$sfDir"}"""
-    println(record)
     // self-record to a file too (VERDICT r03 #2: BENCH_r03's stdout tail
     // was truncated mid-record, losing the total and 30 per-query rows —
     // the file copy makes driver-side capture loss unable to destroy the
@@ -351,7 +355,18 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
-    spark.stop()
+    // stop BEFORE printing the record so the one-line JSON is the FINAL
+    // stdout line of the run (VERDICT r09 next-#2: nine rounds of BENCH
+    // files show parsed:null — the record was printed mid-stream and the
+    // driver's capture only keeps the end of stdout; build.sbt also sets
+    // showSuccess := false so sbt appends no "[success]" line after it).
+    // Spark's own shutdown chatter goes to stderr, never stdout.
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
+    }
+    println(record)
+    System.out.flush()
   }
 
   /** Serving-latency section (VERDICT r06 missing-#2): warm per-REQUEST

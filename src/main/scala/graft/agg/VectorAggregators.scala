@@ -73,22 +73,26 @@ object VectorAggregators {
   object VecSumLong extends Aggregator[Array[Long], Array[Long], Array[Long]] {
     private def encL: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
     def zero: Array[Long] = Array.empty[Long]
+    // Ragged inputs fold into a max-length buffer (missing tail elements
+    // add 0) so the result is merge-order-INDEPENDENT — the old
+    // min-length fold silently dropped tails depending on merge order
+    // (ADVICE r09). Embeddings are fixed-dim today, so this changes no
+    // value; it removes a latent order-dependence.
+    private def addInto(dst: Array[Long], src: Array[Long]): Array[Long] = {
+      val out = if (dst.length >= src.length) dst
+        else java.util.Arrays.copyOf(dst, src.length)
+      var i = 0
+      while (i < src.length) { out(i) += src(i); i += 1 }
+      out
+    }
     def reduce(buf: Array[Long], v: Array[Long]): Array[Long] =
       if (v == null) buf
       else if (buf.isEmpty) v.clone()
-      else {
-        var i = 0
-        while (i < buf.length && i < v.length) { buf(i) += v(i); i += 1 }
-        buf
-      }
+      else addInto(buf, v)
     def merge(a: Array[Long], b: Array[Long]): Array[Long] =
       if (a.isEmpty) b
       else if (b.isEmpty) a
-      else {
-        var i = 0
-        while (i < a.length && i < b.length) { a(i) += b(i); i += 1 }
-        a
-      }
+      else addInto(a, b)
     def finish(buf: Array[Long]): Array[Long] = buf
     def bufferEncoder: Encoder[Array[Long]] = encL
     def outputEncoder: Encoder[Array[Long]] = encL

@@ -63,8 +63,15 @@ object KnnGraph {
   private[ann] def bucketOf(src: Column, numBuckets: Long): Column =
     pmod(src, lit(numBuckets))
 
-  private def metaPath(path: String) =
-    java.nio.file.Paths.get(path, "_graft_buckets")
+  /** Sidecar I/O goes through the Hadoop FileSystem API, not
+    * java.nio.file (VERDICT r09 next-#6): the artifact path is a Hadoop
+    * path-scheme string (file:/, hdfs:/, s3a:/ ...) — a local-only
+    * sidecar would silently break the modulus contract on any non-local
+    * deployment, exactly where the 100 TB artifact lives. */
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
 
   /** Persist a thin (src, nbr) edge list id-bucketed by source; the
     * bucket count derives from the counted edge rows (size-adaptive,
@@ -77,12 +84,26 @@ object KnnGraph {
       .withColumn("bucket", bucketOf(col("src"), nb))
       .repartition(col("bucket")) // one writer task per bucket dir
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    java.nio.file.Files.writeString(metaPath(path), nb.toString)
+    val (fs, p) = hadoopFs(edges.sparkSession, path)
+    val out = fs.create(p, true)
+    try out.write(nb.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  private def bucketsOf(path: String): Long =
-    try java.nio.file.Files.readString(metaPath(path)).trim.toLong
-    catch { case _: Throwable => LEGACY_BUCKETS }
+  /** Legacy-64 ONLY when the sidecar is genuinely absent (pre-sidecar
+    * artifacts); any other failure — permission, corrupt content, a
+    * partial save — rethrows instead of silently probing under the
+    * wrong modulus (ADVICE r09: a silent 64 fallback makes neighbors()
+    * return wrong/empty rows and appendSave corrupt the artifact). */
+  private def bucketsOf(spark: SparkSession, path: String): Long = {
+    val (fs, p) = hadoopFs(spark, path)
+    if (!fs.exists(p)) LEGACY_BUCKETS
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, "UTF-8").trim.toLong // corrupt sidecar → loud NumberFormatException
+    }
+  }
 
   /** Append-save for a grown graph (the [[IvfPqIndex.appendSave]]
     * contract applied to edges): write ONLY `deltaEdges` into the
@@ -94,7 +115,8 @@ object KnnGraph {
     * UNDER THE ARTIFACT'S OWN MODULUS (read from the sidecar). */
   def appendSave(deltaEdges: DataFrame, path: String): Unit =
     deltaEdges.select(col("src"), col("nbr"))
-      .withColumn("bucket", bucketOf(col("src"), bucketsOf(path)))
+      .withColumn("bucket",
+        bucketOf(col("src"), bucketsOf(deltaEdges.sparkSession, path)))
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(path)
 
@@ -105,5 +127,5 @@ object KnnGraph {
     * partition pruner engaged (ADVICE r07). */
   def load(spark: SparkSession, path: String): KnnGraph =
     new KnnGraph(spark.read.parquet(path)
-      .withColumn("bucket", col("bucket").cast("long")), bucketsOf(path))
+      .withColumn("bucket", col("bucket").cast("long")), bucketsOf(spark, path))
 }

@@ -657,6 +657,58 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** |A ∩ B| of two SORTED (binary UTF8 ascending, e.g. `sort_array`)
+    * arrays of DISTINCT strings, as one generated linear merge — the
+    * verification kernel of the set-similarity joins (d15/d16). The
+    * `size(array_intersect(a, b))` it replaces builds a hash set of one
+    * side PER PAIR through the generic non-primitive path (measured
+    * ~30 µs/pair × 505k candidate pairs at sf0.1 = the dominant stage);
+    * the merge does ~|A|+|B| byte-wise compares and allocates nothing.
+    * Sortedness is the caller's contract: sort once per DOC on the
+    * (broadcast) sets side, merge once per candidate PAIR. Both engines'
+    * outputs are unchanged — intersection size is order-free. */
+  case class StrSortedInterSize(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(StringType), ArrayType(StringType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "gram_inter_sorted"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements(); val ny = y.numElements()
+      var i = 0; var j = 0; var c = 0L
+      while (i < nx && j < ny) {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { c += 1L; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+        s"""int $nx = $a.numElements();
+           |int $ny = $b.numElements();
+           |int $i = 0; int $j = 0; long $c = 0L;
+           |while ($i < $nx && $j < $ny) {
+           |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           |  if ($cmp == 0) { $c++; $i++; $j++; }
+           |  else if ($cmp < 0) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = $c;""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   private def arity(name: String, n: Int)(
       build: Seq[Expression] => Expression): Seq[Expression] => Expression =
     args => {
@@ -690,6 +742,10 @@ object VectorExpressions {
     (FunctionIdentifier("vec_qdot"),
       new ExpressionInfo(classOf[VecQDot].getName, "vec_qdot"),
       arity("vec_qdot", 2)(args => VecQDot(args(0), args(1)))),
+    (FunctionIdentifier("gram_inter_sorted"),
+      new ExpressionInfo(classOf[StrSortedInterSize].getName, "gram_inter_sorted"),
+      arity("gram_inter_sorted", 2)(args =>
+        StrSortedInterSize(args(0), args(1)))),
     (FunctionIdentifier("vec_pq_encode"),
       new ExpressionInfo(classOf[VecPqEncode].getName, "vec_pq_encode"),
       arity("vec_pq_encode", 4)(args =>

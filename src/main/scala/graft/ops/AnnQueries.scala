@@ -746,26 +746,35 @@ object AnnQueries {
     val q = VectorQueries.flagshipVec
     val edges = n09Graph(s, d)
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    // rescore a (tiny) candidate-id frame and keep the best k — the
-    // candidate side broadcasts into the id-pruned corpus join, the cut
-    // is a k-bounded TakeOrdered; all lazy, nothing collects
-    def scoredTop(cand: DataFrame, k: Int): DataFrame = emb
-      .join(broadcast(cand.select(col("vec_id")).distinct()), "vec_id")
+    // score a (tiny) candidate-id frame — the id side broadcasts into the
+    // id-pruned corpus join; all lazy, nothing collects. Since r10 the
+    // beam CARRIES its scores between steps (the score is a pure function
+    // of vec_id under the fixed query, so rescoring the kept beam every
+    // step — and once more at the end — recomputed identical values):
+    // only NEW neighbor ids hit the corpus join, the per-step dedup is a
+    // max-aggregate over equal values (value-identical to
+    // distinct-then-score), and the final rescore pass is gone.
+    def scored(ids: DataFrame): DataFrame = emb
+      .join(broadcast(ids.distinct()), "vec_id")
       .select(col("vec_id"),
         (round(VectorOps.dotQueryNative(col("embedding"), q), 4) + lit(0.0))
           .as("score"))
-      .orderBy(col("score").desc, col("vec_id").asc).limit(k)
-    var beam = emb.select(col("vec_id"))
+    val entries = emb.select(col("vec_id"))
       .orderBy(col("vec_id").asc).limit(BEAM_ENTRIES)
-    for (_ <- 1 to BEAM_STEPS) {
+    var beam: DataFrame = null
+    for (step <- 1 to BEAM_STEPS) {
+      val frontier = if (step == 1) entries else beam.select(col("vec_id"))
       val nbrs = edges
-        .join(broadcast(beam.select(col("vec_id").as("src"))), "src")
+        .join(broadcast(frontier.select(col("vec_id").as("src"))), "src")
         .select(col("nbr").as("vec_id"))
-      beam = scoredTop(beam.unionByName(nbrs), BEAM_WIDTH)
-        .select(col("vec_id"))
+      val cand =
+        if (step == 1) scored(frontier.unionByName(nbrs))
+        else beam.unionByName(scored(nbrs))
+          .groupBy(col("vec_id")).agg(max(col("score")).as("score"))
+      beam = cand.orderBy(col("score").desc, col("vec_id").asc)
+        .limit(BEAM_WIDTH)
     }
-    scoredTop(beam, BEAM_WIDTH)
-      .orderBy(col("score").desc, col("vec_id").asc)
+    beam.orderBy(col("score").desc, col("vec_id").asc)
   }
 
   /** n20: BATCHED graph beam search — n17's fixed-budget walk with
@@ -790,30 +799,43 @@ object AnnQueries {
     val qs = qsDf(s, d) // (qlabel, qvec), broadcast
     val edges = n09Graph(s, d)
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    def scoredTop(cand: DataFrame): DataFrame = {
+    // n17's r10 score-carrying shape with qlabel as one more key: the
+    // per-query score is a pure function of (qlabel, vec_id), so the kept
+    // beam rides its scores between steps — only NEW (qlabel, nbr) pairs
+    // hit the corpus join, the dedup max-aggregate folds equal values,
+    // and the final rescore pass is gone.
+    def scored(cand: DataFrame): DataFrame = emb
+      .join(broadcast(cand.distinct()), "vec_id")
+      .join(qs, "qlabel")
+      .select(col("qlabel"), col("vec_id"),
+        (round(VectorOps.dotColsNative(col("embedding"), col("qvec")), 4)
+          + lit(0.0)).as("score"))
+    def topPerQuery(cand: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("qlabel"))
         .orderBy(col("score").desc, col("vec_id").asc)
-      emb.join(broadcast(cand.distinct()), "vec_id")
-        .join(qs, "qlabel")
-        .select(col("qlabel"), col("vec_id"),
-          (round(VectorOps.dotColsNative(col("embedding"), col("qvec")), 4)
-            + lit(0.0)).as("score"))
-        .withColumn("rn", row_number().over(w))
+      cand.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= BEAM_WIDTH)
         .select(col("qlabel"), col("vec_id"), col("score"))
     }
-    var beam = emb.select(col("vec_id"))
+    val entries = emb.select(col("vec_id"))
       .orderBy(col("vec_id").asc).limit(BEAM_ENTRIES)
       .select(explode(typedlit((0 to 9).toArray)).as("qlabel"), col("vec_id"))
-    for (_ <- 1 to BEAM_STEPS) {
+    var beam: DataFrame = null
+    for (step <- 1 to BEAM_STEPS) {
+      val frontier =
+        if (step == 1) entries else beam.select(col("qlabel"), col("vec_id"))
       val nbrs = edges
-        .join(broadcast(beam.select(col("qlabel"), col("vec_id").as("src"))),
+        .join(broadcast(frontier.select(col("qlabel"), col("vec_id").as("src"))),
           "src")
         .select(col("qlabel"), col("nbr").as("vec_id"))
-      beam = scoredTop(beam.unionByName(nbrs))
-        .select(col("qlabel"), col("vec_id"))
+      val cand =
+        if (step == 1) scored(frontier.unionByName(nbrs))
+        else beam.unionByName(scored(nbrs))
+          .groupBy(col("qlabel"), col("vec_id"))
+          .agg(max(col("score")).as("score"))
+      beam = topPerQuery(cand)
     }
-    scoredTop(beam)
+    beam
       .selectExpr("CAST(qlabel AS BIGINT) AS qlabel", "vec_id", "score")
       .orderBy(col("qlabel"), col("score").desc, col("vec_id").asc)
   }
@@ -821,7 +843,9 @@ object AnnQueries {
   /** n21: k-NN GRAPH ARTIFACT round-trip — n17's walk over a SAVED
     * [[graft.ann.KnnGraph]] (build → save id-bucketed → load → probe),
     * the n04/n08 artifact contract applied to the graph: the edge list
-    * persists as `src mod 64` directory partitions and every expansion
+    * persists as `src mod numBuckets` directory partitions (the count
+    * is SIZE-DERIVED from the edge rows and pinned in a `_graft_buckets`
+    * sidecar — [[graft.ann.KnnGraph.bucketsFor]]) and every expansion
     * step probes the loaded table through a (bucket, src) broadcast
     * join, so the scan planner prunes to the frontier's buckets
     * (dynamic partition pruning) instead of reading the edge table.
@@ -837,21 +861,28 @@ object AnnQueries {
     graft.ann.KnnGraph.save(n09Graph(s, d), tmp)
     val g = graft.ann.KnnGraph.load(s, tmp)
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    def scoredTop(cand: DataFrame, k: Int): DataFrame = emb
-      .join(broadcast(cand.select(col("vec_id")).distinct()), "vec_id")
+    // n17's r10 score-carrying walk over the loaded artifact (same
+    // rationale: scores are a pure function of vec_id, so the kept beam
+    // rides them between steps and the final rescore pass is gone)
+    def scored(ids: DataFrame): DataFrame = emb
+      .join(broadcast(ids.distinct()), "vec_id")
       .select(col("vec_id"),
         (round(VectorOps.dotQueryNative(col("embedding"), q), 4) + lit(0.0))
           .as("score"))
-      .orderBy(col("score").desc, col("vec_id").asc).limit(k)
-    var beam = emb.select(col("vec_id"))
+    val entries = emb.select(col("vec_id"))
       .orderBy(col("vec_id").asc).limit(BEAM_ENTRIES)
-    for (_ <- 1 to BEAM_STEPS) {
-      val nbrs = g.neighbors(beam).select(col("nbr").as("vec_id"))
-      beam = scoredTop(beam.unionByName(nbrs), BEAM_WIDTH)
-        .select(col("vec_id"))
+    var beam: DataFrame = null
+    for (step <- 1 to BEAM_STEPS) {
+      val frontier = if (step == 1) entries else beam.select(col("vec_id"))
+      val nbrs = g.neighbors(frontier).select(col("nbr").as("vec_id"))
+      val cand =
+        if (step == 1) scored(frontier.unionByName(nbrs))
+        else beam.unionByName(scored(nbrs))
+          .groupBy(col("vec_id")).agg(max(col("score")).as("score"))
+      beam = cand.orderBy(col("score").desc, col("vec_id").asc)
+        .limit(BEAM_WIDTH)
     }
-    scoredTop(beam, BEAM_WIDTH)
-      .orderBy(col("score").desc, col("vec_id").asc)
+    beam.orderBy(col("score").desc, col("vec_id").asc)
   }
 
   /** n18: MULTIPROBE LSH top-k — n02's bucketed scan widened to the

@@ -541,9 +541,12 @@ object CurationQueries {
     * each round is one nbr-keyed join of the current label table
     * (≤ N thin rows) + one (src, lbl) count aggregate + one per-src
     * argmax window — all graph-sized, the corpus' embeddings never
-    * appear after the edge build. Per-round localCheckpoint truncates
-    * the iterative lineage (c02's discipline). Seed clamping is a
-    * `vec_id % 5` filter, not an anti-join. */
+    * appear after the edge build. The 3-round loop unrolls into ONE
+    * lazy linear plan (each round references the previous label table
+    * exactly once — no per-round checkpoint, no per-round action);
+    * round joins broadcast the node-sized label table below the counted
+    * bound and shuffle-hash above it. Seed clamping is a `vec_id % 5`
+    * filter, not an anti-join. */
   val c08_label_propagation: Q = (s, d) => {
     val edges = AnnQueries.n09Graph(s, d)
     val seeds = Tables.embeddings(s, d)
@@ -556,8 +559,12 @@ object CurationQueries {
     // old shape paid LP_ROUNDS materializing actions). The label table is
     // node-sized: broadcast it into the edge join below the counted
     // bound, shuffle-hash above (labels are corpus-sized at 100 TB).
-    // the full label table grows to ≤ 5× the seed count (every node)
-    val bcast = seeds.count() <= 200000L
+    // the table actually broadcast each round is lab = seeds ∪ inferred,
+    // which grows to EVERY node (≈ LP_SEED_MOD × seeds) — bound the
+    // dispatch on that, not on the seed count alone (ADVICE r09: the old
+    // seeds-only bound made the effective broadcast limit 5× the
+    // NODE_BCAST_MAX_ROWS discipline used everywhere else)
+    val bcast = seeds.count() * LP_SEED_MOD <= graft.vec.Lsh.NODE_BCAST_MAX_ROWS
     def side(df: DataFrame): DataFrame =
       if (bcast) broadcast(df) else df.hint("shuffle_hash")
     var lab = seeds

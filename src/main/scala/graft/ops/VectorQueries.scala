@@ -360,12 +360,15 @@ object VectorQueries {
     * trap). The normalizer k = max(1, max|y| div VSCALE) keeps every
     * division non-negative and the iterate's scale pinned.
     *
-    * The matrix never materializes: per round ONE window over the
-    * cached (vec_id, dim, qc) rows + ONE dim-keyed aggregate, then a
-    * 64-value driver fold (t12's driver-held-table discipline; the
-    * collect is dims-bounded). At 100 TB each round is two map-side-
-    * combinable passes over a thin quantized table — the textbook
-    * distributed power iteration. */
+    * The matrix never materializes: the centered table is grouped ONCE
+    * into per-vector qc arrays; each round is then a single narrow pass
+    * (a closure UDF computes u = qc·v, truncates, emits qc·u′) folded
+    * by the map-side-combining [[graft.agg.VectorAggregators.VecSumLong]]
+    * aggregator, then a 64-value driver fold (t12's driver-held-table
+    * discipline; the collect is dims-bounded). At 100 TB each round is
+    * one map-side-combinable pass over the per-vector array table — the
+    * textbook distributed power iteration with zero per-round
+    * exchanges. */
   val v11_principal_component: Q = (s, d) => {
     import s.implicits._
     val tq0 = Tables.embeddings(s, d)

@@ -240,4 +240,30 @@ class VectorExpressionsSpec extends SparkSpec {
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
     assert(e.eval(null).asInstanceOf[Double] == VectorOps.dot(a, b))
   }
+
+  test("gram_inter_sorted == size(array_intersect) on sorted distinct " +
+    "string arrays (d15/d16's verification kernel, codegen AND " +
+    "interpreted paths)") {
+    import spark.implicits._
+    val words = (0 until 60).map(i => s"w${i}_tok")
+    def randSet(): Seq[String] =
+      rnd.shuffle(words).take(1 + rnd.nextInt(40)).distinct
+    val pairs = Seq.fill(200)((randSet(), randSet())) :+
+      (Seq.empty[String], Seq("a")) :+ (Seq("a"), Seq.empty[String]) :+
+      (Seq.empty[String], Seq.empty[String]) :+
+      // non-ASCII + prefix-of-each-other cases exercise byte-order ties
+      (Seq("a", "ab", "abc", "é"), Seq("ab", "é", "z"))
+    val rows = pairs.toDF("a", "b")
+      .select(expr("gram_inter_sorted(sort_array(a), sort_array(b)) AS g"),
+        expr("CAST(size(array_intersect(a, b)) AS BIGINT) AS r"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // interpreted eval agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val e = VectorExpressions.StrSortedInterSize(
+      Literal.create(Seq("a", "b", "c"), ArrayType(StringType)),
+      Literal.create(Seq("b", "c", "d"), ArrayType(StringType)))
+    assert(e.eval(null).asInstanceOf[Long] == 2L)
+  }
 }

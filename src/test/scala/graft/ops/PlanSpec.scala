@@ -497,6 +497,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ExistingRDD") && !p.contains("UDF"), p.take(1500))
   }
 
+  test("ppj RANKED posting artifact (r10): a disk parquet scan whose rows " +
+    "agree with a recomputed (df, gram)-order rank — d15's prefixes and " +
+    "d16's positional probe read this table instead of re-windowing") {
+    graft.engine.ArtifactCache.clear()
+    val ranked = DedupQueries.ppjRanked(spark, sf)
+    val p = ranked.queryExecution.executedPlan.toString
+    assert(p.contains("graft-artifacts"), p.take(1500))
+    assert(!p.contains("Window") && !p.contains("UDF"),
+      s"consumer plan must not contain the rank pipeline:\n${p.take(1500)}")
+    // semantic pin: rk is the doc-local row_number under (df ASC, gram
+    // ASC), df is the gram's corpus document frequency
+    val rows = ranked.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3), r.getLong(4)))
+    val byGram = rows.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (_, _, g, _, df) =>
+      assert(df == byGram(g), s"df mismatch for gram $g: $df vs ${byGram(g)}")
+    }
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val expected = rs.sortBy(r => (r._5, r._3)).map(_._3)
+      val got = rs.sortBy(_._4).map(_._3)
+      assert(got.toSeq == expected.toSeq, s"rank order broken for doc $doc")
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length).toSeq,
+        s"ranks not 1..n for doc $doc")
+    }
+  }
+
   test("e26 attribution range join: NO join operator anywhere — one " +
     "user_id hash exchange feeding a value-bounded range window, then " +
     "explode (the θ-join rewrite that keeps 100 TB to a single shuffle)") {
